@@ -1,13 +1,356 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY.md §2 (OP-n) or a
+  * north-star extension op; [[oracleSql]] carries the DuckDB-equivalent SQL
+  * for the hash-match gate. Queries without oracle SQL (approximate /
+  * non-SQL-expressible ops) get the weaker rows-only check and are covered by
+  * ScalaTest instead.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CdcQueries.itemChanged(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- CDC pipeline operators (SURVEY.md §2, OP-n) ---
+    "cdc_item_changed" -> ((s, d) => CdcQueries.itemChanged(s, d)), // OP-6/7/8/9
+    "pk_filter_eq" -> ((s, d) => CdcQueries.pkFilterEq(s, d)), // OP-2
+    "pk_filter_prefix" -> ((s, d) => CdcQueries.pkFilterPrefix(s, d)), // OP-2
+    "validity_filter" -> ((s, d) => CdcQueries.validityFilter(s, d)), // OP-4
+    "project_envelope" -> ((s, d) => CdcQueries.projectEnvelope(s, d)), // OP-5/9
+    "unmarshall_typed" -> ((s, d) => CdcQueries.unmarshallTyped(s, d)), // OP-6
+    "noop_suppression" -> ((s, d) => CdcQueries.noopSuppression(s, d)), // OP-8
+    "claim_check_routing" -> ((s, d) => CdcQueries.claimCheckRouting(s, d)), // OP-10/11/12
+    "bus_pattern_match" -> ((s, d) => CdcQueries.busPatternMatch(s, d)), // OP-13/14
+    "ttl_expiry" -> ((s, d) => CdcQueries.ttlExpiry(s, d)), // OP-16
+    "gsi_view" -> ((s, d) => CdcQueries.gsiView(s, d)), // OP-17
+    "changes_per_attr" -> ((s, d) => CdcQueries.changesPerAttr(s, d)),
+    // --- relational analytics (engine extensions, §2.1 categories) ---
+    "q1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(s, d)),
+    "q3_shipping_priority" -> ((s, d) => Analytics.shippingPriority(s, d)),
+    "q5_local_supplier" -> ((s, d) => Analytics.localSupplierVolume(s, d)),
+    "window_top_orders" -> ((s, d) => Analytics.topOrdersPerCustomer(s, d)),
+    "anti_join_no_orders" -> ((s, d) => Analytics.customersWithoutOrders(s, d)),
+    "semi_join_finished" -> ((s, d) => Analytics.customersWithFinishedOrders(s, d)),
+    "rollup_sales" -> ((s, d) => Analytics.salesRollup(s, d)),
+    "distinct_segments" -> ((s, d) => Analytics.segmentsPerNation(s, d)),
+    "scalar_part_funcs" -> ((s, d) => Analytics.partScalarFuncs(s, d)),
+    "date_order_funcs" -> ((s, d) => Analytics.orderDateFuncs(s, d)),
+    "sort_top_lineitems" -> ((s, d) => Analytics.topLineitems(s, d)),
+    // --- event-stream windowing ---
+    "session_window" -> ((s, d) => Sessions.sessionize(s, d)),
+    "event_type_stats" -> ((s, d) => Sessions.eventTypeStats(s, d)),
+    "daily_counts" -> ((s, d) => Sessions.dailyCounts(s, d)),
+    "dedup_latest" -> ((s, d) => Dedup.latestByKey(s, d)),
+    // --- LLM-data-pipeline: text analysis ---
+    "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
+    "lang_id" -> ((s, d) => TextOps.langId(s, d)),
+    "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
+    "binary_content" -> ((s, d) => TextOps.binaryContent(s, d)),
+    // --- LLM-data-pipeline: dedup family ---
+    "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)), // approx: rows-only
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)), // rows-only
+    // --- LLM-data-pipeline: similarity search ---
+    "topk_similar" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "cosine_pairs" -> ((s, d) => Similarity.cosinePairs(s, d)),
+    "ann_topk_lsh" -> ((s, d) => Similarity.annTopK(s, d)) // approx: rows-only
+  )
+
+  /** Shared DuckDB CTE reconstructing the synthesized CDC pairing + depth-1+
+    * diff over the single-key `props` JSON (the SQL-expressible mirror of the
+    * engine's recursive diff — SURVEY.md §7.4 item 2).
+    */
+  private val cdcCte: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, props,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type,
+      |         lag(props) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_props
+      |  FROM events
+      |), y AS (
+      |  SELECT event_id, user_id, event_type, props, prev_type, prev_props,
+      |         json_extract_string(props, '$.k') AS new_k,
+      |         json_extract_string(prev_props, '$.k') AS old_k,
+      |         (prev_props IS NULL) AS is_insert,
+      |         (prev_props IS NOT NULL AND json_extract_string(props, '$.k') <> json_extract_string(prev_props, '$.k')) AS chg_props,
+      |         (prev_props IS NOT NULL AND event_type <> prev_type) AS chg_type
+      |  FROM e
+      |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "cdc_item_changed" -> (cdcCte +
+      """
+        |SELECT event_id,
+        |  CASE WHEN is_insert THEN 'INSERT' ELSE 'MODIFY' END AS operation,
+        |  'USER#' || user_id AS pk, 'PROFILE' AS sk,
+        |  CASE WHEN is_insert THEN 'pk,sk,props,type'
+        |       ELSE concat_ws(',', CASE WHEN chg_props THEN 'props,props.k' END,
+        |                           CASE WHEN chg_type THEN 'type' END) END AS attributes_changed,
+        |  CASE WHEN is_insert THEN '{}'
+        |       ELSE '{' || concat_ws(',',
+        |          CASE WHEN chg_props THEN '"props":{"k":' || old_k || '}' END,
+        |          CASE WHEN chg_type THEN '"type":"' || prev_type || '"' END) || '}' END AS before,
+        |  CASE WHEN is_insert
+        |       THEN '{"pk":"USER#' || user_id || '","sk":"PROFILE","props":{"k":' || new_k || '},"type":"' || event_type || '"}'
+        |       ELSE '{' || concat_ws(',',
+        |          CASE WHEN chg_props THEN '"props":{"k":' || new_k || '}' END,
+        |          CASE WHEN chg_type THEN '"type":"' || event_type || '"' END) || '}' END AS after
+        |FROM y WHERE is_insert OR chg_props OR chg_type
+        |ORDER BY event_id""".stripMargin),
+    "pk_filter_eq" ->
+      """SELECT 'USER#' || user_id AS pk, count(*) AS n FROM events
+        |WHERE user_id = 7 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pk_filter_prefix" ->
+      """SELECT 'USER#' || user_id AS pk, count(*) AS n FROM events
+        |WHERE CAST(user_id AS VARCHAR) LIKE '1%' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "validity_filter" ->
+      "SELECT event_id FROM events WHERE event_id % 97 <> 0 ORDER BY event_id",
+    "project_envelope" -> (cdcCte +
+      """
+        |SELECT event_id, CASE WHEN is_insert THEN 'INSERT' ELSE 'MODIFY' END AS operation,
+        |  'USER#' || user_id AS pk, 'PROFILE' AS sk
+        |FROM y WHERE is_insert OR chg_props OR chg_type
+        |ORDER BY event_id""".stripMargin),
+    "unmarshall_typed" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  event_type AS type, 'USER#' || user_id AS pk
+        |FROM events ORDER BY event_id""".stripMargin,
+    "noop_suppression" -> (cdcCte +
+      """
+        |SELECT event_id FROM y
+        |WHERE NOT is_insert AND NOT chg_props AND NOT chg_type
+        |ORDER BY event_id""".stripMargin),
+    "claim_check_routing" ->
+      """SELECT doc_id,
+        |  CASE WHEN n_chars > 0 AND n_chars < 300 THEN 'inline' ELSE 'blob' END AS route,
+        |  CASE WHEN n_chars > 0 AND n_chars < 300 THEN ''
+        |       ELSE 'blobs/doc-' || doc_id || '.json' END AS images_url
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "bus_pattern_match" -> (cdcCte +
+      """
+        |SELECT event_id, 'graft' AS source, 'dynamo.item.changed' AS detail_type
+        |FROM y WHERE is_insert OR chg_props OR chg_type
+        |ORDER BY event_id""".stripMargin),
+    "ttl_expiry" ->
+      """SELECT event_id, 'REMOVE' AS operation, 'USER#' || user_id AS pk
+        |FROM events WHERE epoch_ms(ts) < 1705276800000 ORDER BY event_id""".stripMargin,
+    "gsi_view" ->
+      """SELECT event_type AS gsi1pk, lpad(CAST(event_id AS VARCHAR), 12, '0') AS gsi1sk,
+        |  event_id,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |       ORDER BY lpad(CAST(event_id AS VARCHAR), 12, '0')) AS INTEGER) AS rn
+        |FROM events ORDER BY gsi1pk, gsi1sk""".stripMargin,
+    "changes_per_attr" -> (cdcCte +
+      """, agg AS (
+        |  SELECT count(*) FILTER (WHERE is_insert) AS ins,
+        |         count(*) FILTER (WHERE chg_props) AS cp,
+        |         count(*) FILTER (WHERE chg_type) AS ct FROM y
+        |)
+        |SELECT path, n FROM (
+        |  SELECT 'pk' AS path, CAST(ins AS BIGINT) AS n FROM agg
+        |  UNION ALL SELECT 'props', CAST(ins + cp AS BIGINT) FROM agg
+        |  UNION ALL SELECT 'props.k', CAST(cp AS BIGINT) FROM agg
+        |  UNION ALL SELECT 'sk', CAST(ins AS BIGINT) FROM agg
+        |  UNION ALL SELECT 'type', CAST(ins + ct AS BIGINT) FROM agg
+        |) ORDER BY path""".stripMargin),
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,10)) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS order_date
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "window_top_orders" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "anti_join_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "semi_join_finished" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "rollup_sales" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name) ORDER BY region, nation""".stripMargin,
+    "distinct_segments" ->
+      """SELECT n_name, CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+        |  count(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "scalar_part_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  substring(p_type, 1, 4) AS type_pre,
+        |  CAST(p_size % 7 AS BIGINT) AS size_mod,
+        |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)) AS DOUBLE) AS price_adj,
+        |  p_brand || '|' || p_type AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "date_order_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS day_of_month,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(o_orderdate AS DATE) AS order_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "sort_top_lineitems" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+        |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+    "session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ms
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session FROM e
+        |), g AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM f
+        |)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  CAST(min(ms) AS BIGINT) AS start_ms, CAST(max(ms) AS BIGINT) AS end_ms,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "event_type_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "daily_counts" ->
+      """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms, event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day_ms, event_type""".stripMargin,
+    "dedup_latest" ->
+      """SELECT user_id, event_id, event_type, json_extract_string(props, '$.k') AS k
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '\bthe\b|\ba\b')) AS BIGINT) AS n_stop,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+        |  CAST(len(regexp_extract_all(text, '\bthe\b|\ba\b')) AS DOUBLE)
+        |    / CAST(greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) AS DOUBLE) AS stop_ratio,
+        |  least(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) / 100.0, 1.0) * 0.6
+        |    + (CAST(len(regexp_extract_all(text, '\bthe\b|\ba\b')) AS DOUBLE)
+        |       / CAST(greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) AS DOUBLE)) * 0.4 AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    CAST(len(regexp_extract_all(text, '\b(the|a|of)\b')) AS BIGINT) AS s_en,
+        |    CAST(len(regexp_extract_all(text, '\b(der|die|das|und)\b')) AS BIGINT) AS s_de,
+        |    CAST(len(regexp_extract_all(text, '\b(el|la|los|y)\b')) AS BIGINT) AS s_es,
+        |    CAST(len(regexp_extract_all(text, '\b(le|la|les|et)\b')) AS BIGINT) AS s_fr
+        |  FROM documents
+        |)
+        |SELECT doc_id, labeled_lang, s_en, s_de, s_es, s_fr,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  CAST(length(text) AS BIGINT) AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "binary_content" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5, source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  CAST(min(doc_id) AS BIGINT) AS canonical_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 3), i ->
+        |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+        |    FROM docs WHERE len(w) >= 5
+        |  )
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a, b, CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+        |FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+    "topk_similar" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |), pairs AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    CAST(floor(list_dot_product(q.e, c.e) / (q.nrm * c.nrm) * 1000000.0) AS BIGINT) AS sim_e6
+        |  FROM emb q JOIN emb c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+        |)
+        |SELECT qid, rank, cid, sim_e6 FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, cid) AS BIGINT) AS rank
+        |  FROM pairs
+        |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "cosine_pairs" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings WHERE vec_id < 300
+        |)
+        |SELECT x.vec_id AS a, y.vec_id AS b,
+        |  CAST(floor(list_dot_product(x.e, y.e) / (x.nrm * y.nrm) * 1000000.0) AS BIGINT) AS sim_e6
+        |FROM emb x JOIN emb y ON x.vec_id < y.vec_id
+        |WHERE CAST(floor(list_dot_product(x.e, y.e) / (x.nrm * y.nrm) * 1000000.0) AS BIGINT) >= 300000
+        |ORDER BY a, b""".stripMargin
+  )
 }

@@ -1,0 +1,135 @@
+package graft.cdc
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+/** End-to-end CDC dataflow assembly (SURVEY.md §3.2 trace): source scan →
+  * pushed pk filter → typed map (unmarshall + diff + envelope + routing) →
+  * suppression → sinks.
+  *
+  * The pipeline is NARROW — no shuffle anywhere: per-record logic is
+  * partition-local, so on a 1000-executor cluster each task streams its input
+  * split through [[RecordProcessor]] independently. Per-key ordering (the
+  * reference's per-shard FIFO) is the source's partitioning contract; when it
+  * matters (stateful consumers), partition by `pk` upstream.
+  */
+object CdcPipeline {
+
+  /** Parse a raw-JSON-lines Dataset into records. Kept as a typed map so a
+    * malformed line drops (error isolation, OP-3) instead of failing the task.
+    */
+  def parse(lines: Dataset[String]): Dataset[CdcRecord] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.flatMap(RecordProcessor.parseRecord _)
+  }
+
+  /** OP-2 applied relationally BEFORE the per-record program, like the
+    * event-source-mapping filter runs before the Lambda. On a struct-typed
+    * source this reaches the scan as a pushed filter; on the raw-JSON path the
+    * pk lives inside an unparsed string, so the filter applies post-parse but
+    * still pre-diff (cheapest point available).
+    */
+  def applyPkFilter(recs: Dataset[CdcRecord], cfg: CdcConfig): Dataset[CdcRecord] = {
+    if (cfg.pkFilters.isEmpty) recs
+    else {
+      val spark = recs.sparkSession
+      import spark.implicits._
+      val rules = PkFilter.compile(cfg.pkFilters)
+      recs.filter { r =>
+        val pk = for {
+          ddb <- r.dynamodb
+          keysRaw <- ddb.Keys
+          keys <- scala.util.Try(graft.attr.AttrCodec.unmarshallItem(keysRaw)).toOption
+          pkv <- keys.get("pk")
+        } yield pkv match {
+          case graft.attr.AttrVal.SVal(s) => s
+          case other                      => graft.attr.AttrVal.printJson(other)
+        }
+        pk.exists(PkFilter.matches(_, rules))
+      }
+    }
+  }
+
+  /** The record-level core: validity guards, unmarshall, diff, suppression,
+    * claim-check routing — one narrow typed map.
+    */
+  def processed(recs: Dataset[CdcRecord], cfg: CdcConfig): Dataset[RecordProcessor.Processed] = {
+    val spark = recs.sparkSession
+    import spark.implicits._
+    recs.flatMap(r => RecordProcessor.processSafe(r, cfg))
+  }
+
+  def events(recs: Dataset[CdcRecord], cfg: CdcConfig): Dataset[ItemChanged] = {
+    val spark = recs.sparkSession
+    import spark.implicits._
+    processed(recs, cfg).map(_.event)
+  }
+
+  /** Batch run over a directory of stream-record JSON lines. */
+  def batch(spark: SparkSession, inputDir: String, cfg: CdcConfig): Dataset[ItemChanged] = {
+    import spark.implicits._
+    events(applyPkFilter(parse(spark.read.textFile(inputDir)), cfg), cfg)
+  }
+
+  /** Bus rows ready for a sink (OP-13 envelope + OP-14 consumer filtering). */
+  def busRows(items: Dataset[ItemChanged], cfg: CdcConfig): Dataset[BusEvent] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.map(RecordProcessor.toBusEvent(_, cfg))
+  }
+
+  /** Consumer-side pattern subscription (OP-14): equality on source +
+    * detailType, as the EventBridge rule at
+    * `/root/reference/lib/cdk-dynamodb-cdc-stack.ts:32-38`.
+    */
+  def subscribe(bus: DataFrame, source: String): DataFrame =
+    bus.filter(col("source") === lit(source) &&
+      col("detailType") === lit(CdcConfig.DetailType))
+
+  /** Streaming pipeline: `readStream` over stream-record JSON lines →
+    * foreachBatch sink that (a) writes claim-check blobs task-side and (b)
+    * appends bus rows as parquet — exactly-once per micro-batch via
+    * checkpointing (stronger than the reference's at-least-once, SURVEY §4.2).
+    */
+  def stream(
+      spark: SparkSession,
+      inputDir: String,
+      busDir: String,
+      checkpointDir: String,
+      cfg: CdcConfig): DataStreamWriter[BusEvent] = {
+    import spark.implicits._
+    val lines = spark.readStream.textFile(inputDir)
+    val recs = applyPkFilter(parse(lines), cfg)
+    val proc = processed(recs, cfg)
+    val blobDir = cfg.blobDir
+
+    proc
+      .map(p => (p.event, p.blob))
+      .mapPartitions { it =>
+        // Task-local claim-check writes (OP-10/11): the blob store is a
+        // directory; each task writes only its own records' blobs.
+        it.map { case (event, blob) =>
+          blob.foreach(b => writeBlob(blobDir, b))
+          RecordProcessor.toBusEvent(event, cfg)
+        }
+      }
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", busDir)
+  }
+
+  def writeBlob(dir: String, blob: BlobPayload): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    Files.write(d.resolve(blob.key), blob.body.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.cdc
+
+import scala.util.{Failure, Success, Try}
+
+import graft.attr.{AttrCodec, AttrVal, Json, JsonParser}
+import graft.attr.AttrVal.MVal
+import graft.diff.Diff
+
+/** The per-record data-plane program (OP-3..OP-10), a pure behavioral port of
+  * `processDynamoDBRecord` at
+  * `/root/reference/lib/lambda/dynamo-stream-handler.ts:89-178`:
+  *
+  *  1. validity guards — drop records missing `eventName` / `eventID` /
+  *     `dynamodb` (`:92-97`);
+  *  2. unmarshall `Keys` / `NewImage` / `OldImage` (`:101-110`);
+  *  3. recursive diff (`:112-116` → [[graft.diff.Diff]]);
+  *  4. envelope (`:118-125`);
+  *  5. no-op MODIFY suppression — AFTER the diff (`:126-128`);
+  *  6. claim-check routing at `sizeThreshold` (`:130-166`): small → inline
+  *     `newImage` always + `oldImage` only for REMOVE (`:135-138`); large OR
+  *     missing/zero `SizeBytes` (the `size &&` falsiness quirk Q5, `:134`) →
+  *     blob `{oldImage,newImage}` + `imagesUrl`.
+  *
+  * Pure (no I/O): blob content is RETURNED for the sink layer to write, which
+  * is what makes the operator distributable — Spark tasks call this in a
+  * typed `map` and the `foreachBatch` sink performs the writes.
+  */
+object RecordProcessor {
+
+  /** Outcome of one record: the event to publish plus an optional blob to
+    * write. `None` = dropped (invalid or suppressed), mirroring the early
+    * `return`s.
+    */
+  final case class Processed(event: ItemChanged, blob: Option[BlobPayload])
+
+  def process(rec: CdcRecord, cfg: CdcConfig): Option[Processed] =
+    (rec.eventName.filter(_.nonEmpty), rec.eventID.filter(_.nonEmpty), rec.dynamodb) match {
+      case (Some(operation), Some(eventID), Some(ddb)) =>
+        processValid(operation, eventID, ddb, cfg)
+      case _ => None // validity guards, `dynamo-stream-handler.ts:92-97`
+    }
+
+  private def processValid(
+      operation: String,
+      eventID: String,
+      ddb: CdcStreamPart,
+      cfg: CdcConfig): Option[Processed] = {
+    val size = ddb.SizeBytes
+
+    def unm(raw: Option[String]): Option[MVal] =
+      raw.map { s =>
+        val m = AttrCodec.unmarshallItem(s)
+        if (cfg.strictCompat) m
+        else AttrVal.normalizeSets(m) match { case mm: MVal => mm; case _ => m }
+      }
+
+    val keys = unm(ddb.Keys)
+    val newImage = unm(ddb.NewImage)
+    val oldImage = unm(ddb.OldImage)
+
+    val d = Diff.diffImages(newImage, oldImage)
+
+    if (operation == "MODIFY" && d.attributesChanged.isEmpty) return None
+
+    def keyStr(k: String): Option[String] = keys.flatMap(_.get(k)).map {
+      case AttrVal.SVal(s) => s
+      case other           => AttrVal.printJson(other)
+    }
+
+    val small = size.exists(s => s != 0L && s < cfg.sizeThreshold)
+    val inlineNew = if (small) newImage.map(AttrVal.printJson) else None
+    val inlineOld =
+      if (small && operation == "REMOVE") oldImage.map(AttrVal.printJson) else None
+    val (imagesUrl, blob) =
+      if (small) (None, None)
+      else {
+        // JSON.stringify({oldImage, newImage}) omits absent fields (`:140-143`)
+        val fields = Vector.newBuilder[(String, Json)]
+        oldImage.foreach(m => fields += (("oldImage", AttrVal.toJson(m))))
+        newImage.foreach(m => fields += (("newImage", AttrVal.toJson(m))))
+        val body = Json.JObj(fields.result()).print
+        (Some(cfg.imagesUrl(eventID)), Some(BlobPayload(s"$eventID.json", body)))
+      }
+
+    val event = ItemChanged(
+      operation = operation,
+      pk = keyStr("pk"),
+      sk = keyStr("sk"),
+      attributesChanged = d.attributesChanged,
+      before = AttrVal.printJson(d.before),
+      after = AttrVal.printJson(d.after),
+      newImage = inlineNew,
+      oldImage = inlineOld,
+      imagesUrl = imagesUrl,
+      eventID = eventID)
+    Some(Processed(event, blob))
+  }
+
+  /** Error-isolated variant (OP-3): malformed records are logged-and-dropped
+    * like the reference's per-record `try/catch`
+    * (`dynamo-stream-handler.ts:20-25`), not task-failing.
+    */
+  def processSafe(rec: CdcRecord, cfg: CdcConfig): Option[Processed] =
+    Try(process(rec, cfg)) match {
+      case Success(r) => r
+      case Failure(_) => None
+    }
+
+  /** Parse one raw stream-record JSON line (FIXTURES.md §A1 shape) into a
+    * [[CdcRecord]], keeping image subtrees as raw JSON strings.
+    */
+  def parseRecord(line: String): Option[CdcRecord] =
+    JsonParser.parseOpt(line).collect { case o: Json.JObj =>
+      val eventID = o.asMap.get("eventID").collect { case Json.JStr(s) => s }
+      val eventName = o.asMap.get("eventName").collect { case Json.JStr(s) => s }
+      val ddb = o.asMap.get("dynamodb").collect { case d: Json.JObj =>
+        CdcStreamPart(
+          SizeBytes = d.asMap.get("SizeBytes").collect { case Json.JNum(n) => n.toLong },
+          Keys = d.asMap.get("Keys").map(_.print),
+          NewImage = d.asMap.get("NewImage").map(_.print),
+          OldImage = d.asMap.get("OldImage").map(_.print))
+      }
+      CdcRecord(eventID, eventName, ddb)
+    }
+
+  /** Bus-row construction (OP-13): `Detail` is the JSON of the event with JS
+    * field insertion order — `after, attributesChanged, before, operation,
+    * pk, sk[, oldImage][, newImage][, imagesUrl]` — and absent optionals
+    * omitted, matching `JSON.stringify(itemChange)`
+    * (`dynamo-stream-handler.ts:118-125,135-138,165,173`).
+    */
+  def toBusEvent(e: ItemChanged, cfg: CdcConfig): BusEvent = {
+    val fields = Vector.newBuilder[(String, Json)]
+    fields += (("after", JsonParser.parse(e.after)))
+    fields += (("attributesChanged", Json.JArr(e.attributesChanged.toVector.map(Json.JStr))))
+    fields += (("before", JsonParser.parse(e.before)))
+    fields += (("operation", Json.JStr(e.operation)))
+    e.pk.foreach(v => fields += (("pk", Json.JStr(v))))
+    e.sk.foreach(v => fields += (("sk", Json.JStr(v))))
+    e.oldImage.foreach(v => fields += (("oldImage", JsonParser.parse(v))))
+    e.newImage.foreach(v => fields += (("newImage", JsonParser.parse(v))))
+    e.imagesUrl.foreach(v => fields += (("imagesUrl", Json.JStr(v))))
+    BusEvent(cfg.eventSource, CdcConfig.DetailType, Json.JObj(fields.result()).print, e.eventID)
+  }
+}

@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational analytics operators over the TPC-H-ish tables (SURVEY.md §2.1
+  * categories the reference lacks but the engine ships: joins, aggregations,
+  * windows, sorts/top-k, set ops, scalar functions).
+  *
+  * Determinism-for-oracle rules (SURVEY.md §5.2): double columns are cast to
+  * exact decimals BEFORE arithmetic/aggregation so sums are order-independent
+  * and bit-identical across engines; aggregate sums STAY decimal
+  * (DECIMAL(38,s)) in the output because decimal→double conversion is only
+  * exact below 2^53 unscaled and the two engines round differently beyond it;
+  * every query ends in an orderBy on a unique key; integer outputs are BIGINT.
+  *
+  * Scale notes: aggregations are partial+final (map-side combine) for free;
+  * small dimensions (region/nation/supplier/customer) are broadcast so the
+  * only data-sized shuffles are lineitem/orders groupBys. AQE handles skew.
+  */
+object Analytics {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(6, 4))
+  private val one4: Column = lit(1).cast(DecimalType(6, 4))
+
+  /** TPC-H Q1-style pricing summary: hash agg with partial aggregation. */
+  def pricingSummary(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (one4 - dec4(col("l_discount"))))
+          .cast(DecimalType(38, 6)).as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * (one4 - dec4(col("l_discount")))
+          * (one4 + dec4(col("l_tax")))).cast(DecimalType(38, 10)).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: 3-way join, revenue top-10. The filtered customer dim
+    * is broadcast explicitly; lineitem join orders stays a shuffle join so the
+    * plan survives a 100x scale-up (AQE demotes it to broadcast when small). */
+  def shippingPriority(spark: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(spark, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, d)
+      .filter(col("o_orderdate") < to_timestamp(lit("1998-03-15")))
+    val li = Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") > to_timestamp(lit("1998-03-15")))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(dec2(col("l_extendedprice")) * (one4 - dec4(col("l_discount"))))
+        .cast(DecimalType(38, 6)).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate").cast("date").as("order_date"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: 5-way join through region→nation→(customer, supplier),
+    * revenue per nation. All dims broadcast; lineitem⋈orders is the only
+    * data-sized join.
+    */
+  def localSupplierVolume(spark: SparkSession, d: String): DataFrame = {
+    val region = Tables.region(spark, d).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, d)
+    val cust = Tables.customer(spark, d)
+    val supp = Tables.supplier(spark, d)
+    val ord = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+    val li = Tables.lineitem(spark, d)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (one4 - dec4(col("l_discount"))))
+        .cast(DecimalType(38, 6)).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Window top-k: 3 highest-value orders per customer. */
+  def topOrdersPerCustomer(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Anti join: customers that never ordered. */
+  def customersWithoutOrders(spark: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(spark, d).select(col("o_custkey"))
+    Tables.customer(spark, d)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** Semi join: customers with at least one finished order. */
+  def customersWithFinishedOrders(spark: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(spark, d)
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    Tables.customer(spark, d)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** Rollup (grouping sets): order totals by region→nation with subtotals. */
+  def salesRollup(spark: SparkSession, d: String): DataFrame = {
+    val joined = Tables.orders(spark, d)
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, d)), col("n_regionkey") === col("r_regionkey"))
+    joined
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(dec2(col("o_totalprice"))).cast(DecimalType(38, 2)).as("total"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("total"), col("n_orders"))
+      .orderBy("region", "nation")
+  }
+
+  /** Distinct aggregation: segment diversity per nation. */
+  def segmentsPerNation(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d)
+      .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(countDistinct(col("c_mktsegment")).as("n_segments"),
+        count(lit(1)).as("n_customers"),
+        sum(dec2(col("c_acctbal"))).cast(DecimalType(38, 2)).as("total_acctbal"))
+      .orderBy("n_name")
+
+  /** Scalar function surface: string/math/concat over `part`. */
+  def partScalarFuncs(spark: SparkSession, d: String): DataFrame =
+    Tables.part(spark, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_type"), 1, 4).as("type_pre"),
+        (col("p_size") % 7).cast("long").as("size_mod"),
+        (dec2(col("p_retailprice")) * lit(BigDecimal("1.1")).cast(DecimalType(3, 1)))
+          .cast("double").as("price_adj"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  /** Date/time function surface over `orders`. */
+  def orderDateFuncs(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("day_of_month"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        col("o_orderdate").cast("date").as("order_date"))
+      .orderBy("o_orderkey")
+
+  /** Sort + limit: top-20 line items by extended price (unique tiebreak). */
+  def topLineitems(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_extendedprice"))
+      .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+      .limit(20)
+}

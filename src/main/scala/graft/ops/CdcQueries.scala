@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.cdc._
+import graft.synth.CdcSynth
+
+/** Driver-facing CDC operator queries (SURVEY.md §7.3): each runs the REAL
+  * pipeline (synth → unmarshall → diff → suppress → route) and projects a
+  * deterministic, DuckDB-comparable relation. All are narrow after the synth
+  * window's single `user_id` shuffle.
+  */
+object CdcQueries {
+  val cfg: CdcConfig = CdcConfig(eventSource = "graft")
+
+  private def eventIdCol = expr("cast(substring(eventID, 3) as bigint)").as("event_id")
+
+  def flagshipEvents(spark: SparkSession, sfDir: String): Dataset[ItemChanged] =
+    CdcPipeline.events(CdcSynth.records(spark, sfDir), cfg)
+
+  /** OP-7 flagship: full diff pipeline over synthesized NEW_AND_OLD_IMAGES. */
+  def itemChanged(spark: SparkSession, sfDir: String): DataFrame =
+    flagshipEvents(spark, sfDir)
+      .select(
+        eventIdCol,
+        col("operation"), col("pk"), col("sk"),
+        array_join(col("attributesChanged"), ",").as("attributes_changed"),
+        col("before"), col("after"))
+      .orderBy("event_id")
+
+  /** OP-2 source pushdown, prefix rule (`USER#1*`). */
+  def pkFilterPrefix(spark: SparkSession, sfDir: String): DataFrame =
+    pkFilterCounts(spark, sfDir, Seq("USER#1*"))
+
+  /** OP-2 source pushdown, equality rule. */
+  def pkFilterEq(spark: SparkSession, sfDir: String): DataFrame =
+    pkFilterCounts(spark, sfDir, Seq("USER#7"))
+
+  private def pkFilterCounts(spark: SparkSession, sfDir: String, pats: Seq[String]): DataFrame = {
+    val recs = CdcPipeline.applyPkFilter(
+      CdcSynth.records(spark, sfDir), cfg.copy(pkFilters = pats))
+    recs.toDF()
+      .select(get_json_object(col("dynamodb.Keys"), "$.pk.S").as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n"))
+      .orderBy("pk")
+  }
+
+  /** OP-4 validity guards: records with simulated missing eventName dropped. */
+  def validityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val recs = CdcSynth.records(spark, sfDir).map { r =>
+      val id = r.eventID.get.stripPrefix("e-").toLong
+      if (id % 97 == 0) r.copy(eventName = None) else r
+    }
+    recs
+      .filter(r => r.eventName.exists(_.nonEmpty) && r.eventID.exists(_.nonEmpty) && r.dynamodb.nonEmpty)
+      .toDF()
+      .select(expr("cast(substring(eventID, 3) as bigint)").as("event_id"))
+      .orderBy("event_id")
+  }
+
+  /** OP-5/OP-9 envelope projection. */
+  def projectEnvelope(spark: SparkSession, sfDir: String): DataFrame =
+    flagshipEvents(spark, sfDir)
+      .select(eventIdCol, col("operation"), col("pk"), col("sk"))
+      .orderBy("event_id")
+
+  /** OP-6 unmarshall: marshalled wire form → typed columns (oracle checks the
+    * roundtrip against the original plain values).
+    */
+  def unmarshallTyped(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    CdcSynth.records(spark, sfDir)
+      .map { r =>
+        val img = graft.attr.AttrCodec.unmarshallItem(r.dynamodb.get.NewImage.get)
+        val k = img.get("props").collect { case m: graft.attr.AttrVal.MVal => m }
+          .flatMap(_.get("k")).collect { case graft.attr.AttrVal.NVal(n) => n.toLong }
+        val tpe = img.get("type").collect { case graft.attr.AttrVal.SVal(s) => s }
+        (r.eventID.get.stripPrefix("e-").toLong, k, tpe,
+          img.get("pk").collect { case graft.attr.AttrVal.SVal(s) => s })
+      }
+      .toDF("event_id", "k", "type", "pk")
+      .orderBy("event_id")
+  }
+
+  /** OP-8: the suppressed complement — valid MODIFY records whose diff is
+    * empty (left_anti against the emitted events).
+    */
+  def noopSuppression(spark: SparkSession, sfDir: String): DataFrame = {
+    val recs = CdcSynth.records(spark, sfDir).toDF()
+      .filter(col("eventName") === "MODIFY")
+      .select(expr("cast(substring(eventID, 3) as bigint)").as("event_id"))
+    val emitted = flagshipEvents(spark, sfDir).toDF().select(eventIdCol)
+    recs.join(emitted, Seq("event_id"), "left_anti").orderBy("event_id")
+  }
+
+  /** OP-10/OP-11/OP-12 claim-check routing over `documents` (SizeBytes :=
+    * n_chars, threshold 300): small docs inline, large docs route to a blob
+    * path `imagesUrl`.
+    */
+  def claimCheckRouting(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val routeCfg = cfg.copy(sizeThreshold = 300L, blobDir = "blobs")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .map { case (docId, nChars) =>
+        val rec = CdcRecord(
+          eventID = Some(s"doc-$docId"),
+          eventName = Some("INSERT"),
+          dynamodb = Some(CdcStreamPart(
+            SizeBytes = Some(nChars),
+            Keys = Some(s"""{"pk":{"S":"DOC#$docId"},"sk":{"S":"TEXT"}}"""),
+            NewImage = Some(s"""{"pk":{"S":"DOC#$docId"},"n":{"N":"$nChars"}}"""),
+            OldImage = None)))
+        val p = RecordProcessor.process(rec, routeCfg).get
+        (docId, if (p.event.imagesUrl.isEmpty) "inline" else "blob",
+          p.event.imagesUrl.getOrElse(""))
+      }
+      .toDF("doc_id", "route", "images_url")
+      .orderBy("doc_id")
+  }
+
+  /** OP-13/OP-14: bus publish + pattern subscription; a noise source is
+    * unioned in and must be filtered back out.
+    */
+  def busPatternMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val bus = CdcPipeline.busRows(flagshipEvents(spark, sfDir), cfg).toDF()
+    val noise = bus.withColumn("source", lit("noise"))
+    CdcPipeline.subscribe(bus.union(noise), "graft")
+      .select(expr("cast(substring(eventID, 3) as bigint)").as("event_id"),
+        col("source"), col("detailType").as("detail_type"))
+      .orderBy("event_id")
+  }
+
+  /** OP-16 TTL expiry: rows past the ttl clock become REMOVE records. */
+  def ttlExpiry(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoffMs = 1705276800000L // 2024-01-15T00:00:00Z
+    Tables.events(spark, sfDir)
+      .filter(expr("ts div 1000000") < cutoffMs)
+      .select(col("event_id"), lit("REMOVE").as("operation"),
+        concat(lit("USER#"), col("user_id")).as("pk"))
+      .orderBy("event_id")
+  }
+
+  /** OP-17 GSI view: the alternate access path as a re-keyed, re-sorted
+    * projection (`${g}pk` = event_type, `${g}sk` = zero-padded event id).
+    */
+  def gsiView(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("gsi1pk")).orderBy(col("gsi1sk"))
+    Tables.events(spark, sfDir)
+      .select(col("event_type").as("gsi1pk"),
+        lpad(col("event_id").cast("string"), 12, "0").as("gsi1sk"),
+        col("event_id"))
+      .repartition(col("gsi1pk"))
+      .withColumn("rn", row_number().over(w))
+      .orderBy("gsi1pk", "gsi1sk")
+  }
+
+  /** Change-frequency rollup: explode attributesChanged → counts per path. */
+  def changesPerAttr(spark: SparkSession, sfDir: String): DataFrame =
+    flagshipEvents(spark, sfDir)
+      .select(explode(col("attributesChanged")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy("path")
+}

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for LLM-data pipelines (north star): exact,
+  * n-gram-Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale posture: exact dedup is one hash-groupBy (map-side combined);
+  * Jaccard/minhash work on an inverted shingle index — the shuffle key is the
+  * shingle/band bucket, never the document pair space, so candidate
+  * generation is linear in index size rather than quadratic in corpus size.
+  */
+object Dedup {
+
+  /** Exact dedup groups by normalized-content fingerprint. */
+  def exact(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), TextOps.fingerprintCol.as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
+      .orderBy("canonical_id")
+
+  /** Latest-version-wins dedup on the events stream (CDC compaction):
+    * one row per user key, the highest event wins.
+    */
+  def latestByKey(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(desc("event_id"))
+    Tables.events(spark, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").as("k"))
+      .orderBy("user_id")
+  }
+
+  /** Distinct word 5-gram shingles per doc: `(doc_id, shingle)`. */
+  def shingles(docs: DataFrame, n: Int = 5): DataFrame = {
+    val words = split(trim(col("text")), " ")
+    docs
+      .select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> " +
+          (0 until n).map(j => s"w[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + ")"
+      )).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted shingle index:
+    * shingle → docs, self-join on shingle, |∩| per pair, then
+    * J = |∩| / (|A| + |B| - |∩|). No quadratic pair space: only docs sharing
+    * ≥1 shingle meet.
+    */
+  def ngramJaccard(spark: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(Tables.documents(spark, d)).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("b"), col("shingle"))
+    val inter = a.join(b, "shingle")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "n_a"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "n_b"), "b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("n_common"), col("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  /** MinHash signatures: k universal-hash functions over murmur3 shingle
+    * hashes, `min((a_i * h + b_i) mod p)` per doc — one groupBy over the
+    * shingle index, signature length k columns folded as an array.
+    */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val p = 2147483647L // 2^31 - 1, Mersenne prime
+    val rnd = new scala.util.Random(42)
+    val coeffs = Vector.fill(k)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong ->
+      rnd.nextInt(Int.MaxValue).toLong)
+    val h = pmod(hash(col("shingle")).cast("long"), lit(p)).as("h")
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(p))).as(s"mh_$i")
+    }
+    sh.select(col("doc_id"), h)
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"))
+  }
+
+  private def pmod(c: Column, m: Column): Column = ((c % m) + m) % m
+
+  /** MinHash + LSH banding: signatures split into `bands` bands of `rowsPer`
+    * rows; docs sharing any band bucket become candidates; candidates are
+    * verified with estimated Jaccard = fraction of equal signature slots.
+    * The shuffle key is the (band, bucket-hash) — candidate generation never
+    * materializes the full pair space.
+    */
+  def minhashLsh(
+      spark: SparkSession,
+      d: String,
+      bands: Int = 16,
+      rowsPer: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val k = bands * rowsPer
+    val sh = shingles(Tables.documents(spark, d))
+    val sigs = minhashSignatures(sh, k).cache()
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"hash(slice(sig, b * $rowsPer + 1, $rowsPer)))")).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("est_jaccard",
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), t -> t))") //
+          .cast("double") / lit(k.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a"), col("b"), col("est_jaccard"))
+      .orderBy("a", "b")
+  }
+
+  /** 64-bit SimHash per document: sign-sum of per-token 64-bit hashes
+    * (xxhash64), bit-majority folded into a fingerprint.
+    */
+  def simhash(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("doc_id"), xxhash64(col("token")).as("h"))
+    // per-bit contribution: +1 when bit set, -1 otherwise; majority = bit set
+    val bitCols = (0 until 64).map { i =>
+      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b_$i")
+    }
+    tok.groupBy("doc_id")
+      .agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup candidates: pairs within `maxHamming` bits, banded on
+    * 16-bit chunks (a pair within hamming 3 shares at least one of 4 chunks).
+    */
+  def simhashPairs(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(spark, d).cache()
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(expr("transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
+        .as(Seq("chunk", "chunk_val")))
+    val l = banded.select(col("chunk"), col("chunk_val"), col("doc_id").as("a"), col("simhash").as("sh_a"))
+    val r = banded.select(col("chunk"), col("chunk_val"), col("doc_id").as("b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy("a", "b")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines over `documents`
+  * (BASELINE.json north star): token counting, quality scoring, language ID,
+  * fingerprinting. All are narrow per-row transforms (codegen'd built-ins, no
+  * UDFs) — they scan, never shuffle, so they scale linearly with input splits.
+  */
+object TextOps {
+
+  /** Count regex-token occurrences (word-boundary-safe). */
+  private def reCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
+  /** Token counting + quality heuristics: length/stopword/punctuation ratios
+    * (the formulas are plain double arithmetic so the DuckDB oracle is
+    * bit-identical).
+    */
+  def textStats(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        reCount(col("text"), "[A-Za-z0-9]+").as("n_tokens"),
+        reCount(col("text"), "\\bthe\\b|\\ba\\b").as("n_stop"),
+        reCount(col("text"), "[^A-Za-z0-9\\s]").as("n_punct"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1L)).cast("double"))
+      .withColumn("quality_score",
+        least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.6)
+          + col("stop_ratio") * lit(0.4))
+      .orderBy("doc_id")
+
+  /** N-gram-marker language ID heuristic: argmax of per-language marker-token
+    * counts with deterministic tie-breaking (en > de > es > fr).
+    */
+  def langId(spark: SparkSession, d: String): DataFrame = {
+    val en = reCount(col("text"), "\\b(the|a|of)\\b")
+    val de = reCount(col("text"), "\\b(der|die|das|und)\\b")
+    val es = reCount(col("text"), "\\b(el|la|los|y)\\b")
+    val fr = reCount(col("text"), "\\b(le|la|les|et)\\b")
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"))
+      .withColumn("predicted_lang",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+      .orderBy("doc_id")
+  }
+
+  /** Normalized-content fingerprint (md5 of lowercased, whitespace-collapsed
+    * text) — the exact-dedup key.
+    */
+  def fingerprintCol: Column =
+    md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+
+  def docFingerprint(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), fingerprintCol.as("fingerprint"),
+        length(col("text")).cast("long").as("n_chars_actual"))
+      .orderBy("doc_id")
+
+  /** Multimodal plumbing: treat content as an opaque binary column with typed
+    * metadata — here synthesized from text (the container ships no image/audio
+    * codecs; SURVEY.md north-star stub). Byte length and content digest are
+    * computed on the BINARY value, proving the binary-column path end-to-end.
+    */
+  def binaryContent(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("content"),
+        col("source"))
+      .select(col("doc_id"),
+        octet_length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("content_md5"),
+        col("source"))
+      .orderBy("doc_id")
+}
