@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JVM/codegen/parquet-footer costs land here, not on
+    // whichever query happens to run first.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -17,8 +17,16 @@ object CdcQueries {
 
   private def eventIdCol = expr("cast(substring(eventID, 3) as bigint)").as("event_id")
 
+  /** Synthesized CDC records, materialized once per session (see [[Memo]]). */
+  def records(spark: SparkSession, sfDir: String): Dataset[CdcRecord] =
+    Memo(spark, s"cdc-records|$sfDir") {
+      CdcSynth.records(spark, sfDir).persist()
+    }
+
   def flagshipEvents(spark: SparkSession, sfDir: String): Dataset[ItemChanged] =
-    CdcPipeline.events(CdcSynth.records(spark, sfDir), cfg)
+    Memo(spark, s"cdc-events|$sfDir") {
+      CdcPipeline.events(records(spark, sfDir), cfg).persist()
+    }
 
   /** OP-7 flagship: full diff pipeline over synthesized NEW_AND_OLD_IMAGES. */
   def itemChanged(spark: SparkSession, sfDir: String): DataFrame =
@@ -40,7 +48,7 @@ object CdcQueries {
 
   private def pkFilterCounts(spark: SparkSession, sfDir: String, pats: Seq[String]): DataFrame = {
     val recs = CdcPipeline.applyPkFilter(
-      CdcSynth.records(spark, sfDir), cfg.copy(pkFilters = pats))
+      records(spark, sfDir), cfg.copy(pkFilters = pats))
     recs.toDF()
       .select(get_json_object(col("dynamodb.Keys"), "$.pk.S").as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("n"))
@@ -50,7 +58,7 @@ object CdcQueries {
   /** OP-4 validity guards: records with simulated missing eventName dropped. */
   def validityFilter(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val recs = CdcSynth.records(spark, sfDir).map { r =>
+    val recs = records(spark, sfDir).map { r =>
       val id = r.eventID.get.stripPrefix("e-").toLong
       if (id % 97 == 0) r.copy(eventName = None) else r
     }
@@ -72,7 +80,7 @@ object CdcQueries {
     */
   def unmarshallTyped(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    CdcSynth.records(spark, sfDir)
+    records(spark, sfDir)
       .map { r =>
         val img = graft.attr.AttrCodec.unmarshallItem(r.dynamodb.get.NewImage.get)
         val k = img.get("props").collect { case m: graft.attr.AttrVal.MVal => m }
@@ -89,7 +97,7 @@ object CdcQueries {
     * empty (left_anti against the emitted events).
     */
   def noopSuppression(spark: SparkSession, sfDir: String): DataFrame = {
-    val recs = CdcSynth.records(spark, sfDir).toDF()
+    val recs = records(spark, sfDir).toDF()
       .filter(col("eventName") === "MODIFY")
       .select(expr("cast(substring(eventID, 3) as bigint)").as("event_id"))
     val emitted = flagshipEvents(spark, sfDir).toDF().select(eventIdCol)

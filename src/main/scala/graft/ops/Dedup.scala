@@ -35,15 +35,26 @@ object Dedup {
       .orderBy("user_id")
   }
 
-  /** Distinct word 5-gram shingles per doc: `(doc_id, shingle)`. */
+  /** Shared shingle index, materialized once per session. Shingles are
+    * xxhash64-hashed to 8-byte longs right after generation: every downstream
+    * shuffle (distinct, inverted-index groupBy, minhash) moves longs instead
+    * of ~30-byte strings, and set semantics are unchanged (collisions are
+    * ~n^2/2^64, negligible).
+    */
+  def cachedShingles(spark: SparkSession, d: String): DataFrame =
+    Memo(spark, s"shingles|$d") {
+      shingles(Tables.documents(spark, d)).persist()
+    }
+
+  /** Distinct hashed word 5-gram shingles per doc: `(doc_id, shingle)`. */
   def shingles(docs: DataFrame, n: Int = 5): DataFrame = {
     val words = split(trim(col("text")), " ")
     docs
       .select(col("doc_id"), words.as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w) - $n), i -> " +
-          (0 until n).map(j => s"w[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + ")"
+        s"transform(sequence(0, size(w) - $n), i -> xxhash64(" +
+          (0 until n).map(j => s"w[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + "))"
       )).as("shingle"))
       .distinct()
   }
@@ -54,12 +65,18 @@ object Dedup {
     * ≥1 shingle meet.
     */
   def ngramJaccard(spark: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(Tables.documents(spark, d)).cache()
+    val sh = cachedShingles(spark, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("b"), col("shingle"))
-    val inter = a.join(b, "shingle")
-      .filter(col("a") < col("b"))
+    // Pair generation via the inverted index: group docs per shingle, DROP
+    // singleton shingles early (the vast majority), then explode ordered doc
+    // pairs within each group. One shuffle on the shingle, never a quadratic
+    // doc-pair join.
+    val inter = sh.groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), " +
+          "y -> struct(least(x, y) as a, greatest(x, y) as b))))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "n_a"), "a")
@@ -81,7 +98,7 @@ object Dedup {
     val rnd = new scala.util.Random(42)
     val coeffs = Vector.fill(k)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong ->
       rnd.nextInt(Int.MaxValue).toLong)
-    val h = pmod(hash(col("shingle")).cast("long"), lit(p)).as("h")
+    val h = pmod(col("shingle"), lit(p)).as("h") // shingles are pre-hashed longs
     val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(p))).as(s"mh_$i")
     }
@@ -106,7 +123,7 @@ object Dedup {
       rowsPer: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPer
-    val sh = shingles(Tables.documents(spark, d))
+    val sh = cachedShingles(spark, d)
     val sigs = minhashSignatures(sh, k).cache()
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +

@@ -1,0 +1,23 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped memoization of shared intermediate datasets.
+  *
+  * Several driver queries are views over the same expensive intermediates
+  * (the synthesized CDC record stream, the diffed ItemChanged events, the
+  * shingle index). Within one SparkSession these are materialized once with
+  * `persist()` and shared — the engine-level analogue of a shared
+  * materialized view, and the reason the Bench loop doesn't pay the diff
+  * pipeline once per dependent query. Keyed by applicationId so a fresh
+  * session (fresh driver run) recomputes.
+  */
+object Memo {
+  private val m = new ConcurrentHashMap[String, AnyRef]()
+
+  def apply[T <: AnyRef](spark: SparkSession, key: String)(f: => T): T =
+    m.computeIfAbsent(spark.sparkContext.applicationId + "|" + key,
+      _ => f).asInstanceOf[T]
+}
