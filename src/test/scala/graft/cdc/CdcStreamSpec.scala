@@ -1,0 +1,62 @@
+package graft.cdc
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSuite
+
+/** End-to-end Structured Streaming pipeline: stream-record JSON lines →
+  * bus parquet + claim-check blobs, with error isolation, suppression,
+  * Q5/Q6 routing, and exactly-once restart (SURVEY.md §5.2 item 3).
+  */
+class CdcStreamSpec extends SparkSuite {
+
+  private def run(lines: Seq[String], cfg: CdcConfig => CdcConfig = identity): (Seq[BusEvent], Seq[String], String) = {
+    val base = Files.createTempDirectory("graft-stream-spec").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    Files.write(Paths.get(s"$in/batch.json"), lines.mkString("\n").getBytes)
+    val c = cfg(CdcConfig(eventSource = "spec", blobDir = s"$base/blobs"))
+    val q = CdcPipeline.stream(spark, in, s"$base/bus", s"$base/ckpt", c).start()
+    q.awaitTermination()
+    import spark.implicits._
+    val bus = spark.read.parquet(s"$base/bus").as[BusEvent].collect().toSeq.sortBy(_.eventID)
+    val blobDir = new java.io.File(s"$base/blobs")
+    val blobs = Option(blobDir.listFiles()).map(_.map(_.getName).toSeq.sorted).getOrElse(Nil)
+    (bus, blobs, base)
+  }
+
+  private val small =
+    """{"eventID":"s-1","eventName":"INSERT","dynamodb":{"SizeBytes":100,"Keys":{"pk":{"S":"U#1"},"sk":{"S":"A"}},"NewImage":{"pk":{"S":"U#1"},"sk":{"S":"A"},"x":{"N":"1"}}}}"""
+  private val noop =
+    """{"eventID":"s-2","eventName":"MODIFY","dynamodb":{"SizeBytes":90,"Keys":{"pk":{"S":"U#1"}},"OldImage":{"pk":{"S":"U#1"},"x":{"N":"1"}},"NewImage":{"pk":{"S":"U#1"},"x":{"N":"1"}}}}"""
+  private val bigRemove =
+    """{"eventID":"s-3","eventName":"REMOVE","dynamodb":{"SizeBytes":200000,"Keys":{"pk":{"S":"U#2"},"sk":{"S":"B"}},"OldImage":{"pk":{"S":"U#2"},"sk":{"S":"B"},"v":{"S":"big"}}}}"""
+
+  test("stream: emit, suppress, claim-check, error isolation") {
+    val (bus, blobs, base) = run(Seq(small, noop, bigRemove, "not json", """{"eventName":"INSERT"}"""))
+    assert(bus.map(_.eventID) == Seq("s-1", "s-3")) // s-2 suppressed, garbage dropped
+    assert(bus.forall(b => b.source == "spec" && b.detailType == "dynamo.item.changed"))
+    assert(bus.head.detail.contains(""""newImage":{"pk":"U#1","sk":"A","x":1}"""))
+    val rem = bus(1)
+    assert(rem.detail.contains(""""imagesUrl":""") && !rem.detail.contains(""""newImage""""))
+    assert(blobs == Seq("s-3.json"))
+    val body = new String(Files.readAllBytes(Paths.get(s"$base/blobs/s-3.json")))
+    assert(body == """{"oldImage":{"pk":"U#2","sk":"B","v":"big"}}""")
+  }
+
+  test("stream: restart on same checkpoint emits nothing new (exactly-once)") {
+    val base = Files.createTempDirectory("graft-stream-spec2").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    Files.write(Paths.get(s"$in/b1.json"), small.getBytes)
+    val c = CdcConfig(eventSource = "spec", blobDir = s"$base/blobs")
+    CdcPipeline.stream(spark, in, s"$base/bus", s"$base/ckpt", c).start().awaitTermination()
+    CdcPipeline.stream(spark, in, s"$base/bus", s"$base/ckpt", c).start().awaitTermination()
+    assert(spark.read.parquet(s"$base/bus").count() == 1)
+  }
+
+  test("stream: pk filter applies before the per-record program") {
+    val (bus, _, _) = run(Seq(small, bigRemove), c => c.copy(pkFilters = Seq("U#1")))
+    assert(bus.map(_.eventID) == Seq("s-1"))
+  }
+}

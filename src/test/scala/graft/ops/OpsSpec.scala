@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Quality checks the DuckDB oracle can't express: LSH recall against the
+  * exact baselines, simhash locality, and plan-shape assertions (pushdown,
+  * broadcast) — the 100 TB-posture guarantees.
+  */
+class OpsSpec extends SparkSuite {
+
+  test("minhash LSH finds the high-jaccard pairs (recall vs exact)") {
+    val exact = Dedup.ngramJaccard(spark, sf, threshold = 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, sf, threshold = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain near-dup docs")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low (found ${lsh.size}, exact ${exact.size})")
+  }
+
+  test("ann_topk_lsh recall vs brute force on shared-bucket queries") {
+    val exact = Similarity.bruteForceTopK(spark, sf, nQueries = 8, k = 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(spark, sf, k = 5)
+      .filter(col("qid") < 8)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH with 8 bits on weakly-clustered vectors: expect partial recall, not zero
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    assert(recall > 0.2, s"ANN recall $recall suspiciously low")
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccard(spark, sf, threshold = 0.9)
+      .select("a", "b").as[(Long, Long)].collect()
+    assume(pairs.nonEmpty)
+    val fp = Dedup.simhash(spark, sf).as[(Long, Long)].collect().toMap
+    val hams = pairs.toSeq.map { case (a, b) =>
+      java.lang.Long.bitCount(fp(a) ^ fp(b))
+    }
+    assert(hams.min <= 6, s"simhash not locality-sensitive: min hamming ${hams.min}")
+  }
+
+  test("plan: pk prefix filter pushes into the parquet scan") {
+    val df = Tables.customer(spark, sf).filter(col("c_name").startsWith("Customer#00000001"))
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters") && scan.contains("StringStartsWith"),
+      s"expected pushed StringStartsWith, got: ${scan.take(400)}")
+  }
+
+  test("plan: q1 scans only needed columns (pruning) and stays codegen'd") {
+    val df = Analytics.pricingSummary(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen'd stages print as "*(n) Op" in the finalized adaptive plan
+    assert(plan.contains("*("), s"no WholeStageCodegen stage in:\n${plan.take(500)}")
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec => fileScans(q.plan)
+      case other => other.children.flatMap(fileScans)
+    }
+    val scans = fileScans(df.queryExecution.executedPlan).flatMap(_.requiredSchema.fieldNames)
+    assert(!scans.contains("l_orderkey"), s"q1 should not read l_orderkey, read: $scans")
+    assert(scans.contains("l_quantity"))
+  }
+
+  test("plan: q3 broadcasts the filtered customer dimension") {
+    val df = Analytics.shippingPriority(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("claim-check boundary: 63KB inline, 65KB blob (SURVEY Q5 threshold)") {
+    import graft.cdc._
+    val cfg = CdcConfig()
+    def rec(size: Long) = CdcRecord(Some("e"), Some("INSERT"), Some(CdcStreamPart(
+      Some(size), Some("""{"pk":{"S":"U"}}"""), Some("""{"pk":{"S":"U"}}"""), None)))
+    assert(RecordProcessor.process(rec(63 * 1024), cfg).get.event.imagesUrl.isEmpty)
+    assert(RecordProcessor.process(rec(65 * 1024), cfg).get.event.imagesUrl.nonEmpty)
+    assert(RecordProcessor.process(rec(64 * 1024), cfg).get.event.imagesUrl.nonEmpty) // threshold is strict <
+  }
+}
