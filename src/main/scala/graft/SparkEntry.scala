@@ -60,6 +60,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)), // approx: rows-only
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)), // rows-only
     // --- LLM-data-pipeline: similarity search ---
+    // --- LLM-data-pipeline: multimodal binary columns ---
+    "media_stats" -> ((s, d) => graft.multimodal.Multimodal.mediaStats(s, d)),
     "topk_similar" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "cosine_pairs" -> ((s, d) => Similarity.cosinePairs(s, d)),
     "ann_topk_lsh" -> ((s, d) => Similarity.annTopK(s, d)) // approx: rows-only
@@ -327,6 +329,13 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
         |ORDER BY a, b""".stripMargin,
+    "media_stats" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(64 + (doc_id % 8) * 16 AS INTEGER) AS width, CAST(48 AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_payload_bytes,
+        |  md5(text) AS payload_digest
+        |FROM documents ORDER BY media_id""".stripMargin,
     "topk_similar" ->
       """WITH emb AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,

@@ -1,0 +1,54 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.multimodal.Multimodal._
+
+class MultimodalSpec extends SparkSuite {
+
+  private lazy val media = synthesize(spark, sf).cache()
+
+  test("synthesized binary container round-trips through the decode stub") {
+    import spark.implicits._
+    val decoded = Multimodal.decode(media).collect()
+    assert(decoded.length == 500)
+    assert(decoded.forall(d => Set("image", "audio", "video")(d.kind)))
+    // digest matches md5 of the original text bytes (payload fidelity)
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), md5(to_binary(col("text"), lit("utf-8"))).as("h"))
+      .as[(Long, String)].collect().toMap
+    assert(decoded.forall(d => expected(d.media_id) == d.payload_digest))
+  }
+
+  test("malformed content fails the decode contract") {
+    intercept[IllegalArgumentException](Codec.decodeStub(1L, Array[Byte](1, 2, 3)))
+  }
+
+  test("feature extraction: deterministic normalized 16-dim histogram") {
+    val f1 = extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.length == 500 && f1.forall(_.feature.length == 16))
+    assert(f1.zip(f2).forall { case (a, b) => a.feature.sameElements(b.feature) })
+    assert(f1.forall(f => math.abs(f.feature.sum - 1.0f) < 1e-3 || f.feature.sum == 0f))
+  }
+
+  test("frame sampling keeps every Nth 256-byte frame") {
+    import spark.implicits._
+    val frames = sampleFrames(media, everyN = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    assert(frames.forall(_.frame_bytes.length <= 256))
+  }
+
+  test("resize re-encodes with new dimensions, decodable") {
+    val resized = Multimodal.decode(resize(media, 32, 32)).collect()
+    assert(resized.forall(d => d.width == 32 && d.height == 32))
+  }
+
+  test("decode is a narrow partition-preserving op (no shuffle)") {
+    val df = Multimodal.decode(media).toDF()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode should not shuffle:\n${plan.take(400)}")
+  }
+}
