@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.attr.AttrCodec
+import graft.cdc.{CdcRecord, CdcStreamPart}
+
+/** Structured-Streaming-native operators (SURVEY.md §2.1 streaming row).
+  *
+  * [[ImagePairing]] is the streaming realization of what DynamoDB's
+  * NEW_AND_OLD_IMAGES view does before the reference handler runs
+  * (`/root/reference/lib/constructs/dynamo.ts:69`): given a raw stream of
+  * item WRITES, remember the last image per key in `flatMapGroupsWithState`
+  * and emit full CDC records pairing old/new. State TTL doubles as the
+  * engine's OP-16: a key idle past the ttl emits a REMOVE on expiry, like
+  * DynamoDB's ttl attribute feeding deletions back through the same stream.
+  *
+  * Scale: state is partitioned by the item key (pk, sk) — the same shard key
+  * the source uses — so state lookups are partition-local and the operator
+  * scales with the number of DISTINCT keys, bounded by watermark-driven
+  * eviction, not with stream length.
+  */
+object ImagePairing {
+
+  /** One raw item write: plain-JSON image of the item at write time. */
+  final case class ItemWrite(pk: String, sk: String, tsMs: Long, imageJson: String)
+
+  final case class KeyState(lastImageJson: String, lastTsMs: Long)
+
+  /** Pair consecutive images per key into CDC records (INSERT on first
+    * write, MODIFY after; REMOVE on processing-time ttl expiry when
+    * `ttlMs > 0`). Marshals images to wire form so the downstream pipeline
+    * is identical to the external-source path.
+    */
+  def pair(writes: Dataset[ItemWrite], ttlMs: Long = 0L): Dataset[CdcRecord] = {
+    val spark = writes.sparkSession
+    import spark.implicits._
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+
+    writes
+      .groupByKey(w => (w.pk, w.sk))
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (key: (String, String), rows: Iterator[ItemWrite], state: GroupState[KeyState]) =>
+          val (pk, sk) = key
+          def keysJson = AttrCodec.marshallItem(graft.attr.AttrVal.MVal(Vector(
+            "pk" -> graft.attr.AttrVal.SVal(pk),
+            "sk" -> graft.attr.AttrVal.SVal(sk)))).print
+          def marshal(img: String) =
+            AttrCodec.marshallItem(AttrCodec.itemFromPlainJson(img)).print
+
+          if (!rows.hasNext && state.hasTimedOut) {
+            // ttl expiry: the stored image leaves the table as a REMOVE
+            val old = state.getOption
+            state.remove()
+            old.map { s =>
+              CdcRecord(
+                eventID = Some(s"ttl-$pk-$sk-${s.lastTsMs}"),
+                eventName = Some("REMOVE"),
+                dynamodb = Some(CdcStreamPart(
+                  SizeBytes = Some(s.lastImageJson.length.toLong),
+                  Keys = Some(keysJson),
+                  NewImage = None,
+                  OldImage = Some(marshal(s.lastImageJson)))))
+            }.iterator
+          } else {
+            // per-key arrival order within the micro-batch
+            val ordered = rows.toVector.sortBy(w => (w.tsMs, w.imageJson))
+            var prev = state.getOption
+            val out = ordered.map { w =>
+              val rec = CdcRecord(
+                eventID = Some(s"w-$pk-$sk-${w.tsMs}"),
+                eventName = Some(if (prev.isEmpty) "INSERT" else "MODIFY"),
+                dynamodb = Some(CdcStreamPart(
+                  SizeBytes = Some(w.imageJson.length.toLong),
+                  Keys = Some(keysJson),
+                  NewImage = Some(marshal(w.imageJson)),
+                  OldImage = prev.map(p => marshal(p.lastImageJson)))))
+              prev = Some(KeyState(w.imageJson, w.tsMs))
+              rec
+            }
+            prev.foreach { p =>
+              state.update(p)
+              if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            }
+            out.iterator
+          }
+      }
+  }
+}
+
+/** Watermarked tumbling-window aggregation over a streaming event source —
+  * the streaming twin of [[graft.ops.Sessions.dailyCounts]]. Late rows
+  * beyond the watermark are dropped; in append mode a window emits once,
+  * when the watermark passes its end.
+  */
+object WindowedAgg {
+
+  final case class Event(ts: java.sql.Timestamp, eventType: String, value: Double)
+
+  def tumbling(events: Dataset[Event], window: String = "10 minutes",
+      watermark: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("eventType"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("win_start"), col("eventType"), col("n"), col("total"))
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSuite
+import graft.cdc.{CdcConfig, CdcPipeline}
+import graft.streaming.ImagePairing.ItemWrite
+
+class StreamingSpec extends SparkSuite {
+
+  test("ImagePairing: INSERT then MODIFY with correct old/new images, diffed downstream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ItemWrite]
+    val paired = ImagePairing.pair(mem.toDS())
+    val events = CdcPipeline.events(paired, CdcConfig(eventSource = "stream-spec"))
+    val q = events.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("paired_out").start()
+
+    mem.addData(
+      ItemWrite("U#1", "A", 1000L, """{"name":"Ada","n":1}"""),
+      ItemWrite("U#1", "A", 2000L, """{"name":"Ada","n":2}"""),
+      ItemWrite("U#2", "B", 1500L, """{"x":true}"""))
+    q.processAllAvailable()
+    // no-op write in a later batch must be suppressed
+    mem.addData(ItemWrite("U#2", "B", 2500L, """{"x":true}"""))
+    q.processAllAvailable()
+    val out = spark.table("paired_out").collect()
+      .map(r => (r.getAs[String]("eventID"), r.getAs[String]("operation"),
+        r.getAs[Seq[String]]("attributesChanged").mkString(","),
+        r.getAs[String]("before"), r.getAs[String]("after")))
+      .sortBy(_._1)
+    q.stop()
+    assert(out.map(_._1).toSeq == Seq("w-U#1-A-1000", "w-U#1-A-2000", "w-U#2-B-1500"))
+    val modify = out(1)
+    assert(modify._2 == "MODIFY" && modify._3 == "n")
+    assert(modify._4 == """{"n":1}""" && modify._5 == """{"n":2}""")
+  }
+
+  test("ImagePairing: ttl expiry emits REMOVE with the last image") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ItemWrite]
+    val paired = ImagePairing.pair(mem.toDS(), ttlMs = 1L)
+    val q = paired.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ttl_out").start()
+    mem.addData(ItemWrite("U#9", "Z", 100L, """{"v":42}"""))
+    // a processing-time-timeout query keeps scheduling empty batches, so poll
+    // the sink for the expiry instead of waiting for quiescence
+    val deadline = System.currentTimeMillis() + 60000
+    var ops = Array.empty[(String, String)]
+    while (System.currentTimeMillis() < deadline &&
+        !ops.exists { case (id, op) => id == "ttl-U#9-Z-100" && op == "REMOVE" }) {
+      Thread.sleep(200)
+      ops = spark.table("ttl_out").collect()
+        .map(r => (r.getAs[String]("eventID"), r.getAs[String]("eventName")))
+    }
+    q.stop()
+    assert(ops.exists { case (id, op) => id == "ttl-U#9-Z-100" && op == "REMOVE" },
+      s"no ttl REMOVE seen, got: ${ops.mkString(",")}")
+  }
+
+  test("WindowedAgg: tumbling windows close on watermark; late rows dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[WindowedAgg.Event]
+    val agg = WindowedAgg.tumbling(mem.toDS(), window = "10 minutes", watermark = "5 minutes")
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("win_out").start()
+    def t(min: Int) = new Timestamp(min * 60000L)
+    mem.addData(
+      WindowedAgg.Event(t(1), "click", 1.0),
+      WindowedAgg.Event(t(2), "click", 2.0),
+      WindowedAgg.Event(t(11), "view", 5.0))
+    q.processAllAvailable()
+    // advance watermark far past the first window, then send a LATE click at t=3
+    mem.addData(WindowedAgg.Event(t(40), "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(WindowedAgg.Event(t(3), "click", 100.0)) // late: watermark is 35min
+    q.processAllAvailable()
+    mem.addData(WindowedAgg.Event(t(60), "view", 1.0)) // close remaining windows
+    q.processAllAvailable()
+    val rows = spark.table("win_out").collect()
+      .map(r => (r.getAs[Timestamp]("win_start").getTime / 60000, r.getAs[String]("eventType"),
+        r.getAs[Long]("n"), r.getAs[Double]("total")))
+      .sortBy(x => (x._1, x._2))
+    q.stop()
+    // first click window has n=2 total=3.0 — the late 100.0 never lands
+    assert(rows.contains((0L, "click", 2L, 3.0)))
+    assert(!rows.exists { case (w, tpe, _, tot) => tpe == "click" && tot > 3.0 })
+  }
+}
