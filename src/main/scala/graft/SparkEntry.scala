@@ -44,6 +44,11 @@ object SparkEntry {
     "scalar_part_funcs" -> ((s, d) => Analytics.partScalarFuncs(s, d)),
     "date_order_funcs" -> ((s, d) => Analytics.orderDateFuncs(s, d)),
     "sort_top_lineitems" -> ((s, d) => Analytics.topLineitems(s, d)),
+    "q6_revenue_forecast" -> ((s, d) => Analytics.revenueForecast(s, d)),
+    "variant_props" -> ((s, d) => VariantOps.variantProps(s, d)),
+    "variant_agg" -> ((s, d) => VariantOps.variantAgg(s, d)),
+    "salted_agg" -> ((s, d) => Skew.saltedEventAgg(s, d)),
+    "approx_event_stats" -> ((s, d) => Sketches.approxEventStats(s, d)), // sketch: rows-only
     // --- event-stream windowing ---
     "session_window" -> ((s, d) => Sessions.sessionize(s, d)),
     "event_type_stats" -> ((s, d) => Sessions.eventTypeStats(s, d)),
@@ -240,6 +245,26 @@ object SparkEntry {
     "sort_top_lineitems" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
         |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+    "q6_revenue_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
+    "variant_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  CAST(NULL AS VARCHAR) AS absent, event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+    "variant_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "session_window" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value,

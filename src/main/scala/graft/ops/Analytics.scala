@@ -85,6 +85,18 @@ object Analytics {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q6-style: pure filter + global aggregate — the pushdown showcase
+    * (all three predicates reach the parquet scan).
+    */
+  def revenueForecast(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+        col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+      .agg(sum(dec2(col("l_extendedprice")) * dec4(col("l_discount")))
+        .cast(DecimalType(38, 6)).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
   /** Window top-k: 3 highest-value orders per customer. */
   def topOrdersPerCustomer(spark: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

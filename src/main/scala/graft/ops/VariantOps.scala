@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Dynamic-schema payload handling via Spark 4 VariantType — the modeling
+  * SURVEY.md §1.2 ranks first for schemaless DynamoDB items: `parse_json`
+  * once, then typed `variant_get` paths, with shredding-friendly storage
+  * instead of repeated JSON string parsing.
+  */
+object VariantOps {
+
+  /** `events.props` as a variant column with typed path extraction. */
+  def variantProps(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("event_id"), parse_json(col("props")).as("v"), col("event_type"))
+      .select(
+        col("event_id"),
+        variant_get(col("v"), "$.k", "int").as("k"),
+        // missing path → NULL (try semantics), proving absent-key handling
+        try_variant_get(col("v"), "$.missing", "string").as("absent"),
+        col("event_type"))
+      .orderBy("event_id")
+
+  /** Aggregation directly over variant-extracted values. */
+  def variantAgg(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+}
+
+/** Skew mitigation: two-phase salted aggregation (SURVEY.md §7.4 item 5 —
+  * hot pk prefixes at 100 TB). Phase 1 aggregates on (key, salt) so a hot
+  * key's rows spread over `nSalts` reducers; phase 2 merges the partials.
+  * Results are exactly the plain groupBy's (the oracle checks that).
+  */
+object Skew {
+  def saltedEventAgg(spark: SparkSession, d: String, nSalts: Int = 16): DataFrame =
+    Tables.events(spark, d)
+      .withColumn("salt", pmod(hash(col("event_id")), lit(nSalts)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast(DecimalType(18, 2))).as("pv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"),
+        sum(col("pv")).cast(DecimalType(38, 2)).as("total_value"))
+      .orderBy("event_type")
+}
+
+/** Sketch aggregations: approximate distinct (HLL++) and quantiles — the
+  * constant-memory path for 100 TB cardinality/percentile questions. No
+  * DuckDB oracle (different sketch implementations); accuracy is asserted
+  * against exact answers in OpsSpec.
+  */
+object Sketches {
+  def approxEventStats(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median_value"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+}

@@ -1,0 +1,69 @@
+package graft.cdc
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Dataset
+
+import graft.SparkSuite
+
+class CdcAppSpec extends SparkSuite {
+
+  private def setup(lines: Seq[String]): CdcPaths = {
+    val base = Files.createTempDirectory("graft-app").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    Files.write(Paths.get(s"$base/in/b.json"), lines.mkString("\n").getBytes)
+    CdcPaths(s"$base/in", s"$base/bus", s"$base/blobs", s"$base/ckpt")
+  }
+
+  private val write =
+    """{"eventID":"a-1","eventName":"INSERT","dynamodb":{"SizeBytes":50,"Keys":{"pk":{"S":"U#1"},"sk":{"S":"A"}},"NewImage":{"pk":{"S":"U#1"},"sk":{"S":"A"},"v":{"N":"1"}}}}"""
+
+  test("full app: pipeline + observer wiring end-to-end") {
+    val paths = setup(Seq(write))
+    val app = new CdcApp(spark,
+      CdcSpec(eventSource = "app-spec", observerDir = Some(paths.busDir + "-log")), paths)
+    val qs = app.start()
+    qs.foreach(_.awaitTermination())
+    // observer is a second streaming hop: run once more to drain the bus rows
+    // written by the main query's own batch
+    new CdcApp(spark, CdcSpec(eventSource = "app-spec",
+      observerDir = Some(paths.busDir + "-log")), paths).start().foreach(_.awaitTermination())
+    val bus = spark.read.parquet(paths.busDir)
+    assert(bus.count() == 1)
+    val logged = spark.read.json(paths.busDir + "-log")
+    assert(logged.count() == 1)
+    assert(logged.select("source").head().getString(0) == "app-spec")
+  }
+
+  test("custom transform replaces the stock handler (functionPath analogue)") {
+    import spark.implicits._
+    val paths = setup(Seq(write))
+    val custom: Dataset[CdcRecord] => Dataset[ItemChanged] = recs =>
+      recs.map(r => ItemChanged(
+        operation = "CUSTOM", pk = None, sk = None, attributesChanged = Nil,
+        before = "{}", after = "{}", newImage = None, oldImage = None,
+        imagesUrl = None, eventID = r.eventID.getOrElse("?")))
+    val app = new CdcApp(spark,
+      CdcSpec(eventSource = "app-spec", transform = Some(custom)), paths)
+    app.start().foreach(_.awaitTermination())
+    val bus = spark.read.parquet(paths.busDir)
+    assert(bus.count() == 1)
+    assert(bus.select("detail").head().getString(0).contains(""""operation":"CUSTOM""""))
+  }
+
+  test("invalid pkFilter fails at assembly, like synth-time filter compile") {
+    val paths = setup(Seq(write))
+    intercept[PkFilter.InvalidPkFilterException] {
+      new CdcApp(spark, CdcSpec(eventSource = "x", pkFilters = Seq("a*b*c")), paths)
+    }
+  }
+
+  test("gsiView requires a declared index and re-keys the frame") {
+    import spark.implicits._
+    val items = Seq(("g1p", "g1s", 1), ("g1p", "g1s2", 2)).toDF("gsi1pk", "gsi1sk", "v")
+    val app = new CdcApp(spark, CdcSpec(eventSource = "x", gsiIndexNames = Seq("gsi1")),
+      setup(Seq(write)))
+    assert(app.gsiView(items, "gsi1").collect().length == 2)
+    intercept[IllegalArgumentException](app.gsiView(items, "gsi9"))
+  }
+}

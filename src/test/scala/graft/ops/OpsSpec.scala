@@ -75,6 +75,33 @@ class OpsSpec extends SparkSuite {
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("sketches: approx distinct within 5% of exact; median inside value range") {
+    import spark.implicits._
+    val approx = Sketches.approxEventStats(spark, sf)
+      .select("event_type", "approx_users", "approx_median_value")
+      .as[(String, Long, Double)].collect()
+      .map { case (k, u, m) => k -> ((u, m)) }.toMap
+    val exact = Sessions.eventTypeStats(spark, sf)
+      .select("event_type", "n_users", "min_value", "max_value")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    exact.foreach { case (tpe, (users, lo, hi)) =>
+      val (au, am) = approx(tpe)
+      assert(math.abs(au - users).toDouble / users <= 0.05, s"$tpe approx_users $au vs $users")
+      assert(am >= lo && am <= hi)
+    }
+  }
+
+  test("salted aggregation equals the plain groupBy exactly") {
+    val salted = Skew.saltedEventAgg(spark, sf).collect().map(_.toSeq).toSeq
+    val plain = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("total_value"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+  }
+
   test("claim-check boundary: 63KB inline, 65KB blob (SURVEY Q5 threshold)") {
     import graft.cdc._
     val cfg = CdcConfig()
