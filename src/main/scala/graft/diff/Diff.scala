@@ -119,6 +119,63 @@ object Diff {
     DiffResult(paths.result(), MVal(before.result()), MVal(after.result()))
   }
 
+  /** Reconstruct the new image from the old image plus the minimal
+    * `before`/`after` deltas — the consumer-side inverse of [[diffImages]]
+    * (a bus subscriber holding prior state can apply events without
+    * fetching full images).
+    *
+    * Exact for the scalar/number/string/bool/null/map/array universe.
+    * NOT exact for set values (invisible to the diff, quirk Q3 — strict
+    * mode) and binary (diffed at byte-index granularity, Q4): callers in
+    * engine mode should normalize sets first ([[AttrVal.normalizeSets]]).
+    * `null` and `{}` are mutually invisible (Q1), so reconstruction is
+    * exact only up to that equivalence — see [[eqModNull]].
+    */
+  def applyPatch(old: MVal, before: MVal, after: MVal): MVal = {
+    val removed = before.keys.filterNot(after.asMap.contains).toSet
+    val kept = old.fields.filterNot { case (k, _) => removed.contains(k) }
+    val afterMap = after.asMap
+    val beforeMap = before.asMap
+    val patched = kept.map { case (k, ov) =>
+      afterMap.get(k) match {
+        case Some(av: MVal) if beforeMap.get(k).exists(_.isInstanceOf[MVal]) =>
+          // recursion case: minimal child objects; null old side acts as {}
+          val oldChild = ov match {
+            case m: MVal  => m
+            case NullVal  => AttrVal.emptyM
+            case _        => AttrVal.emptyM // cross-type guarded by diff semantics
+          }
+          (k, applyPatch(oldChild, beforeMap(k).asInstanceOf[MVal], av))
+        case Some(av) => (k, av)
+        case None     => (k, ov)
+      }
+    }
+    val existing = patched.map(_._1).toSet
+    val added = after.fields.filterNot { case (k, _) => existing.contains(k) || removed.contains(k) }
+    MVal(patched ++ added)
+  }
+
+  /** Structural equality modulo JS-diff invisibilities: key order ignored,
+    * numbers by value, and `null` ≡ `{}` (quirk Q1).
+    */
+  def eqModNull(a: AttrVal, b: AttrVal): Boolean = (a, b) match {
+    case (NullVal, NullVal)                   => true
+    case (NullVal, MVal(fs))                  => fs.isEmpty
+    case (MVal(fs), NullVal)                  => fs.isEmpty
+    case (SVal(x), SVal(y))                   => x == y
+    case (NVal(x), NVal(y))                   => x.compare(y) == 0
+    case (BoolVal(x), BoolVal(y))             => x == y
+    case (BVal(x), BVal(y))                   => x == y
+    case (LVal(x), LVal(y))                   => x.length == y.length && x.lazyZip(y).forall(eqModNull)
+    case (x: MVal, y: MVal) =>
+      x.fields.map(_._1).toSet == y.fields.map(_._1).toSet &&
+        x.fields.forall { case (k, v) => eqModNull(v, y.asMap(k)) }
+    case (SSVal(x), SSVal(y))                 => x.sorted == y.sorted
+    case (NSVal(x), NSVal(y))                 => x.sortBy(_.toString) == y.sortBy(_.toString)
+    case (BSVal(x), BSVal(y))                 => x.map(_.toVector).sortBy(_.toString) == y.map(_.toVector).sortBy(_.toString)
+    case _                                    => false
+  }
+
   /** Top-level entry mirroring `compareJSON({newImage, oldImage, level: ""})`
     * where either image may be absent (`Object.keys(undefined || {}) == []` —
     * INSERT puts everything in `after`, REMOVE everything in `before`).

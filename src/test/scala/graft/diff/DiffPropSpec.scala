@@ -64,6 +64,34 @@ object DiffPropSpec extends Properties("Diff") {
       r1.attributesChanged.sorted == r2.attributesChanged.sorted
   }
 
+  // patch-reconstruction law uses the set/binary-free universe (sets are
+  // diff-invisible, binary reconstructs as an index map — documented limits)
+  private val genPlainScalar: Gen[AttrVal] = Gen.oneOf(
+    Gen.alphaNumStr.map(s => SVal(s.take(8))),
+    Gen.chooseNum(-1000000L, 1000000L).map(n => NVal(BigDecimal(n))),
+    Gen.oneOf(true, false).map(BoolVal),
+    Gen.const(NullVal))
+
+  private def genPlainVal(depth: Int): Gen[AttrVal] =
+    if (depth <= 0) genPlainScalar
+    else Gen.frequency(
+      5 -> genPlainScalar,
+      2 -> Gen.listOfN(2, genPlainVal(depth - 1)).map(xs => LVal(xs.toVector)),
+      3 -> genPlainFields(depth - 1).map(MVal(_)))
+
+  private def genPlainFields(depth: Int): Gen[Vector[(String, AttrVal)]] =
+    for {
+      n <- Gen.chooseNum(0, 4)
+      keys <- Gen.listOfN(n, Gen.identifier.map(_.take(5))).map(_.distinct)
+      vals <- Gen.sequence[Vector[AttrVal], AttrVal](keys.map(_ => genPlainVal(depth)).toVector)
+    } yield keys.toVector.zip(vals)
+
+  property("patch reconstruction: old + before/after deltas == new (mod null≡{})") =
+    forAll(genPlainFields(3).map(MVal(_)), genPlainFields(3).map(MVal(_))) { (oldI: MVal, newI: MVal) =>
+      val d = Diff.diffImages(Some(newI), Some(oldI))
+      Diff.eqModNull(Diff.applyPatch(oldI, d.before, d.after), newI)
+    }
+
   property("marshall/unmarshall roundtrip") = forAll { (x: MVal) =>
     AttrCodec.unmarshallItem(AttrCodec.marshallItem(x).print) == x
   }
