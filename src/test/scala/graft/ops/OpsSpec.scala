@@ -102,6 +102,17 @@ class OpsSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("bucketed join on the order key runs without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val df = Bucketing.bucketedOrderJoin(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n${plan.take(600)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("claim-check boundary: 63KB inline, 65KB blob (SURVEY Q5 threshold)") {
     import graft.cdc._
     val cfg = CdcConfig()
