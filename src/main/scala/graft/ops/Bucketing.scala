@@ -18,6 +18,17 @@ object Bucketing {
       bucketCol: String,
       nBuckets: Int,
       sortCol: Option[String] = None): Unit = {
+    // drop stale metadata AND location: a leftover warehouse dir without
+    // catalog metadata (e.g. from a previous JVM) fails CTAS otherwise
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.io.File(
+      new java.net.URI(df.sparkSession.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    if (warehouse.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(warehouse)
+    }
     val w = df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(nBuckets, bucketCol)
