@@ -70,10 +70,10 @@ object CdcPipeline {
     processed(recs, cfg).map(_.event)
   }
 
-  /** Batch run over a directory of stream-record JSON lines. */
+  /** Batch run over a directory of stream-record JSON lines (fused path). */
   def batch(spark: SparkSession, inputDir: String, cfg: CdcConfig): Dataset[ItemChanged] = {
     import spark.implicits._
-    events(applyPkFilter(parse(spark.read.textFile(inputDir)), cfg), cfg)
+    processedLines(spark.read.textFile(inputDir), cfg).map(_.event)
   }
 
   /** Bus rows ready for a sink (OP-13 envelope + OP-14 consumer filtering). */
@@ -91,6 +91,16 @@ object CdcPipeline {
     bus.filter(col("source") === lit(source) &&
       col("detailType") === lit(CdcConfig.DetailType))
 
+  /** Fused narrow path over raw lines: one parse, no intermediate image
+    * strings (see [[RecordProcessor.processLine]]).
+    */
+  def processedLines(lines: Dataset[String], cfg: CdcConfig): Dataset[RecordProcessor.Processed] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val rules = PkFilter.compile(cfg.pkFilters)
+    lines.flatMap(l => RecordProcessor.processLine(l, cfg, rules))
+  }
+
   /** Streaming pipeline: `readStream` over stream-record JSON lines →
     * foreachBatch sink that (a) writes claim-check blobs task-side and (b)
     * appends bus rows as parquet — exactly-once per micro-batch via
@@ -103,9 +113,7 @@ object CdcPipeline {
       checkpointDir: String,
       cfg: CdcConfig): DataStreamWriter[BusEvent] = {
     import spark.implicits._
-    val lines = spark.readStream.textFile(inputDir)
-    val recs = applyPkFilter(parse(lines), cfg)
-    val proc = processed(recs, cfg)
+    val proc = processedLines(spark.readStream.textFile(inputDir), cfg)
     val blobDir = cfg.blobDir
 
     proc

@@ -45,19 +45,28 @@ object RecordProcessor {
       eventID: String,
       ddb: CdcStreamPart,
       cfg: CdcConfig): Option[Processed] = {
-    val size = ddb.SizeBytes
-
     def unm(raw: Option[String]): Option[MVal] =
-      raw.map { s =>
-        val m = AttrCodec.unmarshallItem(s)
-        if (cfg.strictCompat) m
-        else AttrVal.normalizeSets(m) match { case mm: MVal => mm; case _ => m }
-      }
+      raw.map(s => normalize(AttrCodec.unmarshallItem(s), cfg))
+    processImages(operation, eventID, ddb.SizeBytes,
+      unm(ddb.Keys), unm(ddb.NewImage), unm(ddb.OldImage), cfg)
+  }
 
-    val keys = unm(ddb.Keys)
-    val newImage = unm(ddb.NewImage)
-    val oldImage = unm(ddb.OldImage)
+  private def normalize(m: MVal, cfg: CdcConfig): MVal =
+    if (cfg.strictCompat) m
+    else AttrVal.normalizeSets(m) match { case mm: MVal => mm; case _ => m }
 
+  /** The post-unmarshall record program (diff → envelope → suppression →
+    * claim-check). Fused callers (already holding [[MVal]] images) enter
+    * here directly — no serialize/re-parse between pipeline stages.
+    */
+  def processImages(
+      operation: String,
+      eventID: String,
+      size: Option[Long],
+      keys: Option[MVal],
+      newImage: Option[MVal],
+      oldImage: Option[MVal],
+      cfg: CdcConfig): Option[Processed] = {
     val d = Diff.diffImages(newImage, oldImage)
 
     if (operation == "MODIFY" && d.attributesChanged.isEmpty) return None
@@ -105,6 +114,35 @@ object RecordProcessor {
       case Success(r) => r
       case Failure(_) => None
     }
+
+  /** Fused line path: parse ONCE, unmarshall straight from the JSON tree,
+    * evaluate the pk filter on the parsed keys, and run the record program —
+    * no intermediate image strings (the [[CdcRecord]] path re-prints and
+    * re-parses each image; this one doesn't).
+    */
+  def processLine(line: String, cfg: CdcConfig, rules: Seq[PkFilter.Rule]): Option[Processed] =
+    Try {
+      JsonParser.parseOpt(line).collect { case o: Json.JObj => o }.flatMap { o =>
+        (o.asMap.get("eventName").collect { case Json.JStr(s) if s.nonEmpty => s },
+          o.asMap.get("eventID").collect { case Json.JStr(s) if s.nonEmpty => s },
+          o.asMap.get("dynamodb").collect { case d: Json.JObj => d }) match {
+          case (Some(op), Some(id), Some(ddb)) =>
+            def unm(field: String): Option[MVal] =
+              ddb.asMap.get(field).map(j => normalize(AttrCodec.unmarshallItem(j), cfg))
+            val keys = unm("Keys")
+            val pkOk = rules.isEmpty || keys.flatMap(_.get("pk")).exists {
+              case AttrVal.SVal(s) => PkFilter.matches(s, rules)
+              case other           => PkFilter.matches(AttrVal.printJson(other), rules)
+            }
+            if (!pkOk) None
+            else {
+              val size = ddb.asMap.get("SizeBytes").collect { case Json.JNum(n) => n.toLong }
+              processImages(op, id, size, keys, unm("NewImage"), unm("OldImage"), cfg)
+            }
+          case _ => None
+        }
+      }
+    }.toOption.flatten
 
   /** Parse one raw stream-record JSON line (FIXTURES.md §A1 shape) into a
     * [[CdcRecord]], keeping image subtrees as raw JSON strings.

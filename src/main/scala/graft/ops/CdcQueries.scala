@@ -25,7 +25,7 @@ object CdcQueries {
 
   def flagshipEvents(spark: SparkSession, sfDir: String): Dataset[ItemChanged] =
     Memo(spark, s"cdc-events|$sfDir") {
-      CdcPipeline.events(records(spark, sfDir), cfg).persist()
+      CdcSynth.fusedEvents(spark, sfDir, cfg).persist()
     }
 
   /** OP-7 flagship: full diff pipeline over synthesized NEW_AND_OLD_IMAGES. */

@@ -49,6 +49,34 @@ object CdcSynth {
       .as[Paired]
   }
 
+  /** Fused flagship path: build post-unmarshall [[AttrVal.MVal]] images
+    * directly and run the record program — no wire-form serialize/re-parse
+    * between stages of the same pipeline (the marshalled path below still
+    * exists and is exercised by the record-shaped queries and goldens).
+    */
+  def fusedEvents(spark: SparkSession, sfDir: String,
+      cfg: graft.cdc.CdcConfig): Dataset[graft.cdc.ItemChanged] = {
+    import spark.implicits._
+    pairedEvents(spark, sfDir).flatMap { p =>
+      def item(tpe: String, props: String): AttrVal.MVal = AttrVal.MVal(Vector(
+        "pk" -> AttrVal.SVal(s"USER#${p.user_id}"),
+        "sk" -> AttrVal.SVal("PROFILE"),
+        "props" -> AttrCodec.fromPlainJson(graft.attr.JsonParser.parse(props)),
+        "type" -> AttrVal.SVal(tpe)))
+      val keys = AttrVal.MVal(Vector(
+        "pk" -> AttrVal.SVal(s"USER#${p.user_id}"),
+        "sk" -> AttrVal.SVal("PROFILE")))
+      graft.cdc.RecordProcessor.processImages(
+        operation = if (p.prev_props.isEmpty) "INSERT" else "MODIFY",
+        eventID = s"e-${p.event_id}",
+        size = Some(1L), // inline branch; flagship projections are size-free
+        keys = Some(keys),
+        newImage = Some(item(p.event_type, p.props)),
+        oldImage = p.prev_props.map(pp => item(p.prev_type.get, pp)),
+        cfg = cfg).map(_.event)
+    }
+  }
+
   /** Marshalled CDC records: images in DynamoDB tagged wire form so the real
     * pipeline exercises OP-6 unmarshalling end-to-end.
     */
