@@ -45,6 +45,9 @@ object SparkEntry {
     "date_order_funcs" -> ((s, d) => Analytics.orderDateFuncs(s, d)),
     "sort_top_lineitems" -> ((s, d) => Analytics.topLineitems(s, d)),
     "q6_revenue_forecast" -> ((s, d) => Analytics.revenueForecast(s, d)),
+    "intersect_segments" -> ((s, d) => Analytics.segmentIntersect(s, d)),
+    "except_segments" -> ((s, d) => Analytics.segmentExcept(s, d)),
+    "q17_small_qty_revenue" -> ((s, d) => Analytics.smallQuantityRevenue(s, d)),
     "variant_props" -> ((s, d) => VariantOps.variantProps(s, d)),
     "variant_agg" -> ((s, d) => VariantOps.variantAgg(s, d)),
     "salted_agg" -> ((s, d) => Skew.saltedEventAgg(s, d)),
@@ -251,6 +254,23 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
+    "intersect_segments" ->
+      """SELECT c_mktsegment FROM customer WHERE c_nationkey = 1
+        |INTERSECT
+        |SELECT c_mktsegment FROM customer WHERE c_nationkey = 2
+        |ORDER BY c_mktsegment""".stripMargin,
+    "except_segments" ->
+      """SELECT c_mktsegment FROM customer WHERE c_nationkey = 1
+        |EXCEPT
+        |SELECT c_mktsegment FROM customer WHERE c_nationkey = 2
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_small_rev,
+        |       count(*) AS n_rows
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#13'
+        |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
     "variant_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |  CAST(NULL AS VARCHAR) AS absent, event_type

@@ -179,6 +179,41 @@ object Analytics {
         col("o_orderdate").cast("date").as("order_date"))
       .orderBy("o_orderkey")
 
+  /** Set ops: segments present in both nation 1 and nation 2 (INTERSECT)
+    * and in nation 1 only (EXCEPT) — `df.intersect`/`df.except` are the
+    * §2.1 set-operation surface.
+    */
+  def segmentIntersect(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+    c.filter(col("c_nationkey") === 1).select(col("c_mktsegment"))
+      .intersect(c.filter(col("c_nationkey") === 2).select(col("c_mktsegment")))
+      .orderBy("c_mktsegment")
+  }
+
+  def segmentExcept(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+    c.filter(col("c_nationkey") === 1).select(col("c_mktsegment"))
+      .except(c.filter(col("c_nationkey") === 2).select(col("c_mktsegment")))
+      .orderBy("c_mktsegment")
+  }
+
+  /** TPC-H Q17-style correlated scalar subquery, via the SQL entry point —
+    * Catalyst decorrelates it into an aggregate + join (the "subquery
+    * handling" row of SURVEY §4.1).
+    */
+  def smallQuantityRevenue(spark: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(spark, d).createOrReplaceTempView("g_lineitem")
+    Tables.part(spark, d).createOrReplaceTempView("g_part")
+    spark.sql(
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_small_rev,
+        |       count(*) AS n_rows
+        |FROM g_lineitem JOIN g_part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#13'
+        |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM g_lineitem l2
+        |                    WHERE l2.l_partkey = g_lineitem.l_partkey)
+        |""".stripMargin)
+  }
+
   /** Sort + limit: top-20 line items by extended price (unique tiebreak). */
   def topLineitems(spark: SparkSession, d: String): DataFrame =
     Tables.lineitem(spark, d)
