@@ -320,6 +320,7 @@ object SparkEntry {
     "text_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_actual,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens,
         |  CAST(len(regexp_extract_all(text, '\bthe\b|\ba\b')) AS BIGINT) AS n_stop,
         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
         |  CAST(len(regexp_extract_all(text, '\bthe\b|\ba\b')) AS DOUBLE)

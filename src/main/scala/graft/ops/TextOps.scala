@@ -24,6 +24,9 @@ object TextOps {
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars_actual"),
         reCount(col("text"), "[A-Za-z0-9]+").as("n_tokens"),
+        // BPE-ish segmentation (GPT-2-flavored, RE2-safe: no lookahead)
+        reCount(col("text"), "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+")
+          .as("n_bpe_tokens"),
         reCount(col("text"), "\\bthe\\b|\\ba\\b").as("n_stop"),
         reCount(col("text"), "[^A-Za-z0-9\\s]").as("n_punct"))
       .withColumn("stop_ratio",
