@@ -67,6 +67,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)), // approx: rows-only
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)), // rows-only
+    "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)), // rows-only
     // --- LLM-data-pipeline: similarity search ---
     // --- LLM-data-pipeline: multimodal binary columns ---
     "media_stats" -> ((s, d) => graft.multimodal.Multimodal.mediaStats(s, d)),

@@ -172,8 +172,15 @@ object JsonParser {
     try Some(parse(s))
     catch { case _: JsonParseException => None }
 
+  /** Nesting bound: prevents adversarial deep input from turning the
+    * recursive descent into a StackOverflowError (fatal — it would escape
+    * the per-record Try isolation and kill the task).
+    */
+  private val MaxDepth = 512
+
   private final class P(s: String) {
     var i = 0
+    var depth = 0
     def err(msg: String) = throw new JsonParseException(msg, i)
     def skipWs(): Unit = {
       while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == '\t' ||
@@ -185,6 +192,13 @@ object JsonParser {
     }
     def value(): Json = {
       if (i >= s.length) err("unexpected end")
+      depth += 1
+      if (depth > MaxDepth) err("nesting too deep")
+      val v = valueInner()
+      depth -= 1
+      v
+    }
+    private def valueInner(): Json = {
       s.charAt(i) match {
         case '{' => jsObject()
         case '[' => array()
@@ -260,7 +274,11 @@ object JsonParser {
               case 'u'  =>
                 i += 1
                 if (i + 4 > s.length) err("bad unicode escape")
-                sb.append(Integer.parseInt(s.substring(i, i + 4), 16).toChar)
+                val hex = s.substring(i, i + 4)
+                if (!hex.forall(c => (c >= '0' && c <= '9') ||
+                    (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')))
+                  err("bad unicode escape")
+                sb.append(Integer.parseInt(hex, 16).toChar)
                 i += 4
               case _ => err("bad escape")
             }

@@ -29,7 +29,7 @@ final case class CdcSpec(
     sizeThreshold: Long = 64 * 1024,
     strictCompat: Boolean = false,
     observerDir: Option[String] = None,
-    transform: Option[Dataset[CdcRecord] => Dataset[ItemChanged]] = None)
+    transform: Option[Dataset[CdcRecord] => Dataset[RecordProcessor.Processed]] = None)
 
 final case class CdcPaths(inputDir: String, busDir: String, blobDir: String, checkpointDir: String)
 
@@ -45,8 +45,10 @@ class CdcApp(spark: SparkSession, spec: CdcSpec, paths: CdcPaths) {
     pkFilters = spec.pkFilters,
     strictCompat = spec.strictCompat)
 
-  /** Start the CDC pipeline (and the observer, when configured). Returns the
-    * running queries; both are checkpointed and exactly-once.
+  /** Start the CDC pipeline (and the observer, when configured). The main
+    * query runs with `Trigger.AvailableNow` and is drained BEFORE the
+    * observer starts, so one `start()` delivers bus rows to the observer log
+    * in the same run; both hops are checkpointed and exactly-once.
     */
   def start(): Seq[StreamingQuery] = {
     import spark.implicits._
@@ -54,10 +56,19 @@ class CdcApp(spark: SparkSession, spec: CdcSpec, paths: CdcPaths) {
       case None =>
         CdcPipeline.stream(spark, paths.inputDir, paths.busDir, paths.checkpointDir, config).start()
       case Some(fn) =>
-        // custom handler: user supplies records → events; routing/bus stay stock
+        // custom handler (functionPath analogue): user supplies records →
+        // Processed, so custom outputs keep the stock claim-check sink
         val recs = CdcPipeline.applyPkFilter(
           CdcPipeline.parse(spark.readStream.textFile(paths.inputDir)), config)
-        CdcPipeline.busRows(fn(recs), config)
+        val blobDir = config.blobDir
+        val cfg = config
+        fn(recs)
+          .mapPartitions { it =>
+            it.map { p =>
+              p.blob.foreach(b => CdcPipeline.writeBlob(blobDir, b))
+              RecordProcessor.toBusEvent(p.event, cfg)
+            }
+          }
           .writeStream
           .outputMode("append")
           .option("checkpointLocation", paths.checkpointDir)
@@ -66,6 +77,7 @@ class CdcApp(spark: SparkSession, spec: CdcSpec, paths: CdcPaths) {
           .option("path", paths.busDir)
           .start()
     }
+    main.awaitTermination() // drain before the observer snapshots busDir
     val observer = spec.observerDir.map { dir =>
       CdcPipeline.subscribe(
         spark.readStream.schema(busSchema).parquet(paths.busDir), spec.eventSource)

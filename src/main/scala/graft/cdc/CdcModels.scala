@@ -62,7 +62,14 @@ final case class CdcConfig(
     blobDir: String = "blobs",
     pkFilters: Seq[String] = Nil,
     strictCompat: Boolean = false) {
-  def imagesUrl(eventID: String): String = s"$blobDir/$eventID.json"
+  /** Blob object key for a record. The eventID is untrusted input — strip
+    * path-capable characters so a hostile id can neither traverse out of
+    * `blobDir` nor point into a nonexistent subdirectory.
+    */
+  def blobKey(eventID: String): String =
+    eventID.replaceAll("[^A-Za-z0-9._-]", "_") + ".json"
+
+  def imagesUrl(eventID: String): String = s"$blobDir/${blobKey(eventID)}"
 }
 
 object CdcConfig {

@@ -29,29 +29,18 @@ object CdcPipeline {
   }
 
   /** OP-2 applied relationally BEFORE the per-record program, like the
-    * event-source-mapping filter runs before the Lambda. On a struct-typed
-    * source this reaches the scan as a pushed filter; on the raw-JSON path the
-    * pk lives inside an unparsed string, so the filter applies post-parse but
-    * still pre-diff (cheapest point available).
+    * event-source-mapping filter runs before the Lambda. The predicate is the
+    * compiled [[PkFilter.toColumn]] Catalyst expression over the marshalled
+    * pk (codegen'd; when the pk is a top-level column of the source it
+    * reaches the scan as a pushed filter — asserted in OpsSpec). The fused
+    * raw-line path evaluates the same rules on the parsed keys instead
+    * ([[RecordProcessor.processLine]]).
     */
   def applyPkFilter(recs: Dataset[CdcRecord], cfg: CdcConfig): Dataset[CdcRecord] = {
     if (cfg.pkFilters.isEmpty) recs
     else {
-      val spark = recs.sparkSession
-      import spark.implicits._
-      val rules = PkFilter.compile(cfg.pkFilters)
-      recs.filter { r =>
-        val pk = for {
-          ddb <- r.dynamodb
-          keysRaw <- ddb.Keys
-          keys <- scala.util.Try(graft.attr.AttrCodec.unmarshallItem(keysRaw)).toOption
-          pkv <- keys.get("pk")
-        } yield pkv match {
-          case graft.attr.AttrVal.SVal(s) => s
-          case other                      => graft.attr.AttrVal.printJson(other)
-        }
-        pk.exists(PkFilter.matches(_, rules))
-      }
+      val pkCol = get_json_object(col("dynamodb.Keys"), "$.pk.S")
+      recs.filter(pkCol.isNotNull && PkFilter.toColumn(pkCol, cfg.pkFilters))
     }
   }
 

@@ -88,7 +88,7 @@ object RecordProcessor {
         oldImage.foreach(m => fields += (("oldImage", AttrVal.toJson(m))))
         newImage.foreach(m => fields += (("newImage", AttrVal.toJson(m))))
         val body = Json.JObj(fields.result()).print
-        (Some(cfg.imagesUrl(eventID)), Some(BlobPayload(s"$eventID.json", body)))
+        (Some(cfg.imagesUrl(eventID)), Some(BlobPayload(cfg.blobKey(eventID), body)))
       }
 
     val event = ItemChanged(

@@ -23,18 +23,39 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Analysis-time validation: wrong-typed input fails resolution with a
+    * clear message instead of erroring mid-execution.
+    */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product expects array<float|double> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  }
+
   private def elemType(e: Expression): DataType = e.dataType match {
     case ArrayType(t @ (FloatType | DoubleType), _) => t
     case other => throw new IllegalArgumentException(
       s"dot_product expects array<float|double>, got ${other.simpleString(10)}")
   }
 
+  // resolved once, not per row
+  @transient private lazy val leftIsFloat = elemType(left) == FloatType
+  @transient private lazy val rightIsFloat = elemType(right) == FloatType
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
-    val la = elemType(left) == FloatType
-    val lb = elemType(right) == FloatType
+    val la = leftIsFloat
+    val lb = rightIsFloat
     var acc = 0.0
     var i = 0
     while (i < n) {

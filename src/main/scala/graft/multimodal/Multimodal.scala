@@ -134,7 +134,8 @@ object Multimodal {
     media.map { m =>
       val d = Codec.decodeStub(m.media_id, m.content)
       val payload = java.util.Arrays.copyOfRange(m.content, 13, m.content.length)
-      val scaled = math.max(1, payload.length * w * h / math.max(1, d.width * d.height))
+      val scaled = math.max(1L,
+        payload.length.toLong * w * h / math.max(1L, d.width.toLong * d.height)).toInt
       val out = java.util.Arrays.copyOf(payload, scaled)
       MediaRecord(m.media_id, Codec.encode(Kinds.indexOf(d.kind), w, h, out), MediaMeta(d.kind, w, h))
     }

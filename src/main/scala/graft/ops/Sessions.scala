@@ -50,7 +50,11 @@ object Sessions {
     */
   def dailyCounts(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
-      .withColumn("day_ms", expr("(ts div 1000000) div 86400000") * 86400000L)
+      // floor division (not `div`, which truncates toward zero): matches
+      // DuckDB's `//` for pre-epoch timestamps too
+      .withColumn("ms", expr("ts div 1000000"))
+      .withColumn("day_ms", ((col("ms") - pmod(col("ms"), lit(86400000L))) / 86400000L)
+        .cast("long") * 86400000L)
       .groupBy(col("day_ms"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_value"))

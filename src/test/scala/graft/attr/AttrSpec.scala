@@ -23,6 +23,8 @@ class JsonSpec extends AnyFunSuite {
   }
   test("malformed input raises") {
     assert(JsonParser.parseOpt("{").isEmpty)
+    assert(JsonParser.parseOpt("\"\\uQQQQ\"").isEmpty) // bad hex must not escape parseOpt
+    assert(JsonParser.parseOpt("[" * 100000).isEmpty) // depth bound, no StackOverflowError
     assert(JsonParser.parseOpt("""{"a":}""").isEmpty)
     assert(JsonParser.parseOpt("[1,]").isEmpty)
     assert(JsonParser.parseOpt("1 2").isEmpty)

@@ -22,12 +22,7 @@ class CdcAppSpec extends SparkSuite {
     val paths = setup(Seq(write))
     val app = new CdcApp(spark,
       CdcSpec(eventSource = "app-spec", observerDir = Some(paths.busDir + "-log")), paths)
-    val qs = app.start()
-    qs.foreach(_.awaitTermination())
-    // observer is a second streaming hop: run once more to drain the bus rows
-    // written by the main query's own batch
-    new CdcApp(spark, CdcSpec(eventSource = "app-spec",
-      observerDir = Some(paths.busDir + "-log")), paths).start().foreach(_.awaitTermination())
+    app.start().foreach(_.awaitTermination())
     val bus = spark.read.parquet(paths.busDir)
     assert(bus.count() == 1)
     val logged = spark.read.json(paths.busDir + "-log")
@@ -38,11 +33,11 @@ class CdcAppSpec extends SparkSuite {
   test("custom transform replaces the stock handler (functionPath analogue)") {
     import spark.implicits._
     val paths = setup(Seq(write))
-    val custom: Dataset[CdcRecord] => Dataset[ItemChanged] = recs =>
-      recs.map(r => ItemChanged(
+    val custom: Dataset[CdcRecord] => Dataset[RecordProcessor.Processed] = recs =>
+      recs.map(r => RecordProcessor.Processed(ItemChanged(
         operation = "CUSTOM", pk = None, sk = None, attributesChanged = Nil,
         before = "{}", after = "{}", newImage = None, oldImage = None,
-        imagesUrl = None, eventID = r.eventID.getOrElse("?")))
+        imagesUrl = None, eventID = r.eventID.getOrElse("?")), None))
     val app = new CdcApp(spark,
       CdcSpec(eventSource = "app-spec", transform = Some(custom)), paths)
     app.start().foreach(_.awaitTermination())

@@ -43,6 +43,23 @@ class OpsSpec extends SparkSuite {
     assert(hams.min <= 6, s"simhash not locality-sensitive: min hamming ${hams.min}")
   }
 
+  test("simhashPairs: every reported pair is within the hamming bound") {
+    import spark.implicits._
+    val fp = Dedup.simhash(spark, sf).as[(Long, Long)].collect().toMap
+    val pairs = Dedup.simhashPairs(spark, sf, maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.forall { case (a, b, h) =>
+      h <= 3 && java.lang.Long.bitCount(fp(a) ^ fp(b)) == h
+    })
+    // completeness within the banding guarantee: hamming<=3 pairs share a chunk
+    val all = fp.toSeq
+    val expected = for {
+      i <- all.indices; j <- (i + 1) until all.size
+      if java.lang.Long.bitCount(all(i)._2 ^ all(j)._2) <= 3
+    } yield (math.min(all(i)._1, all(j)._1), math.max(all(i)._1, all(j)._1))
+    assert(expected.toSet == pairs.map(p => (p._1, p._2)).toSet)
+  }
+
   test("plan: pk prefix filter pushes into the parquet scan") {
     val df = Tables.customer(spark, sf).filter(col("c_name").startsWith("Customer#00000001"))
     val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
