@@ -48,6 +48,7 @@ object SparkEntry {
     "intersect_segments" -> ((s, d) => Analytics.segmentIntersect(s, d)),
     "except_segments" -> ((s, d) => Analytics.segmentExcept(s, d)),
     "q17_small_qty_revenue" -> ((s, d) => Analytics.smallQuantityRevenue(s, d)),
+    "asof_join_signup" -> ((s, d) => AsOfJoin.purchaseToSignup(s, d)),
     "variant_props" -> ((s, d) => VariantOps.variantProps(s, d)),
     "variant_agg" -> ((s, d) => VariantOps.variantAgg(s, d)),
     "salted_agg" -> ((s, d) => Skew.saltedEventAgg(s, d)),
@@ -265,6 +266,12 @@ object SparkEntry {
         |EXCEPT
         |SELECT c_mktsegment FROM customer WHERE c_nationkey = 2
         |ORDER BY c_mktsegment""".stripMargin,
+    "asof_join_signup" ->
+      """SELECT p.user_id, p.event_id, s.event_id AS signup_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q17_small_qty_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_small_rev,
         |       count(*) AS n_rows
