@@ -174,27 +174,37 @@ object SparkEntry {
         |  UNION ALL SELECT 'type', CAST(ins + ct AS BIGINT) FROM agg
         |) ORDER BY path""".stripMargin),
     "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,10)) AS sum_charge,
+      """WITH li AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c2,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c2,
+        |    CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT) AS disc_e4,
+        |    CAST(CAST(l_tax AS DECIMAL(6,4)) * 10000 AS BIGINT) AS tax_e4
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |)
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(qty_c2) AS BIGINT) AS sum_qty_c2,
+        |  CAST(SUM(price_c2) AS BIGINT) AS sum_base_price_c2,
+        |  CAST(SUM(price_c2 * (10000 - disc_e4)) AS BIGINT) AS sum_disc_price_e6,
+        |  CAST(SUM((price_c2 * (10000 - disc_e4) * (10000 + tax_e4)) // 10000) AS BIGINT) AS sum_charge_e6,
         |  count(*) AS count_order
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |FROM li
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS revenue,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    * (10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT))) AS BIGINT) AS revenue_e6,
         |  CAST(o_orderdate AS DATE) AS order_date
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
         |  AND l_shipdate > TIMESTAMP '1998-03-15'
         |GROUP BY l_orderkey, o_orderdate
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+        |ORDER BY revenue_e6 DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS revenue
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    * (10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT))) AS BIGINT) AS revenue_e6
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -220,7 +230,7 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "rollup_sales" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_c2,
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -229,7 +239,7 @@ object SparkEntry {
     "distinct_segments" ->
       """SELECT n_name, CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
         |  count(*) AS n_customers,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+        |  CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_acctbal_c2
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "scalar_part_funcs" ->
@@ -251,7 +261,8 @@ object SparkEntry {
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
         |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
     "q6_revenue_forecast" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS revenue,
+      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    * CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT)) AS BIGINT) AS revenue_e6,
         |  count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -273,7 +284,7 @@ object SparkEntry {
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
     "q17_small_qty_revenue" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_small_rev,
+      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_small_rev_c2,
         |       count(*) AS n_rows
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE p_brand = 'Brand#13'
@@ -291,7 +302,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "salted_agg" ->
       """SELECT event_type, count(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_c2
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "session_window" ->
       """WITH e AS (
@@ -306,18 +317,18 @@ object SparkEntry {
         |)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  CAST(min(ms) AS BIGINT) AS start_ms, CAST(max(ms) AS BIGINT) AS end_ms,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_c2
         |FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
     "event_type_stats" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_c2,
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "daily_counts" ->
       """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms, event_type,
         |  count(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_c2
         |FROM events GROUP BY 1, 2 ORDER BY day_ms, event_type""".stripMargin,
     "dedup_latest" ->
       """SELECT user_id, event_id, event_type, json_extract_string(props, '$.k') AS k

@@ -9,12 +9,14 @@ import org.apache.spark.sql.types.DecimalType
   * categories the reference lacks but the engine ships: joins, aggregations,
   * windows, sorts/top-k, set ops, scalar functions).
   *
-  * Determinism-for-oracle rules (SURVEY.md §5.2): double columns are cast to
-  * exact decimals BEFORE arithmetic/aggregation so sums are order-independent
-  * and bit-identical across engines; aggregate sums STAY decimal
-  * (DECIMAL(38,s)) in the output because decimal→double conversion is only
-  * exact below 2^53 unscaled and the two engines round differently beyond it;
-  * every query ends in an orderBy on a unique key; integer outputs are BIGINT.
+  * Determinism-for-oracle rules (SURVEY.md §5.2, revised after round 1):
+  * double columns are cast to exact decimals BEFORE arithmetic/aggregation so
+  * sums are order-independent and bit-identical across engines; aggregate
+  * money/metric sums are then carried as exact SCALED INTEGERS (see [[Exact]])
+  * and exported as BIGINT — decimal output columns hash differently in the
+  * driver's normalizer, and decimal→double conversion is only exact below
+  * 2^53 unscaled; every query ends in an orderBy on a unique key; integer
+  * outputs are BIGINT.
   *
   * Scale notes: aggregations are partial+final (map-side combine) for free;
   * small dimensions (region/nation/supplier/customer) are broadcast so the
@@ -26,18 +28,28 @@ object Analytics {
   private def dec4(c: Column): Column = c.cast(DecimalType(6, 4))
   private val one4: Column = lit(1).cast(DecimalType(6, 4))
 
-  /** TPC-H Q1-style pricing summary: hash agg with partial aggregation. */
+  /** TPC-H Q1-style pricing summary: hash agg with partial aggregation.
+    * Money is integer cents / e6 micro-units throughout (see [[Exact]]); the
+    * charge term is natively e10 (c2 * e4 * e4), floor-divided to e6 per row
+    * (`div` truncation == floor for these all-positive terms) so the exported
+    * sum fits BIGINT at any SF.
+    */
   def pricingSummary(spark: SparkSession, d: String): DataFrame =
     Tables.lineitem(spark, d)
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .withColumn("qty_c2", Exact.c2(col("l_quantity")))
+      .withColumn("price_c2", Exact.c2(col("l_extendedprice")))
+      .withColumn("disc_e4", Exact.e4(col("l_discount")))
+      .withColumn("tax_e4", Exact.e4(col("l_tax")))
+      .withColumn("disc_price_e6", col("price_c2") * (lit(10000L) - col("disc_e4")))
+      .withColumn("charge_e6",
+        expr("(price_c2 * (10000 - disc_e4) * (10000 + tax_e4)) div 10000"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
-        sum(dec2(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_base_price"),
-        sum(dec2(col("l_extendedprice")) * (one4 - dec4(col("l_discount"))))
-          .cast(DecimalType(38, 6)).as("sum_disc_price"),
-        sum(dec2(col("l_extendedprice")) * (one4 - dec4(col("l_discount")))
-          * (one4 + dec4(col("l_tax")))).cast(DecimalType(38, 10)).as("sum_charge"),
+        Exact.sumLong(col("qty_c2")).as("sum_qty_c2"),
+        Exact.sumLong(col("price_c2")).as("sum_base_price_c2"),
+        Exact.sumLong(col("disc_price_e6")).as("sum_disc_price_e6"),
+        Exact.sumLong(col("charge_e6")).as("sum_charge_e6"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -53,10 +65,10 @@ object Analytics {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(sum(dec2(col("l_extendedprice")) * (one4 - dec4(col("l_discount"))))
-        .cast(DecimalType(38, 6)).as("revenue"))
-      .select(col("l_orderkey"), col("revenue"), col("o_orderdate").cast("date").as("order_date"))
-      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .agg(Exact.sumLong(Exact.c2(col("l_extendedprice"))
+        * (lit(10000L) - Exact.e4(col("l_discount")))).as("revenue_e6"))
+      .select(col("l_orderkey"), col("revenue_e6"), col("o_orderdate").cast("date").as("order_date"))
+      .orderBy(desc("revenue_e6"), asc("l_orderkey"))
       .limit(10)
   }
 
@@ -80,8 +92,8 @@ object Analytics {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(dec2(col("l_extendedprice")) * (one4 - dec4(col("l_discount"))))
-        .cast(DecimalType(38, 6)).as("revenue"))
+      .agg(Exact.sumLong(Exact.c2(col("l_extendedprice"))
+        * (lit(10000L) - Exact.e4(col("l_discount")))).as("revenue_e6"))
       .orderBy("n_name")
   }
 
@@ -93,8 +105,8 @@ object Analytics {
       .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
         col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
         col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
-      .agg(sum(dec2(col("l_extendedprice")) * dec4(col("l_discount")))
-        .cast(DecimalType(38, 6)).as("revenue"),
+      .agg(Exact.sumLong(Exact.c2(col("l_extendedprice")) * Exact.e4(col("l_discount")))
+        .as("revenue_e6"),
         count(lit(1)).as("n_rows"))
 
   /** Window top-k: 3 highest-value orders per customer. */
@@ -135,11 +147,11 @@ object Analytics {
       .join(broadcast(Tables.region(spark, d)), col("n_regionkey") === col("r_regionkey"))
     joined
       .rollup(col("r_name"), col("n_name"))
-      .agg(sum(dec2(col("o_totalprice"))).cast(DecimalType(38, 2)).as("total"),
+      .agg(Exact.sumLong(Exact.c2(col("o_totalprice"))).as("total_c2"),
         count(lit(1)).as("n_orders"))
       .select(coalesce(col("r_name"), lit("ALL")).as("region"),
         coalesce(col("n_name"), lit("ALL")).as("nation"),
-        col("total"), col("n_orders"))
+        col("total_c2"), col("n_orders"))
       .orderBy("region", "nation")
   }
 
@@ -150,7 +162,7 @@ object Analytics {
       .groupBy(col("n_name"))
       .agg(countDistinct(col("c_mktsegment")).as("n_segments"),
         count(lit(1)).as("n_customers"),
-        sum(dec2(col("c_acctbal"))).cast(DecimalType(38, 2)).as("total_acctbal"))
+        Exact.sumLong(Exact.c2(col("c_acctbal"))).as("total_acctbal_c2"))
       .orderBy("n_name")
 
   /** Scalar function surface: string/math/concat over `part`. */
@@ -205,7 +217,7 @@ object Analytics {
     Tables.lineitem(spark, d).createOrReplaceTempView("g_lineitem")
     Tables.part(spark, d).createOrReplaceTempView("g_part")
     spark.sql(
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_small_rev,
+      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS BIGINT) AS total_small_rev_c2,
         |       count(*) AS n_rows
         |FROM g_lineitem JOIN g_part ON p_partkey = l_partkey
         |WHERE p_brand = 'Brand#13'

@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Event-stream windowing ops (the streaming-adjacent batch surface of
   * SURVEY.md §2.1): gap-based sessionization and per-type rollups. Time
@@ -18,7 +17,7 @@ object Sessions {
   def sessionize(spark: SparkSession, d: String, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     Tables.events(spark, d)
-      .withColumn("ms", expr("ts div 1000000"))
+      .withColumn("ms", Sessions.nanosToMsFloor)
       .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
@@ -29,7 +28,7 @@ object Sessions {
         count(lit(1)).as("n_events"),
         min(col("ms")).as("start_ms"),
         max(col("ms")).as("end_ms"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_value"))
+        Exact.sumLong(Exact.c2(col("value"))).as("total_value_c2"))
       .orderBy("user_id", "session_idx")
   }
 
@@ -40,7 +39,7 @@ object Sessions {
       .agg(
         count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("n_users"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_value"),
+        Exact.sumLong(Exact.c2(col("value"))).as("total_value_c2"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
       .orderBy("event_type")
@@ -50,13 +49,19 @@ object Sessions {
     */
   def dailyCounts(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
-      // floor division (not `div`, which truncates toward zero): matches
-      // DuckDB's `//` for pre-epoch timestamps too
-      .withColumn("ms", expr("ts div 1000000"))
+      .withColumn("ms", Sessions.nanosToMsFloor)
       .withColumn("day_ms", ((col("ms") - pmod(col("ms"), lit(86400000L))) / 86400000L)
         .cast("long") * 86400000L)
       .groupBy(col("day_ms"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_value"))
+        Exact.sumLong(Exact.c2(col("value"))).as("total_value_c2"))
       .orderBy("day_ms", "event_type")
+
+  /** Floor(ts / 10^6), nanos → epoch-ms, exact for NEGATIVE (pre-1970) nanos
+    * too: `pmod` is non-negative, so `ts - pmod(ts, 1e6)` is the largest
+    * multiple of 10^6 ≤ ts, and the remaining `div` is exact (no truncation
+    * bias, no double rounding — ts exceeds 2^53). Matches DuckDB `epoch_ms`.
+    */
+  private[ops] def nanosToMsFloor: org.apache.spark.sql.Column =
+    expr("(ts - pmod(ts, 1000000)) div 1000000")
 }

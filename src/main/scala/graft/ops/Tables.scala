@@ -16,9 +16,10 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = apply(spark, d, "part")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects; `nanosAsLong` (runtime-settable) reads it as BIGINT nanos.
-    * All time arithmetic on events therefore uses epoch milliseconds
-    * (`ts div 1000000`), which agrees exactly with DuckDB's `epoch_ms(ts)`
-    * (both floor the same underlying instant).
+    * All time arithmetic on events therefore uses epoch milliseconds via
+    * floor division `(ts - pmod(ts, 1000000)) div 1000000` (see
+    * [[Sessions.nanosToMsFloor]]), which agrees exactly with DuckDB's
+    * `epoch_ms(ts)` for negative (pre-1970) nanos too.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -47,10 +47,10 @@ object Skew {
       .withColumn("salt", pmod(hash(col("event_id")), lit(nSalts)))
       .groupBy(col("event_type"), col("salt"))
       .agg(count(lit(1)).as("pn"),
-        sum(col("value").cast(DecimalType(18, 2))).as("pv"))
+        sum(Exact.c2(col("value")).cast(DecimalType(38, 0))).as("pv"))
       .groupBy(col("event_type"))
       .agg(sum(col("pn")).as("n"),
-        sum(col("pv")).cast(DecimalType(38, 2)).as("total_value"))
+        sum(col("pv")).cast("long").as("total_value_c2"))
       .orderBy("event_type")
 }
 

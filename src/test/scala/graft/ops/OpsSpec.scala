@@ -113,8 +113,7 @@ class OpsSpec extends SparkSuite {
     val plain = Tables.events(spark, sf)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("total_value"))
+        Exact.sumLong(Exact.c2(col("value"))).as("total_value_c2"))
       .orderBy("event_type").collect().map(_.toSeq).toSeq
     assert(salted == plain)
   }
