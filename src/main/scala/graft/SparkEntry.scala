@@ -155,11 +155,14 @@ object SparkEntry {
       """SELECT event_id, 'REMOVE' AS operation, 'USER#' || user_id AS pk
         |FROM events WHERE epoch_ms(ts) < 1705276800000 ORDER BY event_id""".stripMargin,
     "gsi_view" ->
-      """SELECT event_type AS gsi1pk, lpad(CAST(event_id AS VARCHAR), 12, '0') AS gsi1sk,
-        |  event_id,
-        |  CAST(row_number() OVER (PARTITION BY event_type
-        |       ORDER BY lpad(CAST(event_id AS VARCHAR), 12, '0')) AS INTEGER) AS rn
-        |FROM events ORDER BY gsi1pk, gsi1sk""".stripMargin,
+      """WITH g AS (
+        |  SELECT event_type || '#S' || lpad(CAST(event_id % 32 AS VARCHAR), 2, '0') AS gsi1pk,
+        |    lpad(CAST(event_id AS VARCHAR), 12, '0') AS gsi1sk, event_id
+        |  FROM events
+        |)
+        |SELECT gsi1pk, gsi1sk, event_id,
+        |  CAST(row_number() OVER (PARTITION BY gsi1pk ORDER BY gsi1sk) AS INTEGER) AS rn
+        |FROM g ORDER BY gsi1pk, gsi1sk""".stripMargin,
     "changes_per_attr" -> (cdcCte +
       """, agg AS (
         |  SELECT count(*) FILTER (WHERE is_insert) AS ins,
@@ -384,9 +387,16 @@ object SparkEntry {
         |  )
         |),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |-- stop-shingle rule: shingles shared by >256 docs are excluded from
+        |-- pair generation (mirrors the engine's maxDf cap); sizes keep all
+        |sh2 AS (
+        |  SELECT s.doc_id, s.shingle FROM sh s
+        |  JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 256) f
+        |    ON s.shingle = f.shingle
+        |),
         |inter AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
-        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  FROM sh2 x JOIN sh2 y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
         |  GROUP BY 1, 2
         |)
         |SELECT a, b, CAST(n_common AS BIGINT) AS n_common,

@@ -97,11 +97,18 @@ class CdcApp(spark: SparkSession, spec: CdcSpec, paths: CdcPaths) {
   /** GSI maintenance (OP-17): the alternate access path as a re-partitioned,
     * within-partition-sorted view on `${g}pk`/`${g}sk` — DynamoDB's
     * ProjectionType.ALL means all columns ride along.
+    *
+    * Range-partitioned on (pk, sk), not hash-partitioned on pk alone: GSI
+    * partition keys are routinely low-cardinality (that is often why the GSI
+    * exists), and `repartition(pk)` would collapse a 1000-executor cluster to
+    * #distinct(pk) tasks. Range partitioning keeps every executor busy while
+    * still co-locating each pk's sk-run contiguously (a pk spanning a
+    * partition boundary stays globally sorted across the two).
     */
   def gsiView(items: DataFrame, gsiName: String): DataFrame = {
     require(spec.gsiIndexNames.contains(gsiName), s"undeclared GSI: $gsiName")
     items
-      .repartition(col(s"${gsiName}pk"))
-      .sortWithinPartitions(col(s"${gsiName}sk"))
+      .repartitionByRange(col(s"${gsiName}pk"), col(s"${gsiName}sk"))
+      .sortWithinPartitions(col(s"${gsiName}pk"), col(s"${gsiName}sk"))
   }
 }

@@ -155,15 +155,20 @@ object CdcQueries {
   }
 
   /** OP-17 GSI view: the alternate access path as a re-keyed, re-sorted
-    * projection (`${g}pk` = event_type, `${g}sk` = zero-padded event id).
+    * projection. The GSI pk is WRITE-SHARDED (`event_type#S<event_id % 32>`,
+    * the standard hot-partition pattern for low-cardinality index keys): a
+    * bare `event_type` pk has ~5 values, so the per-pk window would collapse
+    * to 5 serial tasks at scale; 32 shards per type keeps the window shuffle
+    * parallel while preserving per-shard sk order. Shard id is `event_id % 32`
+    * (deterministic in both engines — hash() is not).
     */
   def gsiView(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("gsi1pk")).orderBy(col("gsi1sk"))
     Tables.events(spark, sfDir)
-      .select(col("event_type").as("gsi1pk"),
+      .select(concat(col("event_type"), lit("#S"),
+          lpad((col("event_id") % 32).cast("string"), 2, "0")).as("gsi1pk"),
         lpad(col("event_id").cast("string"), 12, "0").as("gsi1sk"),
         col("event_id"))
-      .repartition(col("gsi1pk"))
       .withColumn("rn", row_number().over(w))
       .orderBy("gsi1pk", "gsi1sk")
   }

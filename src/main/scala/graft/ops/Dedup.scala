@@ -64,15 +64,31 @@ object Dedup {
     * J = |∩| / (|A| + |B| - |∩|). No quadratic pair space: only docs sharing
     * ≥1 shingle meet.
     */
-  def ngramJaccard(spark: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
-    val sh = cachedShingles(spark, d)
+  def ngramJaccard(
+      spark: SparkSession,
+      d: String,
+      threshold: Double = 0.5,
+      maxDf: Int = 256): DataFrame =
+    jaccardPairs(cachedShingles(spark, d), threshold, maxDf)
+
+  /** Pair mining over a `(doc_id, shingle)` index. `maxDf` caps shingle
+    * document frequency: a boilerplate shingle shared by k docs would emit
+    * k²/2 pairs inside ONE task (license headers / navigation chrome reach
+    * k≈10⁶ at web scale → 5·10¹¹ pairs), so shingles above the cap are
+    * excluded from candidate generation — the standard stop-shingle rule in
+    * near-dup mining. Doc sizes |A|,|B| still count ALL shingles, so the cap
+    * only loses intersection evidence from ubiquitous (uninformative)
+    * shingles; it never inflates a score. The oracle SQL applies the same
+    * cap, keeping the operator exactly checkable.
+    */
+  def jaccardPairs(sh: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // Pair generation via the inverted index: group docs per shingle, DROP
-    // singleton shingles early (the vast majority), then explode ordered doc
-    // pairs within each group. One shuffle on the shingle, never a quadratic
-    // doc-pair join.
+    // singleton shingles early (the vast majority) and hot shingles past
+    // maxDf, then explode ordered doc pairs within each group. One shuffle
+    // on the shingle, never a quadratic doc-pair join.
     val inter = sh.groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")).between(2, maxDf))
       .select(explode(expr(
         "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), " +
           "y -> struct(least(x, y) as a, greatest(x, y) as b))))")).as("p"))
@@ -121,13 +137,18 @@ object Dedup {
       d: String,
       bands: Int = 16,
       rowsPer: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucket: Int = 4096): DataFrame = {
     val k = bands * rowsPer
     val sh = cachedShingles(spark, d)
     val sigs = minhashSignatures(sh, k).cache()
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val banded0 = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
         s"hash(slice(sig, b * $rowsPer + 1, $rowsPer)))")).as(Seq("band", "bucket")))
+    // Hot-bucket guard: a degenerate bucket of k docs emits k² join rows in
+    // one task; prune buckets past maxBucket (and singletons, which cannot
+    // pair) with a semi-join BEFORE the self-join.
+    val banded = keepPairableBuckets(banded0, Seq("band", "bucket"), maxBucket)
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b"), col("sig").as("sig_b"))
     l.join(r, Seq("band", "bucket"))
@@ -165,11 +186,18 @@ object Dedup {
   /** SimHash near-dup candidates: pairs within `maxHamming` bits, banded on
     * 16-bit chunks (a pair within hamming 3 shares at least one of 4 chunks).
     */
-  def simhashPairs(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(
+      spark: SparkSession,
+      d: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 4096): DataFrame = {
     val fp = simhash(spark, d).cache()
-    val banded = fp.select(col("doc_id"), col("simhash"),
+    val banded0 = fp.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
         .as(Seq("chunk", "chunk_val")))
+    // same hot-bucket guard as minhashLsh (a 16-bit chunk value shared by a
+    // boilerplate cluster would otherwise square inside one task)
+    val banded = keepPairableBuckets(banded0, Seq("chunk", "chunk_val"), maxBucket)
     val l = banded.select(col("chunk"), col("chunk_val"), col("doc_id").as("a"), col("simhash").as("sh_a"))
     val r = banded.select(col("chunk"), col("chunk_val"), col("doc_id").as("b"), col("simhash").as("sh_b"))
     l.join(r, Seq("chunk", "chunk_val"))
@@ -180,5 +208,19 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
       .orderBy("a", "b")
+  }
+
+  /** Keep only LSH buckets that can produce pairs and are below the blow-up
+    * cap: bucket size in [2, maxBucket]. One aggregate on the bucket key +
+    * a broadcast-able semi-join; prunes singleton buckets (the majority)
+    * before the self-join as a bonus.
+    */
+  private def keepPairableBuckets(
+      banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val ok = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_in_bucket"))
+      .filter(col("n_in_bucket").between(2, maxBucket))
+      .select(keys.map(col): _*)
+    banded.join(ok, keys, "left_semi")
   }
 }

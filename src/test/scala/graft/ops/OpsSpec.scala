@@ -60,6 +60,37 @@ class OpsSpec extends SparkSuite {
     assert(expected.toSet == pairs.map(p => (p._1, p._2)).toSet)
   }
 
+  test("jaccardPairs: boilerplate shingle past maxDf generates no pairs") {
+    import spark.implicits._
+    // 10 docs, all sharing one boilerplate 5-gram; docs 0 and 1 additionally
+    // share real content. With the df cap the boilerplate is a stop-shingle,
+    // so candidate generation (threshold 0 exposes it) yields ONLY (0, 1) —
+    // not the 45 all-pairs a hot shingle would otherwise square into.
+    val boiler = "all rights reserved by corp"
+    val docs = (0L until 10L).map { i =>
+      val body =
+        if (i <= 1) s"shared near duplicate body text here variant $i"
+        else s"doc$i u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"
+      (i, s"$boiler $body")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(Dedup.shingles(docs), threshold = 0.0, maxDf = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((0L, 1L)), s"expected only (0,1), got $capped")
+    val uncapped = Dedup.jaccardPairs(Dedup.shingles(docs), threshold = 0.0, maxDf = 1000)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 45, s"sanity: without cap all pairs meet, got ${uncapped.size}")
+  }
+
+  test("nanosToMsFloor floors negative (pre-1970) nanos like DuckDB epoch_ms") {
+    import spark.implicits._
+    val nanos = Seq(-1L, -999999L, -1000000L, -1000001L, 0L, 1L, 999999L,
+      1705276800000000000L, -1705276800000000001L)
+    val got = nanos.toDF("ts").select(Sessions.nanosToMsFloor.as("ms"))
+      .as[Long].collect().toSeq
+    val expected = nanos.map(Math.floorDiv(_, 1000000L))
+    assert(got == expected, s"$got != $expected")
+  }
+
   test("plan: pk prefix filter pushes into the parquet scan") {
     val df = Tables.customer(spark, sf).filter(col("c_name").startsWith("Customer#00000001"))
     val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
