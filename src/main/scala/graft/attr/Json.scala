@@ -223,7 +223,10 @@ object JsonParser {
         val k = string()
         skipWs(); expect(':'); skipWs()
         val v = value()
-        fields += ((k, v))
+        // duplicate keys: JS JSON.parse keeps the FIRST occurrence's position
+        // with the LAST occurrence's value — replace in place, don't append
+        val existing = fields.indexWhere(_._1 == k)
+        if (existing >= 0) fields(existing) = ((k, v)) else fields += ((k, v))
         skipWs()
         if (i >= s.length) err("unterminated object")
         s.charAt(i) match {

@@ -24,6 +24,11 @@ final case class CdcRecord(
   * `before`/`after` are minimal changed subtrees serialized as JSON strings;
   * inline images follow the claim-check rule (OP-10): `newImage` inline when
   * small, `oldImage` inline only for REMOVE, `imagesUrl` set on the blob path.
+  *
+  * `pk`/`sk` are display strings (what queries project); `pkJson`/`skJson`
+  * carry the JSON encoding of the RAW unmarshalled key value — the reference
+  * assigns `itemChange.pk = keys?.pk` untyped, so a number-typed pk must
+  * serialize as `"pk":5` (not `"pk":"5"`) on the bus wire.
   */
 final case class ItemChanged(
     operation: String,
@@ -35,7 +40,9 @@ final case class ItemChanged(
     newImage: Option[String],
     oldImage: Option[String],
     imagesUrl: Option[String],
-    eventID: String)
+    eventID: String,
+    pkJson: Option[String] = None,
+    skJson: Option[String] = None)
 
 /** A bus row as the EventBridge sink would publish it
   * (`dynamo-stream-handler.ts:168-177`): `source` from config (the

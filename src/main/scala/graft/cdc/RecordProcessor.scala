@@ -71,10 +71,14 @@ object RecordProcessor {
 
     if (operation == "MODIFY" && d.attributesChanged.isEmpty) return None
 
-    def keyStr(k: String): Option[String] = keys.flatMap(_.get(k)).map {
+    def keyVal(k: String): Option[AttrVal] = keys.flatMap(_.get(k))
+    def keyStr(k: String): Option[String] = keyVal(k).map {
       case AttrVal.SVal(s) => s
       case other           => AttrVal.printJson(other)
     }
+    // JSON encoding of the raw key value (strings quoted, numbers bare) —
+    // what JSON.stringify sees for the untyped `keys?.pk` assignment
+    def keyJson(k: String): Option[String] = keyVal(k).map(AttrVal.printJson)
 
     val small = size.exists(s => s != 0L && s < cfg.sizeThreshold)
     val inlineNew = if (small) newImage.map(AttrVal.printJson) else None
@@ -101,7 +105,9 @@ object RecordProcessor {
       newImage = inlineNew,
       oldImage = inlineOld,
       imagesUrl = imagesUrl,
-      eventID = eventID)
+      eventID = eventID,
+      pkJson = keyJson("pk"),
+      skJson = keyJson("sk"))
     Some(Processed(event, blob))
   }
 
@@ -173,8 +179,13 @@ object RecordProcessor {
     fields += (("attributesChanged", Json.JArr(e.attributesChanged.toVector.map(Json.JStr))))
     fields += (("before", JsonParser.parse(e.before)))
     fields += (("operation", Json.JStr(e.operation)))
-    e.pk.foreach(v => fields += (("pk", Json.JStr(v))))
-    e.sk.foreach(v => fields += (("sk", Json.JStr(v))))
+    // raw JSON key values: a number-typed pk rides as `"pk":5`, not `"pk":"5"`
+    // (reference assigns the untyped unmarshalled value). Fall back to the
+    // display string for events built without key JSON (custom transforms).
+    e.pkJson.map(JsonParser.parse).orElse(e.pk.map(Json.JStr))
+      .foreach(v => fields += (("pk", v)))
+    e.skJson.map(JsonParser.parse).orElse(e.sk.map(Json.JStr))
+      .foreach(v => fields += (("sk", v)))
     e.oldImage.foreach(v => fields += (("oldImage", JsonParser.parse(v))))
     e.newImage.foreach(v => fields += (("newImage", JsonParser.parse(v))))
     e.imagesUrl.foreach(v => fields += (("imagesUrl", Json.JStr(v))))

@@ -16,6 +16,10 @@ class JsonSpec extends AnyFunSuite {
     assert(Json.JStr("a\"b\\c\n\t").print == "\"a\\\"b\\\\c\\n\\t\\u0001\"")
     assert(JsonParser.parse("\"\\u0041\\n\"") == Json.JStr("A\n"))
   }
+  test("duplicate object keys: first position, last value (JS JSON.parse)") {
+    assert(JsonParser.parse("""{"a":1,"b":2,"a":3}""").print == """{"a":3,"b":2}""")
+    assert(JsonParser.parse("""{"a":{"x":1},"a":[2]}""").print == """{"a":[2]}""")
+  }
   test("JS object key order: integer-like keys first, ascending") {
     val o = JsonParser.parse("""{"b":1,"2":2,"a":3,"0":4}""").asInstanceOf[Json.JObj]
     assert(o.keys == Vector("0", "2", "b", "a"))

@@ -73,6 +73,15 @@ class RecordProcessorSpec extends AnyFunSuite {
       """"operation":"MODIFY","pk":"USER#1","sk":"A","newImage":{"pk":"U","sk":"A","a":2}}""")
   }
 
+  test("bus event: number-typed pk serializes raw, not as a JSON string") {
+    val k = """{"pk":{"N":"5"},"sk":{"S":"A"}}"""
+    val n = """{"pk":{"N":"5"},"sk":{"S":"A"},"a":{"N":"2"}}"""
+    val p = RecordProcessor.process(
+      rec(op = "INSERT", keys = Some(k), newImage = Some(n)), cfg).get
+    val bus = RecordProcessor.toBusEvent(p.event, cfg)
+    assert(bus.detail.contains(""""pk":5,"sk":"A""""), bus.detail)
+  }
+
   test("pk filter compiler: eq / prefix / multi-star rejection (OP-2)") {
     assert(PkFilter.compileOne("USER#1") == PkFilter.Eq("USER#1"))
     assert(PkFilter.compileOne("USER#*") == PkFilter.Prefix("USER#"))
