@@ -129,4 +129,39 @@ object CdcPipeline {
     Files.write(d.resolve(blob.key), blob.body.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
+
+  /** At-least-once compatibility (SURVEY §4.2): the reference delivers
+    * at-least-once with drop-on-failure (`retryAttempts: 0`,
+    * `/root/reference/lib/constructs/dynamo.ts:137`,
+    * `dynamo-stream-handler.ts:20-25`), so a consumer fed by such a source
+    * can see the same stream record twice. This engine's own checkpointed
+    * path is exactly-once, but when ingesting an external at-least-once bus,
+    * dedup on the stream-unique `eventID`. Works on batch and streaming
+    * frames alike (streaming keeps eventID dedup state; pair with a
+    * watermark upstream to bound it).
+    */
+  def dedupByEventId(bus: Dataset[BusEvent]): Dataset[BusEvent] =
+    bus.dropDuplicates("eventID")
+
+  /** Blob retention sweep — the engine counterpart of the reference's 24 h
+    * S3 lifecycle rule (`/root/reference/lib/constructs/dynamo.ts:111-116`;
+    * presigned URLs expire on the same clock,
+    * `dynamo-stream-handler.ts:161`). Deletes claim-check blobs whose
+    * last-modified time is older than `olderThanMs`; returns how many were
+    * removed. Run it as a periodic maintenance job against the blob dir.
+    */
+  def cleanBlobs(dir: String, olderThanMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Int = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return 0
+    val cutoff = nowMs - olderThanMs
+    var removed = 0
+    val s = Files.list(d)
+    try s.forEach { p =>
+      if (Files.isRegularFile(p) && Files.getLastModifiedTime(p).toMillis < cutoff) {
+        Files.delete(p); removed += 1
+      }
+    } finally s.close()
+    removed
+  }
 }

@@ -59,4 +59,37 @@ class CdcStreamSpec extends SparkSuite {
     val (bus, _, _) = run(Seq(small, bigRemove), c => c.copy(pkFilters = Seq("U#1")))
     assert(bus.map(_.eventID) == Seq("s-1"))
   }
+
+  test("dedupByEventId: replayed at-least-once delivery collapses to one row") {
+    import spark.implicits._
+    // simulate an at-least-once source re-delivering a whole micro-batch
+    // (reference semantics: retryAttempts 0, bisectBatchOnError redelivery)
+    val cfg = CdcConfig(eventSource = "spec", blobDir = "/tmp/unused-blobs")
+    val once = CdcPipeline.busRows(
+      CdcPipeline.batch(spark, writeLines(Seq(small, bigRemove)), cfg), cfg)
+    val replayed = once.union(once).union(once)
+    assert(replayed.count() == 6)
+    val deduped = CdcPipeline.dedupByEventId(replayed).collect().sortBy(_.eventID)
+    assert(deduped.map(_.eventID).toSeq == Seq("s-1", "s-3"))
+  }
+
+  test("cleanBlobs removes only blobs older than the retention window") {
+    val dir = Files.createTempDirectory("graft-blob-retention").toString
+    CdcPipeline.writeBlob(dir, BlobPayload("old.json", "{}"))
+    CdcPipeline.writeBlob(dir, BlobPayload("fresh.json", "{}"))
+    val now = System.currentTimeMillis()
+    val dayMs = 24L * 3600 * 1000
+    Files.setLastModifiedTime(Paths.get(dir, "old.json"),
+      java.nio.file.attribute.FileTime.fromMillis(now - dayMs - 60000))
+    assert(CdcPipeline.cleanBlobs(dir, olderThanMs = dayMs, nowMs = now) == 1)
+    assert(Files.exists(Paths.get(dir, "fresh.json")))
+    assert(!Files.exists(Paths.get(dir, "old.json")))
+    assert(CdcPipeline.cleanBlobs(s"$dir/missing", dayMs, now) == 0)
+  }
+
+  private def writeLines(lines: Seq[String]): String = {
+    val in = Files.createTempDirectory("graft-dedup-in").toString
+    Files.write(Paths.get(s"$in/batch.json"), lines.mkString("\n").getBytes)
+    in
+  }
 }
