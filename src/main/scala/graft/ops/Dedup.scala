@@ -37,8 +37,8 @@ object Dedup {
 
   /** Shared shingle index, materialized once per session. Shingles are
     * xxhash64-hashed to 8-byte longs right after generation: every downstream
-    * shuffle (distinct, inverted-index groupBy, minhash) moves longs instead
-    * of ~30-byte strings, and set semantics are unchanged (collisions are
+    * shuffle (inverted-index groupBy, minhash) moves longs instead of
+    * ~30-byte strings, and set semantics are unchanged (collisions are
     * ~n^2/2^64, negligible).
     */
   def cachedShingles(spark: SparkSession, d: String): DataFrame =
@@ -46,17 +46,49 @@ object Dedup {
       shingles(Tables.documents(spark, d)).persist()
     }
 
-  /** Distinct hashed word 5-gram shingles per doc: `(doc_id, shingle)`. */
+  /** Distinct hashed word 5-gram shingles per doc: `(doc_id, shingle)`.
+    *
+    * NARROW: per-doc distinctness is computed task-locally (a doc's shingles
+    * all live in its row), so no `.distinct()` shuffle over the full index —
+    * at 100 TB that exchange was the single largest data movement in the
+    * dedup family. Hash values are bit-identical to the SQL path
+    * `xxhash64(concat_ws(' ', w[i..i+n-1]))` (parity pinned in OpsSpec).
+    */
   def shingles(docs: DataFrame, n: Int = 5): DataFrame = {
-    val words = split(trim(col("text")), " ")
-    docs
-      .select(col("doc_id"), words.as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w) - $n), i -> xxhash64(" +
-          (0 until n).map(j => s"w[i + $j]").mkString("concat_ws(' ', ", ", ", ")") + "))"
-      )).as("shingle"))
-      .distinct()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) => shingleHashes(text, n).map(id -> _) }
+      .toDF("doc_id", "shingle")
+  }
+
+  /** Distinct xxhash64(seed 42) hashes of word n-grams, matching the Spark
+    * SQL `split(trim(text), ' ')` tokenization exactly (space-only trim,
+    * empty tokens KEPT — regex split semantics).
+    */
+  private[ops] def shingleHashes(text: String, n: Int): Array[Long] = {
+    var s = 0
+    var e = text.length
+    while (s < e && text.charAt(s) == ' ') s += 1
+    while (e > s && text.charAt(e - 1) == ' ') e -= 1
+    val w = text.substring(s, e).split(" ", -1)
+    if (w.length < n) return Array.emptyLongArray
+    val set = new java.util.HashSet[java.lang.Long]()
+    val out = Array.newBuilder[Long]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= w.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(w(i + j)); j += 1 }
+      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          bytes.length, 42L)
+      if (set.add(h)) out += h
+      i += 1
+    }
+    out.result()
   }
 
   /** Exact n-gram Jaccard near-dup pairs via inverted shingle index:
@@ -105,26 +137,51 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** MinHash signatures: k universal-hash functions over murmur3 shingle
-    * hashes, `min((a_i * h + b_i) mod p)` per doc — one groupBy over the
-    * shingle index, signature length k columns folded as an array.
+  /** MinHash signatures: k universal-hash functions over xxhash64 shingle
+    * hashes, `min((a_i * h + b_i) mod p)` per doc.
+    *
+    * NARROW, like [[shingles]]: a doc's signature is a fold over its own
+    * shingle set, so it is computed in the same task-local pass — the former
+    * shape (64 min-aggregates grouped over the exploded shingle index) paid
+    * a full-index shuffle for a per-row computation. Docs with no shingles
+    * (< n words) emit no signature, matching the groupBy semantics.
     */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+  def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val p = 2147483647L // 2^31 - 1, Mersenne prime
     val rnd = new scala.util.Random(42)
-    val coeffs = Vector.fill(k)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong ->
-      rnd.nextInt(Int.MaxValue).toLong)
-    val h = pmod(col("shingle"), lit(p)).as("h") // shingles are pre-hashed longs
-    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("h") + lit(b), lit(p))).as(s"mh_$i")
-    }
-    sh.select(col("doc_id"), h)
-      .groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"))
+    val coeffs: Array[(Long, Long)] =
+      Array.fill(k)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong ->
+        rnd.nextInt(Int.MaxValue).toLong)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val hs = shingleHashes(text, 5)
+        if (hs.isEmpty) None
+        else {
+          val sig = new Array[Long](k)
+          var i = 0
+          while (i < k) {
+            val (a, b) = coeffs(i)
+            var mn = Long.MaxValue
+            var j = 0
+            while (j < hs.length) {
+              val h = jpmod(hs(j), p)
+              val v = jpmod(a * h + b, p)
+              if (v < mn) mn = v
+              j += 1
+            }
+            sig(i) = mn
+            i += 1
+          }
+          Some((id, sig))
+        }
+      }
+      .toDF("doc_id", "sig")
   }
 
-  private def pmod(c: Column, m: Column): Column = ((c % m) + m) % m
+  /** Positive mod on longs, same as the SQL `((c % m) + m) % m`. */
+  private def jpmod(c: Long, m: Long): Long = ((c % m) + m) % m
 
   /** MinHash + LSH banding: signatures split into `bands` bands of `rowsPer`
     * rows; docs sharing any band bucket become candidates; candidates are
@@ -140,8 +197,9 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 4096): DataFrame = {
     val k = bands * rowsPer
-    val sh = cachedShingles(spark, d)
-    val sigs = minhashSignatures(sh, k).cache()
+    val sigs = Memo(spark, s"minhashsigs|$d|$k") {
+      minhashSignatures(Tables.documents(spark, d), k).persist()
+    }
     val banded0 = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
         s"hash(slice(sig, b * $rowsPer + 1, $rowsPer)))")).as(Seq("band", "bucket")))
@@ -164,24 +222,50 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document: sign-sum of per-token 64-bit hashes
-    * (xxhash64), bit-majority folded into a fingerprint.
+    * (Spark-compatible xxhash64, seed 42), bit-majority folded into a
+    * fingerprint.
+    *
+    * Computed as a NARROW typed map, not explode+groupBy: simhash is a
+    * per-document fold, so exploding tokens only to re-group them paid a
+    * token-count-sized shuffle with 64 aggregate columns for something each
+    * task can do locally in one pass. Memoized per session — both the
+    * fingerprint query and the pair miner read the same persisted frame.
     */
-  def simhash(spark: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(spark, d)
-      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("token"))
-      .filter(col("token") =!= "")
-      .select(col("doc_id"), xxhash64(col("token")).as("h"))
-    // per-bit contribution: +1 when bit set, -1 otherwise; majority = bit set
-    val bitCols = (0 until 64).map { i =>
-      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b_$i")
+  def simhashFingerprints(spark: SparkSession, d: String): DataFrame =
+    Memo(spark, s"simhash|$d") {
+      import spark.implicits._
+      Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val counts = new Array[Int](64)
+            // tokenization parity with split(trim(text), " ") + non-empty filter
+            text.trim.split(" ").foreach { tok =>
+              if (tok.nonEmpty) {
+                val bytes = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                val h = org.apache.spark.sql.catalyst.expressions.XXH64
+                  .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                    bytes.length, 42L)
+                var i = 0
+                while (i < 64) {
+                  if (((h >> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+                  i += 1
+                }
+              }
+            }
+            var fp = 0L
+            var i = 0
+            while (i < 64) { if (counts(i) > 0) fp |= (1L << i); i += 1 }
+            (id, fp)
+          }
+        }
+        .toDF("doc_id", "simhash")
+        .persist()
     }
-    tok.groupBy("doc_id")
-      .agg(bitCols.head, bitCols.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(i => when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
-      .orderBy("doc_id")
-  }
+
+  def simhash(spark: SparkSession, d: String): DataFrame =
+    simhashFingerprints(spark, d).orderBy("doc_id")
 
   /** SimHash near-dup candidates: pairs within `maxHamming` bits, banded on
     * 16-bit chunks (a pair within hamming 3 shares at least one of 4 chunks).
@@ -191,7 +275,7 @@ object Dedup {
       d: String,
       maxHamming: Int = 3,
       maxBucket: Int = 4096): DataFrame = {
-    val fp = simhash(spark, d).cache()
+    val fp = simhashFingerprints(spark, d)
     val banded0 = fp.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
         .as(Seq("chunk", "chunk_val")))

@@ -81,6 +81,34 @@ class OpsSpec extends SparkSuite {
     assert(uncapped.size == 45, s"sanity: without cap all pairs meet, got ${uncapped.size}")
   }
 
+  test("narrow shingle generation matches the SQL expression path exactly") {
+    import spark.implicits._
+    val texts = Seq((1L, "  a b  c d e f g "), (2L, "one two three four five"),
+      (3L, "too short"), (4L, "x x x x x x"), (5L, "päck my böx with five dozen jugs"))
+    val docs = texts.toDF("doc_id", "text")
+    // the original DataFrame-expression generator, kept here as the reference
+    val sql = docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 5), i -> xxhash64(" +
+          "concat_ws(' ', w[i], w[i + 1], w[i + 2], w[i + 3], w[i + 4])))")).as("shingle"))
+      .distinct().as[(Long, Long)].collect().toSet
+    val narrow = Dedup.shingles(docs).as[(Long, Long)].collect().toSet
+    assert(narrow == sql)
+  }
+
+  test("simhash typed map uses Spark's own xxhash64 (bit-compatible)") {
+    import spark.implicits._
+    val toks = Seq("alpha", "βeta", "", "the quick", "7")
+    val sql = toks.toDF("t").select(xxhash64(col("t"))).as[Long].collect().toSeq
+    val jvm = toks.map { t =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+    }
+    assert(sql == jvm)
+  }
+
   test("nanosToMsFloor floors negative (pre-1970) nanos like DuckDB epoch_ms") {
     import spark.implicits._
     val nanos = Seq(-1L, -999999L, -1000000L, -1000001L, 0L, 1L, 999999L,
