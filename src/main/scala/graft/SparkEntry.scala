@@ -63,6 +63,9 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
     "binary_content" -> ((s, d) => TextOps.binaryContent(s, d)),
+    "quality_filter" -> ((s, d) => TextOps.qualityFilter(s, d)),
+    "pii_redaction" -> ((s, d) => TextOps.redactPii(s, d)),
+    "corpus_curation" -> ((s, d) => TextOps.curateCorpus(s, d)),
     // --- LLM-data-pipeline: dedup family ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -369,6 +372,79 @@ object SparkEntry {
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  CAST(length(text) AS BIGINT) AS n_chars_actual
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_filter" ->
+      """SELECT doc_id, n_words, n_word_chars, n_stop, n_punct,
+        |  CAST(n_word_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS mean_word_len,
+        |  CAST(n_punct AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS symbol_ratio,
+        |  CAST(n_words BETWEEN 50 AND 100000
+        |    AND CAST(n_word_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) BETWEEN 3.0 AND 10.0
+        |    AND CAST(n_punct AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) < 0.1
+        |    AND n_stop >= 2 AS BIGINT) AS keep
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> length(x))), 0) AS BIGINT) AS n_word_chars,
+        |    CAST(len(regexp_extract_all(text, '\bthe\b|\ba\b')) AS BIGINT) AS n_stop,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct
+        |  FROM documents
+        |) ORDER BY doc_id""".stripMargin,
+    "pii_redaction" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g')) AS redacted_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "corpus_curation" ->
+      """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 3), i ->
+        |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+        |    FROM docs WHERE len(w) >= 5
+        |  )
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |sh2 AS (
+        |  SELECT s.doc_id, s.shingle FROM sh s
+        |  JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 256) f
+        |    ON s.shingle = f.shingle
+        |),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+        |  FROM sh2 x JOIN sh2 y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |losers AS (
+        |  SELECT DISTINCT b AS doc_id FROM inter
+        |  JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+        |),
+        |canon AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |),
+        |quality AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
+        |      CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> length(x))), 0) AS BIGINT) AS n_word_chars,
+        |      CAST(len(regexp_extract_all(text, '\bthe\b|\ba\b')) AS BIGINT) AS n_stop,
+        |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct
+        |    FROM documents
+        |  ) WHERE n_words BETWEEN 50 AND 100000
+        |    AND CAST(n_word_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) BETWEEN 3.0 AND 10.0
+        |    AND CAST(n_punct AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) < 0.1
+        |    AND n_stop >= 2
+        |)
+        |SELECT q.doc_id AS doc_id FROM quality q
+        |JOIN canon c ON q.doc_id = c.doc_id
+        |LEFT JOIN losers l ON q.doc_id = l.doc_id
+        |WHERE l.doc_id IS NULL
+        |ORDER BY doc_id""".stripMargin,
     "binary_content" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5, source

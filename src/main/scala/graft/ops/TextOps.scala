@@ -67,6 +67,74 @@ object TextOps {
         length(col("text")).cast("long").as("n_chars_actual"))
       .orderBy("doc_id")
 
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, as used in
+    * public pipelines like Dolma): word-count bounds, mean word length,
+    * symbol-to-word ratio, stop-word presence. Pure per-row arithmetic over
+    * regex counts — narrow, codegen'd, oracle-exact (the `keep` verdict is
+    * exported as 0/1 BIGINT; booleans print differently across engines).
+    */
+  def qualityFilter(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(
+        col("doc_id"),
+        reCount(col("text"), "[A-Za-z0-9]+").as("n_words"),
+        // summed word length for the mean-word-length rule
+        expr("aggregate(transform(regexp_extract_all(text, '[A-Za-z0-9]+', 0), " +
+          "x -> length(x)), 0L, (acc, x) -> acc + x)").as("n_word_chars"),
+        reCount(col("text"), "\\bthe\\b|\\ba\\b").as("n_stop"),
+        reCount(col("text"), "[^A-Za-z0-9\\s]").as("n_punct"))
+      .withColumn("mean_word_len",
+        col("n_word_chars").cast("double") / greatest(col("n_words"), lit(1L)).cast("double"))
+      .withColumn("symbol_ratio",
+        col("n_punct").cast("double") / greatest(col("n_words"), lit(1L)).cast("double"))
+      .withColumn("keep",
+        (col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") < 0.1 &&
+          col("n_stop") >= 2L).cast("long"))
+      .orderBy("doc_id")
+
+  /** Regex PII redaction (emails, IPv4, US-style phone numbers): replaced
+    * with typed placeholders; per-kind match counts ride along. The redacted
+    * text is exported as its md5 (keeps the oracle row narrow). Narrow
+    * per-row transform — at 100 TB this is a pure scan.
+    */
+  def redactPii(spark: SparkSession, d: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), lit(email), lit("[EMAIL]")),
+        lit(ipv4), lit("[IP]")),
+      lit(phone), lit("[PHONE]"))
+    Tables.documents(spark, d)
+      .select(
+        col("doc_id"),
+        reCount(col("text"), email).as("n_emails"),
+        reCount(col("text"), ipv4).as("n_ips"),
+        reCount(col("text"), phone).as("n_phones"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** End-to-end corpus curation (the composition a training-data pipeline
+    * actually runs): quality filter → exact dedup (keep lowest doc_id per
+    * fingerprint) → near-dup removal (drop the higher id of every
+    * jaccard-over-threshold pair). Deterministic, so the whole pipeline is
+    * oracle-checkable. Each stage is a set op on doc_id: the joins are on a
+    * single long key and the near-dup loser side is tiny (pairs only).
+    */
+  def curateCorpus(spark: SparkSession, d: String): DataFrame = {
+    val quality = qualityFilter(spark, d).filter(col("keep") === 1L).select("doc_id")
+    val keptExact = Dedup.exact(spark, d).select(col("canonical_id").as("doc_id"))
+    val nearDupLosers = Dedup.ngramJaccard(spark, d).select(col("b").as("doc_id")).distinct()
+    quality
+      .join(keptExact, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** Multimodal plumbing: treat content as an opaque binary column with typed
     * metadata — here synthesized from text (the container ships no image/audio
     * codecs; SURVEY.md north-star stub). Byte length and content digest are

@@ -81,6 +81,44 @@ class OpsSpec extends SparkSuite {
     assert(uncapped.size == 45, s"sanity: without cap all pairs meet, got ${uncapped.size}")
   }
 
+  test("quality filter: keep verdict is consistent with its own rule columns") {
+    import spark.implicits._
+    val rows = TextOps.qualityFilter(spark, sf)
+      .select("n_words", "mean_word_len", "symbol_ratio", "n_stop", "keep")
+      .as[(Long, Double, Double, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, mwl, sym, stop, keep) =>
+      val expect = if (w >= 50 && w <= 100000 && mwl >= 3.0 && mwl <= 10.0 &&
+        sym < 0.1 && stop >= 2) 1L else 0L
+      assert(keep == expect, s"($w, $mwl, $sym, $stop) -> $keep")
+    }
+  }
+
+  test("pii redaction changes the text digest exactly when something matched") {
+    import spark.implicits._
+    val joined = TextOps.redactPii(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), md5(col("text")).as("orig_md5")), "doc_id")
+      .select(col("n_emails") + col("n_ips") + col("n_phones"),
+        (col("redacted_md5") =!= col("orig_md5")).cast("long"))
+      .as[(Long, Long)].collect()
+    joined.foreach { case (hits, changed) =>
+      assert((hits > 0) == (changed == 1L), s"hits=$hits changed=$changed")
+    }
+  }
+
+  test("corpus curation = quality ∩ exact-canonical − near-dup losers") {
+    import spark.implicits._
+    val kept = TextOps.curateCorpus(spark, sf).as[Long].collect().toSet
+    val quality = TextOps.qualityFilter(spark, sf).filter(col("keep") === 1L)
+      .select("doc_id").as[Long].collect().toSet
+    val canon = Dedup.exact(spark, sf).select("canonical_id").as[Long].collect().toSet
+    val losers = Dedup.ngramJaccard(spark, sf).select("b").as[Long].collect().toSet
+    assert(kept.nonEmpty)
+    assert(kept.subsetOf(quality) && kept.subsetOf(canon))
+    assert(kept.intersect(losers).isEmpty)
+    assert(kept == (quality intersect canon) -- losers)
+  }
+
   test("narrow shingle generation matches the SQL expression path exactly") {
     import spark.implicits._
     val texts = Seq((1L, "  a b  c d e f g "), (2L, "one two three four five"),
