@@ -63,6 +63,33 @@ class StreamingSpec extends SparkSuite {
       s"no ttl REMOVE seen, got: ${ops.mkString(",")}")
   }
 
+  test("ImagePairing state runs on the RocksDB state store provider") {
+    // 100 TB posture: HDFS-backed in-memory state dies when live keys exceed
+    // executor heap; RocksDB spills to local disk. Same operator, same
+    // results — only the provider changes.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[ItemWrite]
+      val q = ImagePairing.pair(mem.toDS()).writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("rocks_out").start()
+      mem.addData(ItemWrite("U#1", "A", 1000L, """{"n":1}"""))
+      q.processAllAvailable()
+      mem.addData(ItemWrite("U#1", "A", 2000L, """{"n":2}""")) // state survives batches
+      q.processAllAvailable()
+      val ops = spark.table("rocks_out").collect()
+        .map(r => (r.getAs[String]("eventID"), r.getAs[String]("eventName"))).sorted
+      q.stop()
+      assert(ops.toSeq == Seq("w-U#1-A-1000" -> "INSERT", "w-U#1-A-2000" -> "MODIFY"))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("WindowedAgg: tumbling windows close on watermark; late rows dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
