@@ -49,6 +49,7 @@ object SparkEntry {
     "except_segments" -> ((s, d) => Analytics.segmentExcept(s, d)),
     "q17_small_qty_revenue" -> ((s, d) => Analytics.smallQuantityRevenue(s, d)),
     "asof_join_signup" -> ((s, d) => AsOfJoin.purchaseToSignup(s, d)),
+    "range_join_repeat" -> ((s, d) => RangeJoin.repeatOrders(s, d)),
     "variant_props" -> ((s, d) => VariantOps.variantProps(s, d)),
     "variant_agg" -> ((s, d) => VariantOps.variantAgg(s, d)),
     "salted_agg" -> ((s, d) => Skew.saltedEventAgg(s, d)),
@@ -289,6 +290,15 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
+    "range_join_repeat" ->
+      """SELECT o1.o_custkey AS o_custkey, o1.o_orderkey AS first_order,
+        |  o2.o_orderkey AS repeat_order,
+        |  CAST((epoch_ms(o2.o_orderdate) - epoch_ms(o1.o_orderdate)) // 1000 AS BIGINT) AS gap_s
+        |FROM orders o1 JOIN orders o2
+        |  ON o1.o_custkey = o2.o_custkey
+        |  AND o2.o_orderdate > o1.o_orderdate
+        |  AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
+        |ORDER BY o_custkey, first_order, repeat_order""".stripMargin,
     "q17_small_qty_revenue" ->
       """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_small_rev_c2,
         |       count(*) AS n_rows

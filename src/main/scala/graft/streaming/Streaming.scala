@@ -107,4 +107,19 @@ object WindowedAgg {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("eventType"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("window.start").as("win_start"), col("eventType"), col("n"), col("total"))
+
+  /** Gap-based session windows on a live stream — the streaming twin of
+    * [[graft.ops.Sessions.sessionize]], via Spark's native `session_window`
+    * (state merges adjacent windows per key; watermark closes sessions, so
+    * state tracks OPEN sessions only — the bounded-state requirement at
+    * stream scale).
+    */
+  def sessions(events: Dataset[Event], gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("eventType"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("eventType"), col("n"), col("total"))
 }

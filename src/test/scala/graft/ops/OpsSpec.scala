@@ -81,6 +81,22 @@ class OpsSpec extends SparkSuite {
     assert(uncapped.size == 45, s"sanity: without cap all pairs meet, got ${uncapped.size}")
   }
 
+  test("binned range join equals the naive inequality join") {
+    import spark.implicits._
+    val weekMs = 7L * 86400000L
+    val o = Tables.orders(spark, sf).select(
+      col("o_custkey").as("key"), col("o_orderkey").as("id"),
+      (unix_timestamp(col("o_orderdate")) * 1000L).as("ts"))
+    val binned = RangeJoin.windowPairs(o, o, weekMs)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    val l = o.select(col("key"), col("id").as("l_id"), col("ts").as("l_ts"))
+    val r = o.select(col("key").as("rk"), col("id").as("r_id"), col("ts").as("r_ts"))
+    val naive = l.join(r, col("key") === col("rk") &&
+        col("r_ts") > col("l_ts") && col("r_ts") <= col("l_ts") + weekMs)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(binned.nonEmpty && binned == naive)
+  }
+
   test("quality filter: keep verdict is consistent with its own rule columns") {
     import spark.implicits._
     val rows = TextOps.qualityFilter(spark, sf)

@@ -90,6 +90,31 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("WindowedAgg.sessions: gap merges within, splits across; closes on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[WindowedAgg.Event]
+    val agg = WindowedAgg.sessions(mem.toDS(), gap = "10 minutes", watermark = "5 minutes")
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_out").start()
+    def t(min: Int) = new Timestamp(min * 60000L)
+    mem.addData(
+      WindowedAgg.Event(t(1), "click", 1.0),
+      WindowedAgg.Event(t(5), "click", 2.0),   // within gap → same session
+      WindowedAgg.Event(t(30), "click", 4.0))  // > gap later → new session
+    q.processAllAvailable()
+    mem.addData(WindowedAgg.Event(t(120), "click", 8.0)) // advance watermark, close all
+    q.processAllAvailable()
+    mem.addData(WindowedAgg.Event(t(180), "click", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("sess_out").collect()
+      .map(r => (r.getAs[Timestamp]("sess_start").getTime / 60000,
+        r.getAs[Long]("n"), r.getAs[Double]("total"))).sortBy(_._1)
+    q.stop()
+    assert(rows.contains((1L, 2L, 3.0)), s"merged session missing: ${rows.mkString(",")}")
+    assert(rows.contains((30L, 1L, 4.0)), s"split session missing: ${rows.mkString(",")}")
+  }
+
   test("WindowedAgg: tumbling windows close on watermark; late rows dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
