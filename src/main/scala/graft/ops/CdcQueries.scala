@@ -147,8 +147,7 @@ object CdcQueries {
   def ttlExpiry(spark: SparkSession, sfDir: String): DataFrame = {
     val cutoffMs = 1705276800000L // 2024-01-15T00:00:00Z
     Tables.events(spark, sfDir)
-      // floor-division nanos→ms (exact for pre-1970 nanos; DuckDB epoch_ms parity)
-      .filter(expr("(ts - pmod(ts, 1000000)) div 1000000") < cutoffMs)
+      .filter(Sessions.nanosToMsFloor < cutoffMs)
       .select(col("event_id"), lit("REMOVE").as("operation"),
         concat(lit("USER#"), col("user_id")).as("pk"))
       .orderBy("event_id")

@@ -58,7 +58,10 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) => shingleHashes(text, n).map(id -> _) }
+      // null text → no shingles (the Column-expression path dropped null rows)
+      .flatMap { case (id, text) =>
+        if (text == null) Nil else shingleHashes(text, n).map(id -> _)
+      }
       .toDF("doc_id", "shingle")
   }
 
@@ -156,7 +159,7 @@ object Dedup {
         rnd.nextInt(Int.MaxValue).toLong)
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val hs = shingleHashes(text, 5)
+        val hs = if (text == null) Array.emptyLongArray else shingleHashes(text, 5)
         if (hs.isEmpty) None
         else {
           val sig = new Array[Long](k)
@@ -238,11 +241,13 @@ object Dedup {
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions { it =>
-          it.map { case (id, text) =>
+          it.flatMap { case (id, text) =>
             val counts = new Array[Int](64)
+            var nTok = 0
             // tokenization parity with split(trim(text), " ") + non-empty filter
-            text.trim.split(" ").foreach { tok =>
+            if (text != null) text.trim.split(" ").foreach { tok =>
               if (tok.nonEmpty) {
+                nTok += 1
                 val bytes = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
                 val h = org.apache.spark.sql.catalyst.expressions.XXH64
                   .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
@@ -254,10 +259,15 @@ object Dedup {
                 }
               }
             }
-            var fp = 0L
-            var i = 0
-            while (i < 64) { if (counts(i) > 0) fp |= (1L << i); i += 1 }
-            (id, fp)
+            // zero-token or null docs emit NO row — the groupBy semantics of
+            // the original explode-based shape (they had no exploded tokens)
+            if (nTok == 0) None
+            else {
+              var fp = 0L
+              var i = 0
+              while (i < 64) { if (counts(i) > 0) fp |= (1L << i); i += 1 }
+              Some((id, fp))
+            }
           }
         }
         .toDF("doc_id", "simhash")

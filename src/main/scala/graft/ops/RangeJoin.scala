@@ -39,10 +39,15 @@ object RangeJoin {
   }
 
   /** Floor division for possibly-negative epoch timestamps (pmod trick —
-    * same floor the DuckDB `//` operator applies).
+    * same floor the DuckDB `//` operator applies). The division runs in
+    * DECIMAL, not `/` (double): epoch-nanos inputs exceed 2^53, where double
+    * division silently rounds and would route rows to a neighboring bucket —
+    * pairs lost to mis-bucketing are unrecoverable downstream. The numerator
+    * is an exact multiple of `m`, so the decimal quotient is exact.
     */
   private def floorDiv(c: org.apache.spark.sql.Column, m: Long): org.apache.spark.sql.Column =
-    ((c - pmod(c, lit(m))) / m).cast("long")
+    ((c - pmod(c, lit(m))).cast(org.apache.spark.sql.types.DecimalType(38, 0)) / lit(m))
+      .cast("long")
 
   /** Driver query: orders placed by the same customer within 7 days AFTER an
     * order — repeat-purchase mining over the orders table. Both sides are the

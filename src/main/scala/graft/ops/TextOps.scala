@@ -99,22 +99,26 @@ object TextOps {
     * text is exported as its md5 (keeps the oracle row narrow). Narrow
     * per-row transform — at 100 TB this is a pure scan.
     */
-  def redactPii(spark: SparkSession, d: String): DataFrame = {
+  def redactPii(spark: SparkSession, d: String): DataFrame =
+    redactPiiDocs(Tables.documents(spark, d))
+
+  def redactPiiDocs(docs: DataFrame): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
     val phone = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
-    val redacted = regexp_replace(
-      regexp_replace(
-        regexp_replace(col("text"), lit(email), lit("[EMAIL]")),
-        lit(ipv4), lit("[IP]")),
-      lit(phone), lit("[PHONE]"))
-    Tables.documents(spark, d)
+    docs
       .select(
         col("doc_id"),
         reCount(col("text"), email).as("n_emails"),
         reCount(col("text"), ipv4).as("n_ips"),
         reCount(col("text"), phone).as("n_phones"),
-        md5(redacted).as("redacted_md5"))
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), lit(email), lit("[EMAIL]")),
+            lit(ipv4), lit("[IP]")),
+          lit(phone), lit("[PHONE]")).as("redacted"))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        md5(col("redacted")).as("redacted_md5"))
       .orderBy("doc_id")
   }
 

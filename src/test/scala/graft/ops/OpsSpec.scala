@@ -122,6 +122,25 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("pii redaction: positive path — counts and exact replacements") {
+    import spark.implicits._
+    // the sf docs contain no PII, so the operator's match path is exercised
+    // here with synthetic rows (counts AND the exact redacted text via md5)
+    val docs = Seq(
+      (1L, "contact bob.smith+x@example-mail.co or 10.0.255.1 or 415-555-1234 now"),
+      (2L, "no pii here at all"),
+      (3L, "two mails: a@b.io c.d@e.org and ip 1.2.3.4")
+    ).toDF("doc_id", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = TextOps.redactPiiDocs(docs)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(rows(0) == ((1L, 1L, 1L, 1L, md5hex("contact [EMAIL] or [IP] or [PHONE] now"))))
+    assert(rows(1) == ((2L, 0L, 0L, 0L, md5hex("no pii here at all"))))
+    assert(rows(2) == ((3L, 2L, 1L, 0L, md5hex("two mails: [EMAIL] [EMAIL] and ip [IP]"))))
+  }
+
   test("corpus curation = quality ∩ exact-canonical − near-dup losers") {
     import spark.implicits._
     val kept = TextOps.curateCorpus(spark, sf).as[Long].collect().toSet
