@@ -1,7 +1,9 @@
 package graft
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times every SparkEntry query at the SF
@@ -33,16 +35,33 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
+    // Per-query shuffle accounting: scale evidence, not just seconds — a
+    // query whose time is fine but whose shuffle grows superlinearly is the
+    // one that dies at 100 TB. Task-end metrics accumulate between queries.
+    val shuffleBytes = new AtomicLong()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
     val results = SparkEntry.queries.map { case (name, fn) =>
+      val s0 = shuffleBytes.get()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener events are async; drain before reading the counter
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext, 30000L)
+      name -> ((sec, (shuffleBytes.get() - s0) / 1048576.0))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val sh = results.map { case (k, (_, mb)) => s"\"" + k + "\":" + f"$mb%.1f" }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""shuffle_write_mb":$sh,"sf":"$sfDir"}"""
     val outPath = if (args.nonEmpty) args(0) else "BENCH.json"
     Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
