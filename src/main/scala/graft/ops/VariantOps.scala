@@ -36,6 +36,40 @@ object VariantOps {
       .orderBy("event_type")
 }
 
+/** Shredded variant STORAGE (SURVEY.md §1.2): Spark 4.1 can write a variant
+  * column to parquet with inferred shredding — common JSON paths become real
+  * typed parquet columns (`typed_value`) next to the opaque binary, so a
+  * later `variant_get(v, '$.k', 'int')` scan prunes and pushes down like any
+  * typed column instead of re-parsing binary variant per row. At 100 TB this
+  * is the difference between a columnar scan and a full decode.
+  */
+object VariantStorage {
+
+  /** Write `df` (containing variant columns) with shredding enabled. */
+  def writeShredded(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    withFlags(spark) {
+      df.write.mode("overwrite").parquet(path)
+    }
+  }
+
+  def readBack(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.variant.allowReadingShredded", "true")
+    spark.read.parquet(path)
+  }
+
+  private def withFlags[T](spark: SparkSession)(body: => T): T = {
+    val prev = Seq("spark.sql.variant.writeShredding.enabled",
+      "spark.sql.variant.inferShreddingSchema").map(k => k -> spark.conf.getOption(k))
+    prev.foreach { case (k, _) => spark.conf.set(k, "true") }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
+
 /** Skew mitigation: two-phase salted aggregation (SURVEY.md §7.4 item 5 —
   * hot pk prefixes at 100 TB). Phase 1 aggregates on (key, salt) so a hot
   * key's rows spread over `nSalts` reducers; phase 2 merges the partials.

@@ -81,6 +81,30 @@ class OpsSpec extends SparkSuite {
     assert(uncapped.size == 45, s"sanity: without cap all pairs meet, got ${uncapped.size}")
   }
 
+  test("variant shredded storage: typed_value lands in parquet, values roundtrip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-variant-shred").toString
+    val src = Tables.events(spark, sf).limit(200)
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+    VariantStorage.writeShredded(src, dir)
+    // the parquet footer must contain the shredded typed_value group
+    val pf = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(pf.getAbsolutePath),
+        spark.sessionState.newHadoopConf()))
+    val schema = try reader.getFooter.getFileMetaData.getSchema.toString finally reader.close()
+    assert(schema.contains("typed_value"), s"no shredded column in:\n$schema")
+    // typed path extraction over the shredded file matches the source values
+    val back = VariantStorage.readBack(spark, dir)
+      .select(col("event_id"), variant_get(col("v"), "$.k", "int").as("k"))
+      .as[(Long, Int)].collect().toMap
+    val orig = Tables.events(spark, sf).limit(200)
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int"))
+      .as[(Long, Int)].collect().toMap
+    assert(back == orig && back.nonEmpty)
+  }
+
   test("binned range join equals the naive inequality join") {
     import spark.implicits._
     val weekMs = 7L * 86400000L
