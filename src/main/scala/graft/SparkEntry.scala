@@ -78,7 +78,8 @@ object SparkEntry {
     "media_stats" -> ((s, d) => graft.multimodal.Multimodal.mediaStats(s, d)),
     "topk_similar" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "cosine_pairs" -> ((s, d) => Similarity.cosinePairs(s, d)),
-    "ann_topk_lsh" -> ((s, d) => Similarity.annTopK(s, d)) // approx: rows-only
+    "ann_topk_lsh" -> ((s, d) => Similarity.annTopK(s, d)), // approx: rows-only
+    "ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)) // approx: rows-only
   )
 
   /** Shared DuckDB CTE reconstructing the synthesized CDC pairing + depth-1+

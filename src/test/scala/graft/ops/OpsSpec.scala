@@ -31,6 +31,19 @@ class OpsSpec extends SparkSuite {
     assert(recall > 0.2, s"ANN recall $recall suspiciously low")
   }
 
+  test("ivf_topk recall vs brute force; probing fewer cells than exist") {
+    val exact = Similarity.bruteForceTopK(spark, sf, nQueries = 8, k = 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, sf, k = 5, nQueries = 8)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall > 0.2, s"IVF recall $recall suspiciously low")
+    // structural: every query answered with exactly k ranked rows
+    val perQ = Similarity.ivfTopK(spark, sf, k = 5, nQueries = 8)
+      .groupBy("qid").count().collect().map(_.getLong(1))
+    assert(perQ.forall(_ == 5L))
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     import spark.implicits._
     val pairs = Dedup.ngramJaccard(spark, sf, threshold = 0.9)
