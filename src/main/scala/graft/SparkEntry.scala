@@ -48,6 +48,7 @@ object SparkEntry {
     "intersect_segments" -> ((s, d) => Analytics.segmentIntersect(s, d)),
     "except_segments" -> ((s, d) => Analytics.segmentExcept(s, d)),
     "q17_small_qty_revenue" -> ((s, d) => Analytics.smallQuantityRevenue(s, d)),
+    "q8_market_share" -> ((s, d) => Analytics.marketShare(s, d)),
     "asof_join_signup" -> ((s, d) => AsOfJoin.purchaseToSignup(s, d)),
     "range_join_repeat" -> ((s, d) => RangeJoin.repeatOrders(s, d)),
     "variant_props" -> ((s, d) => VariantOps.variantProps(s, d)),
@@ -307,6 +308,24 @@ object SparkEntry {
         |WHERE p_brand = 'Brand#13'
         |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
         |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+        |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * (10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT))
+        |    ELSE 0 END) AS BIGINT) AS target_rev_e6,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    * (10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT))) AS BIGINT) AS total_rev_e6,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY y""".stripMargin,
     "variant_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |  CAST(NULL AS VARCHAR) AS absent, event_type

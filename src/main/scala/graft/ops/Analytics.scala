@@ -226,6 +226,38 @@ object Analytics {
         |""".stripMargin)
   }
 
+  /** TPC-H Q8-style market share: conditional aggregation — one nation's
+    * revenue share within a region per order year. Exports the exact scaled
+    * numerator/denominator (the ratio itself is one IEEE division away for
+    * consumers; exporting both integers keeps the oracle exact). All dims
+    * broadcast; lineitem⋈orders is the only data-sized join.
+    */
+  def marketShare(spark: SparkSession, d: String,
+      region: String = "ASIA", suppNation: String = "NATION_3"): DataFrame = {
+    val reg = Tables.region(spark, d).filter(col("r_name") === region)
+    val nationC = Tables.nation(spark, d)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val nationS = Tables.nation(spark, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nationC), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(Tables.supplier(spark, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nationS), col("s_nationkey") === col("sn_key"))
+      .withColumn("rev_e6",
+        Exact.c2(col("l_extendedprice")) * (lit(10000L) - Exact.e4(col("l_discount"))))
+      .withColumn("y", year(col("o_orderdate")).cast("long"))
+      .groupBy("y")
+      .agg(
+        Exact.sumLong(when(col("supp_nation") === suppNation, col("rev_e6"))
+          .otherwise(0L)).as("target_rev_e6"),
+        Exact.sumLong(col("rev_e6")).as("total_rev_e6"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("y")
+  }
+
   /** Sort + limit: top-20 line items by extended price (unique tiebreak). */
   def topLineitems(spark: SparkSession, d: String): DataFrame =
     Tables.lineitem(spark, d)
