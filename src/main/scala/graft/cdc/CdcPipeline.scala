@@ -80,6 +80,26 @@ object CdcPipeline {
     bus.filter(col("source") === lit(source) &&
       col("detailType") === lit(CdcConfig.DetailType))
 
+  /** Read the bus directory seeing BOTH streaming-sink files and
+    * batch-appended [[backfill]] files. A streaming parquet sink keeps a
+    * `_spark_metadata` log and `spark.read.parquet(dir)` honors it,
+    * silently hiding any file the log doesn't list — so backfilled events
+    * would vanish from consumers (and from backfill's own dedup read,
+    * breaking idempotence). Passing explicit file paths bypasses the log.
+    * Trade-off (documented): files from a failed in-flight streaming batch
+    * would also be visible; the streaming sink is AvailableNow/
+    * checkpoint-gated here, so that window is the current batch only.
+    */
+  def readBus(spark: SparkSession, busDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(busDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    require(files.nonEmpty, s"no parquet files in $busDir")
+    spark.read.parquet(files: _*)
+  }
+
   /** Fused narrow path over raw lines: one parse, no intermediate image
     * strings (see [[RecordProcessor.processLine]]).
     */
@@ -142,6 +162,37 @@ object CdcPipeline {
     */
   def dedupByEventId(bus: Dataset[BusEvent]): Dataset[BusEvent] =
     bus.dropDuplicates("eventID")
+
+  /** Idempotent batch backfill / replay — the reprocessing path every CDC
+    * deployment eventually needs (handler bug fixed, archive re-ingested,
+    * bus partially lost): run the full pipeline over an input archive and
+    * append ONLY events whose `eventID` is not already on the bus (one
+    * anti-join on the stream-unique id). Claim-check blobs for fresh events
+    * are (re)written — `writeBlob` truncates, so re-running is a no-op for
+    * existing keys. Returns the number of events appended.
+    */
+  def backfill(spark: SparkSession, inputDir: String, busDir: String, cfg: CdcConfig): Long = {
+    import spark.implicits._
+    val proc = processedLines(spark.read.textFile(inputDir), cfg)
+    val existing =
+      try readBus(spark, busDir).select(col("eventID").as("existing_id"))
+      catch { case _: Throwable => Seq.empty[String].toDF("existing_id") }
+    val fresh = proc.toDF()
+      .join(existing, col("event.eventID") === col("existing_id"), "left_anti")
+      .as[RecordProcessor.Processed]
+    val blobDir = cfg.blobDir
+    val bus = fresh.mapPartitions { it =>
+      it.map { p =>
+        p.blob.foreach(b => writeBlob(blobDir, b))
+        RecordProcessor.toBusEvent(p.event, cfg)
+      }
+    }.persist()
+    try {
+      val n = bus.count()
+      if (n > 0) bus.write.mode("append").parquet(busDir)
+      n
+    } finally { bus.unpersist(); () }
+  }
 
   /** Blob retention sweep — the engine counterpart of the reference's 24 h
     * S3 lifecycle rule (`/root/reference/lib/constructs/dynamo.ts:111-116`;

@@ -60,6 +60,28 @@ class CdcStreamSpec extends SparkSuite {
     assert(bus.map(_.eventID) == Seq("s-1"))
   }
 
+  test("backfill: replay appends only unseen eventIDs, rewrites blobs") {
+    val (bus0, blobs0, base) = run(Seq(small, bigRemove))
+    assert(bus0.map(_.eventID) == Seq("s-1", "s-3") && blobs0 == Seq("s-3.json"))
+    val cfg = CdcConfig(eventSource = "spec", blobDir = s"$base/blobs")
+    // replay the SAME archive → nothing appended
+    assert(CdcPipeline.backfill(spark, s"$base/in", s"$base/bus", cfg) == 0L)
+    assert(CdcPipeline.readBus(spark, s"$base/bus").count() == 2)
+    // extend the archive with one new record → exactly one appended
+    val extra =
+      """{"eventID":"s-9","eventName":"INSERT","dynamodb":{"SizeBytes":90,"Keys":{"pk":{"S":"U#9"}},"NewImage":{"pk":{"S":"U#9"},"x":{"N":"9"}}}}"""
+    Files.write(Paths.get(s"$base/in/batch2.json"), extra.getBytes)
+    assert(CdcPipeline.backfill(spark, s"$base/in", s"$base/bus", cfg) == 1L)
+    // idempotence: a third run over the extended archive appends nothing
+    assert(CdcPipeline.backfill(spark, s"$base/in", s"$base/bus", cfg) == 0L)
+    import spark.implicits._
+    val ids = CdcPipeline.readBus(spark, s"$base/bus")
+      .as[BusEvent].collect().map(_.eventID).sorted
+    assert(ids.toSeq == Seq("s-1", "s-3", "s-9"))
+    // the pre-existing blob survived the replay
+    assert(Files.exists(Paths.get(s"$base/blobs/s-3.json")))
+  }
+
   test("dedupByEventId: replayed at-least-once delivery collapses to one row") {
     import spark.implicits._
     // simulate an at-least-once source re-delivering a whole micro-batch

@@ -229,6 +229,18 @@ class OpsSpec extends SparkSuite {
     assert(got == expected, s"$got != $expected")
   }
 
+  test("plan lint: no query plans a CartesianProduct") {
+    // BroadcastNestedLoopJoin with a small broadcast side is fine (topk,
+    // cosine pairs); an unbroadcast CartesianProduct is never fine — it
+    // means a non-equi join with two big sides slipped into a query.
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian product in: $offenders")
+  }
+
   test("plan: pk prefix filter pushes into the parquet scan") {
     val df = Tables.customer(spark, sf).filter(col("c_name").startsWith("Customer#00000001"))
     val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
