@@ -71,6 +71,7 @@ object SparkEntry {
     // --- LLM-data-pipeline: dedup family ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)), // approx: rows-only
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)), // rows-only
     "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)), // rows-only
@@ -510,6 +511,44 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
         |ORDER BY a, b""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 3), i ->
+        |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+        |    FROM docs WHERE len(w) >= 5
+        |  )
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |sh2 AS (
+        |  SELECT s.doc_id, s.shingle FROM sh s
+        |  JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 256) f
+        |    ON s.shingle = f.shingle
+        |),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+        |  FROM sh2 x JOIN sh2 y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT a, b FROM inter
+        |  JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+        |),
+        |edges AS (
+        |  SELECT a AS node, b AS nbr FROM pairs
+        |  UNION SELECT b, a FROM pairs
+        |  UNION SELECT a, a FROM pairs
+        |  UNION SELECT b, b FROM pairs
+        |),
+        |reach AS (
+        |  SELECT node, nbr AS anc FROM edges
+        |  UNION
+        |  SELECT r.node, e.nbr FROM reach r JOIN edges e ON r.anc = e.node
+        |)
+        |SELECT node AS doc_id, CAST(min(anc) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "media_stats" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -304,6 +304,47 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Near-dup CLUSTERS: connected components over the jaccard pair graph,
+    * labeled by the minimum doc_id in each component — the principled
+    * canonical-selection step (pairwise "drop b" misses transitive chains
+    * a~b, b~c where (a,c) never met a shingle). Iterative min-label
+    * propagation over the EDGE set only (pairs, not docs — orders of
+    * magnitude smaller than the corpus), converging in O(component diameter)
+    * rounds; near-dup components are shallow in practice, and `maxIters`
+    * bounds the worst case. Each round is one groupBy on the edge key.
+    */
+  def dupClusters(spark: SparkSession, d: String,
+      threshold: Double = 0.5, maxIters: Int = 20): DataFrame =
+    clusterPairs(ngramJaccard(spark, d, threshold).select(col("a"), col("b")), maxIters)
+
+  /** Min-label connected components over an (a, b) edge frame. */
+  def clusterPairs(pairDf: DataFrame, maxIters: Int = 20): DataFrame = {
+    val spark = pairDf.sparkSession
+    import spark.implicits._
+    val pairs = pairDf.as[(Long, Long)].persist()
+    // adjacency both ways + self-loop carries each node's own label
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a), (a, a), (b, b)) }
+      .toDF("node", "nbr").distinct().persist()
+    var labels = edges.select(col("node")).distinct()
+      .withColumn("lbl", col("node"))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // next label = min over neighborhood labels (including own)
+      val next = edges
+        .join(labels.withColumnRenamed("node", "nbr"), "nbr")
+        .groupBy("node").agg(min(col("lbl")).as("lbl"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+        .filter(col("lbl") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Keep only LSH buckets that can produce pairs and are below the blow-up
     * cap: bucket size in [2, maxBucket]. One aggregate on the bucket key +
     * a broadcast-able semi-join; prunes singleton buckets (the majority)

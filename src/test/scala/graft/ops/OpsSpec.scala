@@ -73,6 +73,15 @@ class OpsSpec extends SparkSuite {
     assert(expected.toSet == pairs.map(p => (p._1, p._2)).toSet)
   }
 
+  test("clusterPairs: transitive chains land in one component (min label)") {
+    import spark.implicits._
+    // chain 1-2-3 (no direct 1-3 edge), isolated pair 10-11, pair 5-20
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (5L, 20L)).toDF("a", "b")
+    val got = Dedup.clusterPairs(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      5L -> 5L, 20L -> 5L))
+  }
+
   test("jaccardPairs: boilerplate shingle past maxDf generates no pairs") {
     import spark.implicits._
     // 10 docs, all sharing one boilerplate 5-gram; docs 0 and 1 additionally
