@@ -68,6 +68,7 @@ object SparkEntry {
     "quality_filter" -> ((s, d) => TextOps.qualityFilter(s, d)),
     "pii_redaction" -> ((s, d) => TextOps.redactPii(s, d)),
     "corpus_curation" -> ((s, d) => TextOps.curateCorpus(s, d)),
+    "train_test_split" -> ((s, d) => TextOps.trainTestSplit(s, d)),
     // --- LLM-data-pipeline: dedup family ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -511,6 +512,55 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
         |ORDER BY a, b""".stripMargin,
+    "train_test_split" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 3), i ->
+        |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+        |    FROM docs WHERE len(w) >= 5
+        |  )
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |sh2 AS (
+        |  SELECT s.doc_id, s.shingle FROM sh s
+        |  JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 256) f
+        |    ON s.shingle = f.shingle
+        |),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+        |  FROM sh2 x JOIN sh2 y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT a, b FROM inter
+        |  JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+        |),
+        |e2 AS (
+        |  SELECT a AS node, b AS nbr FROM pairs
+        |  UNION SELECT b, a FROM pairs
+        |  UNION SELECT a, a FROM pairs
+        |  UNION SELECT b, b FROM pairs
+        |),
+        |reach2 AS (
+        |  SELECT node, nbr AS anc FROM e2
+        |  UNION
+        |  SELECT r.node, e.nbr FROM reach2 r JOIN e2 e ON r.anc = e.node
+        |),
+        |clus AS (
+        |  SELECT node AS doc_id, CAST(min(anc) AS BIGINT) AS cid
+        |  FROM reach2 GROUP BY 1
+        |),
+        |labeled AS (
+        |  SELECT d.doc_id, coalesce(c.cid, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
+        |)
+        |SELECT doc_id, cluster_id,
+        |  CAST((cluster_id * 2654435761) % 4294967296 % 100 AS BIGINT) AS bucket,
+        |  CASE WHEN (cluster_id * 2654435761) % 4294967296 % 100 < 90
+        |       THEN 'train' ELSE 'test' END AS split
+        |FROM labeled ORDER BY doc_id""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |sh AS (

@@ -139,6 +139,26 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Contamination-safe train/test split: a near-duplicate of a training
+    * document leaking into the test split invalidates evaluation, so the
+    * split key is the near-dup CLUSTER id (every member of a component lands
+    * on the same side), with singletons keyed by their own doc_id. The
+    * bucket is Knuth multiplicative hashing in exact BIGINT arithmetic —
+    * deterministic and identical in any engine (no RNG, no float).
+    */
+  def trainTestSplit(spark: SparkSession, d: String, trainPct: Int = 90): DataFrame = {
+    val clusters = Dedup.dupClusters(spark, d)
+    Tables.documents(spark, d)
+      .select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket",
+        pmod(pmod(col("cluster_id") * lit(2654435761L), lit(4294967296L)), lit(100L)))
+      .withColumn("split", when(col("bucket") < trainPct, "train").otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("bucket"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal plumbing: treat content as an opaque binary column with typed
     * metadata — here synthesized from text (the container ships no image/audio
     * codecs; SURVEY.md north-star stub). Byte length and content digest are

@@ -73,6 +73,18 @@ class OpsSpec extends SparkSuite {
     assert(expected.toSet == pairs.map(p => (p._1, p._2)).toSet)
   }
 
+  test("train/test split: no near-dup cluster straddles the split") {
+    import spark.implicits._
+    val rows = TextOps.trainTestSplit(spark, sf)
+      .select("cluster_id", "split").as[(Long, String)].collect()
+    assert(rows.nonEmpty)
+    val perCluster = rows.groupBy(_._1).values
+    assert(perCluster.forall(_.map(_._2).distinct.length == 1),
+      "a cluster appears in both splits")
+    val trainFrac = rows.count(_._2 == "train").toDouble / rows.length
+    assert(trainFrac > 0.75 && trainFrac < 0.98, s"train fraction $trainFrac off target")
+  }
+
   test("clusterPairs: transitive chains land in one component (min label)") {
     import spark.implicits._
     // chain 1-2-3 (no direct 1-3 edge), isolated pair 10-11, pair 5-20
