@@ -315,7 +315,10 @@ object Dedup {
     */
   def dupClusters(spark: SparkSession, d: String,
       threshold: Double = 0.5, maxIters: Int = 20): DataFrame =
-    clusterPairs(ngramJaccard(spark, d, threshold).select(col("a"), col("b")), maxIters)
+    Memo(spark, s"dupclusters|$d|$threshold|$maxIters") {
+      clusterPairs(ngramJaccard(spark, d, threshold).select(col("a"), col("b")), maxIters)
+        .persist()
+    }
 
   /** Min-label connected components over an (a, b) edge frame. */
   def clusterPairs(pairDf: DataFrame, maxIters: Int = 20): DataFrame = {
