@@ -329,7 +329,7 @@ object Dedup {
     val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a), (a, a), (b, b)) }
       .toDF("node", "nbr").distinct().persist()
     var labels = edges.select(col("node")).distinct()
-      .withColumn("lbl", col("node"))
+      .withColumn("lbl", col("node")).persist()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -340,10 +340,13 @@ object Dedup {
         .persist()
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
         .filter(col("lbl") =!= col("old")).limit(1).count()
+      labels.unpersist() // superseded frame; keeps long chains from piling cache
       labels = next
       converged = changed == 0
       it += 1
     }
+    edges.unpersist()
+    pairs.unpersist()
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
   }
