@@ -51,14 +51,19 @@ object Bench {
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener events are async; drain before reading the counter
-      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext, 30000L)
+      // listener events are async; drain before reading the counter. A slow
+      // drain must not kill the run — the metric file is the only reliable
+      // channel, so tolerate a timeout (that query's MB bleeds to the next).
+      try org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext, 30000L)
+      catch { case _: Throwable => () }
       name -> ((sec, (shuffleBytes.get() - s0) / 1048576.0))
     }
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, (_, mb)) => s"\"" + k + "\":" + f"$mb%.1f" }
-      .mkString("{", ",", "}")
+    // locale-independent formatting: Double.toString never uses comma decimals
+    val sh = results.map { case (k, (_, mb)) =>
+      s"\"" + k + "\":" + (math.rint(mb * 10) / 10.0)
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_write_mb":$sh,"sf":"$sfDir"}"""

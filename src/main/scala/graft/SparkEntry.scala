@@ -557,8 +557,8 @@ object SparkEntry {
         |  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
         |)
         |SELECT doc_id, cluster_id,
-        |  CAST((cluster_id * 2654435761) % 4294967296 % 100 AS BIGINT) AS bucket,
-        |  CASE WHEN (cluster_id * 2654435761) % 4294967296 % 100 < 90
+        |  CAST(((cluster_id % 2147483648) * 2654435761) % 4294967296 % 100 AS BIGINT) AS bucket,
+        |  CASE WHEN ((cluster_id % 2147483648) * 2654435761) % 4294967296 % 100 < 90
         |       THEN 'train' ELSE 'test' END AS split
         |FROM labeled ORDER BY doc_id""".stripMargin,
     "dedup_clusters" ->

@@ -89,6 +89,14 @@ object CdcPipeline {
     * Trade-off (documented): files from a failed in-flight streaming batch
     * would also be visible; the streaming sink is AvailableNow/
     * checkpoint-gated here, so that window is the current batch only.
+    *
+    * Consumer boundary: batch consumers (analytics, [[subscribe]] over a
+    * `readBus` frame, backfill's own dedup) see streaming AND backfilled
+    * files through this method. A STREAMING consumer attached to the sink
+    * directory (e.g. the CdcApp observer's FileStreamSource) takes its file
+    * list from the sink's metadata log and therefore sees only
+    * stream-delivered events — route backfills such consumers must see
+    * through the streaming input path instead.
     */
   def readBus(spark: SparkSession, busDir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(busDir)
@@ -174,11 +182,25 @@ object CdcPipeline {
   def backfill(spark: SparkSession, inputDir: String, busDir: String, cfg: CdcConfig): Long = {
     import spark.implicits._
     val proc = processedLines(spark.read.textFile(inputDir), cfg)
+    // Narrow catch: ONLY "bus does not exist yet" may mean empty — any other
+    // read failure (corrupt footer, transient FS error) must propagate, or
+    // the anti-join would silently re-append the whole archive as duplicates.
     val existing =
       try readBus(spark, busDir).select(col("eventID").as("existing_id"))
-      catch { case _: Throwable => Seq.empty[String].toDF("existing_id") }
+      catch {
+        case _: java.io.FileNotFoundException => Seq.empty[String].toDF("existing_id")
+        case _: IllegalArgumentException => Seq.empty[String].toDF("existing_id")
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") || e.getMessage.contains("does not exist") =>
+          Seq.empty[String].toDF("existing_id")
+      }
     val fresh = proc.toDF()
-      .join(existing, col("event.eventID") === col("existing_id"), "left_anti")
+      .withColumn("eid", col("event.eventID"))
+      // replay archives come from at-least-once sources: dedup WITHIN the
+      // archive too, not just against the bus
+      .dropDuplicates("eid")
+      .join(existing, col("eid") === col("existing_id"), "left_anti")
+      .drop("eid")
       .as[RecordProcessor.Processed]
     val blobDir = cfg.blobDir
     val bus = fresh.mapPartitions { it =>

@@ -316,8 +316,8 @@ object Dedup {
   def dupClusters(spark: SparkSession, d: String,
       threshold: Double = 0.5, maxIters: Int = 20): DataFrame =
     Memo(spark, s"dupclusters|$d|$threshold|$maxIters") {
+      // clusterPairs already returns a persisted, materialized frame
       clusterPairs(ngramJaccard(spark, d, threshold).select(col("a"), col("b")), maxIters)
-        .persist()
     }
 
   /** Min-label connected components over an (a, b) edge frame. */
@@ -333,10 +333,20 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      // next label = min over neighborhood labels (including own)
-      val next = edges
+      // min over neighborhood labels (including own, via the self-loop)...
+      val propagated = edges
         .join(labels.withColumnRenamed("node", "nbr"), "nbr")
         .groupBy("node").agg(min(col("lbl")).as("lbl"))
+      // ...then POINTER JUMP: follow lbl → lbl's own label. Plain propagation
+      // needs O(component diameter) rounds — a 25-doc sliding-boilerplate
+      // chain would exceed maxIters and silently mislabel; jumping halves
+      // chain depth per round, so convergence is O(log diameter) and 20
+      // rounds cover any realistic component. (Every lbl is a node id and
+      // every node appears in `propagated` via its self-loop, so the inner
+      // join is total.)
+      val parents = propagated.select(col("node").as("p_node"), col("lbl").as("p_lbl"))
+      val next = propagated.join(parents, col("lbl") === col("p_node"))
+        .select(col("node"), col("p_lbl").as("lbl"))
         .persist()
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
         .filter(col("lbl") =!= col("old")).limit(1).count()
@@ -345,10 +355,16 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
+    require(converged, s"component labeling did not converge in $maxIters rounds")
+    // materialize the verdict, then release every internal cache — callers
+    // get a small computed frame, not a live dependency on loop caches
+    val out = labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id").persist()
+    out.count()
+    labels.unpersist()
     edges.unpersist()
     pairs.unpersist()
-    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
-      .orderBy("doc_id")
+    out
   }
 
   /** Keep only LSH buckets that can produce pairs and are below the blow-up

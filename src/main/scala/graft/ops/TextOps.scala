@@ -144,7 +144,10 @@ object TextOps {
     * split key is the near-dup CLUSTER id (every member of a component lands
     * on the same side), with singletons keyed by their own doc_id. The
     * bucket is Knuth multiplicative hashing in exact BIGINT arithmetic —
-    * deterministic and identical in any engine (no RNG, no float).
+    * deterministic and identical in any engine (no RNG, no float). The id is
+    * reduced mod 2^31 BEFORE the multiply so the product stays below 2^63
+    * for any 64-bit id (2^31 · 2654435761 < 2^63) — without the reduction,
+    * ids past ~3.5e9 would overflow (ANSI error / engine-divergent wrap).
     */
   def trainTestSplit(spark: SparkSession, d: String, trainPct: Int = 90): DataFrame = {
     val clusters = Dedup.dupClusters(spark, d)
@@ -153,7 +156,8 @@ object TextOps {
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("bucket",
-        pmod(pmod(col("cluster_id") * lit(2654435761L), lit(4294967296L)), lit(100L)))
+        pmod(pmod(pmod(col("cluster_id"), lit(2147483648L)) * lit(2654435761L),
+          lit(4294967296L)), lit(100L)))
       .withColumn("split", when(col("bucket") < trainPct, "train").otherwise("test"))
       .select(col("doc_id"), col("cluster_id"), col("bucket"), col("split"))
       .orderBy("doc_id")

@@ -53,6 +53,12 @@ object VariantStorage {
     }
   }
 
+  /** Reading shredded files needs `allowReadingShredded`, and the flag must
+    * hold at ACTION time, not just while this method runs — restoring it
+    * here would break the returned lazy frame — so it is deliberately left
+    * set for the session (it only WIDENS what the reader accepts; plain
+    * variant files read unchanged).
+    */
   def readBack(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.variant.allowReadingShredded", "true")
     spark.read.parquet(path)

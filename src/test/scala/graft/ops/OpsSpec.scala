@@ -94,6 +94,15 @@ class OpsSpec extends SparkSuite {
       5L -> 5L, 20L -> 5L))
   }
 
+  test("clusterPairs: 40-node path graph converges within few rounds (pointer jump)") {
+    import spark.implicits._
+    // diameter 39 — plain min-propagation would need 39 rounds; pointer
+    // jumping must finish in O(log n), well under maxIters = 10
+    val chain = (0L until 40L).sliding(2).map(s => (s.head, s(1))).toSeq.toDF("a", "b")
+    val got = Dedup.clusterPairs(chain, maxIters = 10).as[(Long, Long)].collect().toMap
+    assert(got.size == 40 && got.values.forall(_ == 0L))
+  }
+
   test("jaccardPairs: boilerplate shingle past maxDf generates no pairs") {
     import spark.implicits._
     // 10 docs, all sharing one boilerplate 5-gram; docs 0 and 1 additionally
@@ -118,7 +127,9 @@ class OpsSpec extends SparkSuite {
   test("variant shredded storage: typed_value lands in parquet, values roundtrip") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-variant-shred").toString
-    val src = Tables.events(spark, sf).limit(200)
+    // deterministic subset: LIMIT without ORDER BY may pick different rows
+    // across the two independent evaluations below
+    val src = Tables.events(spark, sf).orderBy("event_id").limit(200)
       .select(col("event_id"), parse_json(col("props")).as("v"))
     VariantStorage.writeShredded(src, dir)
     // the parquet footer must contain the shredded typed_value group
@@ -133,7 +144,7 @@ class OpsSpec extends SparkSuite {
     val back = VariantStorage.readBack(spark, dir)
       .select(col("event_id"), variant_get(col("v"), "$.k", "int").as("k"))
       .as[(Long, Int)].collect().toMap
-    val orig = Tables.events(spark, sf).limit(200)
+    val orig = Tables.events(spark, sf).orderBy("event_id").limit(200)
       .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int"))
       .as[(Long, Int)].collect().toMap
     assert(back == orig && back.nonEmpty)
