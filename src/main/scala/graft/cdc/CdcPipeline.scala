@@ -216,6 +216,24 @@ object CdcPipeline {
     } finally { bus.unpersist(); () }
   }
 
+  /** Bus compaction — the small-files answer for a long-running streaming
+    * sink: every micro-batch appends a part file, and at 100 TB a week of
+    * 1-minute batches is ~10k tiny files whose open/footer costs dominate
+    * scans. Compacts the CURRENT contents (streaming + backfilled files, via
+    * [[readBus]]) into `outDir` with `targetPartitions` files. Written to a
+    * NEW directory on purpose: rewriting in place would race the live sink
+    * and desync its `_spark_metadata` log — the operational pattern is
+    * compact → point consumers at the compacted dir → retire the old dir
+    * once the sink checkpoint rolls over. Returns the row count written.
+    */
+  def compactBus(spark: SparkSession, busDir: String, outDir: String,
+      targetPartitions: Int = 1): Long = {
+    val rows = readBus(spark, busDir)
+    val n = rows.count()
+    rows.repartition(targetPartitions).write.mode("overwrite").parquet(outDir)
+    n
+  }
+
   /** Blob retention sweep — the engine counterpart of the reference's 24 h
     * S3 lifecycle rule (`/root/reference/lib/constructs/dynamo.ts:111-116`;
     * presigned URLs expire on the same clock,

@@ -82,6 +82,24 @@ class CdcStreamSpec extends SparkSuite {
     assert(Files.exists(Paths.get(s"$base/blobs/s-3.json")))
   }
 
+  test("compactBus: same rows, fewer files, includes backfilled events") {
+    val (bus0, _, base) = run(Seq(small, bigRemove))
+    assert(bus0.length == 2)
+    val cfg = CdcConfig(eventSource = "spec", blobDir = s"$base/blobs")
+    val extra =
+      """{"eventID":"s-8","eventName":"INSERT","dynamodb":{"SizeBytes":90,"Keys":{"pk":{"S":"U#8"}},"NewImage":{"pk":{"S":"U#8"},"x":{"N":"8"}}}}"""
+    Files.write(Paths.get(s"$base/in/batch2.json"), extra.getBytes)
+    assert(CdcPipeline.backfill(spark, s"$base/in", s"$base/bus", cfg) == 1L)
+    assert(CdcPipeline.compactBus(spark, s"$base/bus", s"$base/bus-compact") == 3L)
+    val files = new java.io.File(s"$base/bus-compact").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1, s"expected 1 compacted file, got ${files.length}")
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$base/bus-compact").as[BusEvent]
+      .collect().map(_.eventID).sorted
+    assert(ids.toSeq == Seq("s-1", "s-3", "s-8"))
+  }
+
   test("dedupByEventId: replayed at-least-once delivery collapses to one row") {
     import spark.implicits._
     // simulate an at-least-once source re-delivering a whole micro-batch
