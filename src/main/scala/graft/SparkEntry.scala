@@ -49,6 +49,7 @@ object SparkEntry {
     "except_segments" -> ((s, d) => Analytics.segmentExcept(s, d)),
     "q17_small_qty_revenue" -> ((s, d) => Analytics.smallQuantityRevenue(s, d)),
     "q8_market_share" -> ((s, d) => Analytics.marketShare(s, d)),
+    "q19_promo_revenue" -> ((s, d) => Analytics.promoRevenue(s, d)),
     "asof_join_signup" -> ((s, d) => AsOfJoin.purchaseToSignup(s, d)),
     "range_join_repeat" -> ((s, d) => RangeJoin.repeatOrders(s, d)),
     "variant_props" -> ((s, d) => VariantOps.variantProps(s, d)),
@@ -328,6 +329,14 @@ object SparkEntry {
         |JOIN nation sn ON s_nationkey = sn.n_nationkey
         |WHERE r_name = 'ASIA'
         |GROUP BY 1 ORDER BY y""".stripMargin,
+    "q19_promo_revenue" ->
+      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    * (10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT))) AS BIGINT) AS revenue_e6,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "variant_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |  CAST(NULL AS VARCHAR) AS absent, event_type

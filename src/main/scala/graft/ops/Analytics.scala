@@ -258,6 +258,26 @@ object Analytics {
       .orderBy("y")
   }
 
+  /** TPC-H Q19-style disjunctive predicate: three (brand, size, quantity)
+    * branches OR-ed across the join — exercises Catalyst's CNF conversion /
+    * constraint extraction (per-table conjuncts derived from the DNF reach
+    * the scans; the cross-table residue evaluates post-join).
+    */
+  def promoRevenue(spark: SparkSession, d: String): DataFrame = {
+    val branch1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+      col("l_quantity").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(20, 30)
+    Tables.lineitem(spark, d)
+      .join(Tables.part(spark, d), col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2 || branch3)
+      .agg(Exact.sumLong(Exact.c2(col("l_extendedprice"))
+        * (lit(10000L) - Exact.e4(col("l_discount")))).as("revenue_e6"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** Sort + limit: top-20 line items by extended price (unique tiebreak). */
   def topLineitems(spark: SparkSession, d: String): DataFrame =
     Tables.lineitem(spark, d)

@@ -90,6 +90,24 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming dedupByEventId: duplicates across micro-batches collapse") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.cdc.BusEvent]
+    val q = CdcPipeline.dedupByEventId(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_stream_out").start()
+    def ev(id: String) = graft.cdc.BusEvent("s", "dynamo.item.changed", "{}", id)
+    mem.addData(ev("e-1"), ev("e-1"), ev("e-2")) // dup within a batch
+    q.processAllAvailable()
+    mem.addData(ev("e-1"), ev("e-3")) // redelivery in a LATER batch (state hit)
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream_out").collect()
+      .map(_.getAs[String]("eventID")).sorted
+    assert(ids.toSeq == Seq("e-1", "e-2", "e-3"))
+  }
+
   test("WindowedAgg.sessions: gap merges within, splits across; closes on watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
