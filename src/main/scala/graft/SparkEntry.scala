@@ -50,6 +50,8 @@ object SparkEntry {
     "q17_small_qty_revenue" -> ((s, d) => Analytics.smallQuantityRevenue(s, d)),
     "q8_market_share" -> ((s, d) => Analytics.marketShare(s, d)),
     "q19_promo_revenue" -> ((s, d) => Analytics.promoRevenue(s, d)),
+    "orders_pivot" -> ((s, d) => Analytics.ordersPivot(s, d)),
+    "embedding_stats" -> ((s, d) => Similarity.embeddingStats(s, d)),
     "asof_join_signup" -> ((s, d) => AsOfJoin.purchaseToSignup(s, d)),
     "range_join_repeat" -> ((s, d) => RangeJoin.repeatOrders(s, d)),
     "variant_props" -> ((s, d) => VariantOps.variantProps(s, d)),
@@ -329,6 +331,18 @@ object SparkEntry {
         |JOIN nation sn ON s_nationkey = sn.n_nationkey
         |WHERE r_name = 'ASIA'
         |GROUP BY 1 ORDER BY y""".stripMargin,
+    "orders_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY 1 ORDER BY y""".stripMargin,
+    "embedding_stats" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
+        |  CAST(floor(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * 1000000.0) AS BIGINT) AS norm_e6,
+        |  CAST(floor(CAST(list_max(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS max_e6,
+        |  CAST(floor(CAST(list_min(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS min_e6
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q19_promo_revenue" ->
       """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
         |    * (10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT))) AS BIGINT) AS revenue_e6,

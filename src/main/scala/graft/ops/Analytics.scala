@@ -278,6 +278,21 @@ object Analytics {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Pivot: orders per year × order status as columns (`groupBy().pivot()`
+    * with an explicit value list — never pivot on unbounded cardinality; an
+    * explicit list keeps the plan a single pass with no distinct-values
+    * pre-query).
+    */
+  def ordersPivot(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .withColumn("y", year(col("o_orderdate")).cast("long"))
+      .groupBy("y")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("y"), coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"), coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("y")
+
   /** Sort + limit: top-20 line items by extended price (unique tiebreak). */
   def topLineitems(spark: SparkSession, d: String): DataFrame =
     Tables.lineitem(spark, d)
