@@ -320,10 +320,22 @@ object Dedup {
       clusterPairs(ngramJaccard(spark, d, threshold).select(col("a"), col("b")), maxIters)
     }
 
-  /** Min-label connected components over an (a, b) edge frame. */
-  def clusterPairs(pairDf: DataFrame, maxIters: Int = 20): DataFrame = {
+  /** Min-label connected components over an (a, b) edge frame.
+    *
+    * Two execution paths on purpose: the edge set is the NEAR-DUP PAIR list
+    * — orders of magnitude smaller than the corpus — so up to `localLimit`
+    * edges it is collected once and solved with driver-side union-find
+    * (milliseconds, one job, exact). Past the limit it falls back to the
+    * distributed min-label + pointer-jumping loop, whose per-round actions
+    * cost ~10 small jobs — the right trade only when the graph is genuinely
+    * big. Both paths produce identical labels (min doc_id per component).
+    */
+  def clusterPairs(pairDf: DataFrame, maxIters: Int = 20,
+      localLimit: Int = 2000000): DataFrame = {
     val spark = pairDf.sparkSession
     import spark.implicits._
+    val probe = pairDf.as[(Long, Long)].take(localLimit + 1)
+    if (probe.length <= localLimit) return localComponents(spark, probe)
     val pairs = pairDf.as[(Long, Long)].persist()
     // adjacency both ways + self-loop carries each node's own label
     val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a), (a, a), (b, b)) }
@@ -365,6 +377,30 @@ object Dedup {
     edges.unpersist()
     pairs.unpersist()
     out
+  }
+
+  /** Driver-side union-find (path compression, min-id roots). */
+  private def localComponents(
+      spark: SparkSession, edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb } // min root wins
+    }
+    parent.keys.toSeq.sorted
+      .map(n => (n, find(n)))
+      .toDF("doc_id", "cluster_id")
+      .orderBy("doc_id")
   }
 
   /** Keep only LSH buckets that can produce pairs and are below the blow-up

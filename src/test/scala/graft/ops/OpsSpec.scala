@@ -97,9 +97,12 @@ class OpsSpec extends SparkSuite {
   test("clusterPairs: 40-node path graph converges within few rounds (pointer jump)") {
     import spark.implicits._
     // diameter 39 — plain min-propagation would need 39 rounds; pointer
-    // jumping must finish in O(log n), well under maxIters = 10
+    // jumping must finish in O(log n), well under maxIters = 10.
+    // localLimit = 0 forces the DISTRIBUTED loop (the local union-find path
+    // is covered by the transitive-chain test above).
     val chain = (0L until 40L).sliding(2).map(s => (s.head, s(1))).toSeq.toDF("a", "b")
-    val got = Dedup.clusterPairs(chain, maxIters = 10).as[(Long, Long)].collect().toMap
+    val got = Dedup.clusterPairs(chain, maxIters = 10, localLimit = 0)
+      .as[(Long, Long)].collect().toMap
     assert(got.size == 40 && got.values.forall(_ == 0L))
   }
 
