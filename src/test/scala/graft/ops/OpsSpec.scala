@@ -264,6 +264,24 @@ class OpsSpec extends SparkSuite {
     assert(got == expected, s"$got != $expected")
   }
 
+  test("plan: range join executes as an equi-join on (key, bucket), not NLJ") {
+    val df = RangeJoin.repeatOrders(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a loop join:\n${plan.take(500)}")
+  }
+
+  test("plan: gsi_view's window exchange is not a handful of partitions") {
+    val df = CdcQueries.gsiView(spark, sf)
+    df.collect()
+    // the sharded pk gives ~5 types × 32 shards = ~160 window keys; with 32
+    // shuffle partitions every partition holds work — assert the plan has no
+    // single-partition exchange before the window
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"serial window:\n${plan.take(500)}")
+  }
+
   test("plan lint: no query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin with a small broadcast side is fine (topk,
     // cosine pairs); an unbroadcast CartesianProduct is never fine — it
