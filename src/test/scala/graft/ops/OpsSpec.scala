@@ -282,6 +282,10 @@ class OpsSpec extends SparkSuite {
     assert(!plan.contains("SinglePartition"), s"serial window:\n${plan.take(500)}")
   }
 
+  test("driver t1 smoke: SparkEntry.entry yields rows on sf0.001") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("plan lint: no query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin with a small broadcast side is fine (topk,
     // cosine pairs); an unbroadcast CartesianProduct is never fine — it
