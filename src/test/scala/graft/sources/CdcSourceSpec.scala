@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class CdcSourceSpec extends SparkSuite {
+
+  private val lines = Seq(
+    """{"eventID":"d-1","eventName":"INSERT","dynamodb":{"SizeBytes":50,"Keys":{"pk":{"S":"USER#1"},"sk":{"S":"A"}},"NewImage":{"pk":{"S":"USER#1"},"v":{"N":"1"}}}}""",
+    """{"eventID":"d-2","eventName":"MODIFY","dynamodb":{"SizeBytes":60,"Keys":{"pk":{"S":"USER#2"}},"NewImage":{"pk":{"S":"USER#2"},"v":{"N":"2"}},"OldImage":{"pk":{"S":"USER#2"},"v":{"N":"1"}}}}""",
+    """{"eventID":"d-3","eventName":"REMOVE","dynamodb":{"SizeBytes":70,"Keys":{"pk":{"S":"ORG#9"}},"OldImage":{"pk":{"S":"ORG#9"}}}}""",
+    "garbage not json",
+    """{"eventID":"d-5","eventName":"INSERT","dynamodb":{"SizeBytes":0,"Keys":{"pk":{"N":"7"}},"NewImage":{"pk":{"N":"7"}}}}""")
+
+  private def writeDir(): String = {
+    val dir = Files.createTempDirectory("graft-dsv2").toString
+    Files.write(Paths.get(s"$dir/a.json"), lines.take(3).mkString("\n").getBytes)
+    Files.write(Paths.get(s"$dir/b.json"), lines.drop(3).mkString("\n").getBytes)
+    dir
+  }
+
+  private def read(dir: String) =
+    spark.read.format(classOf[CdcSource].getName).load(dir)
+
+  test("short name 'graft-cdc' resolves via DataSourceRegister") {
+    val df = spark.read.format("graft-cdc").load(writeDir())
+    assert(df.count() == 4)
+  }
+
+  test("DSv2 source reads the record envelope; garbage drops (OP-3)") {
+    val df = read(writeDir())
+    val rows = df.orderBy("eventID").collect()
+    assert(rows.map(_.getAs[String]("eventID")).toSeq == Seq("d-1", "d-2", "d-3", "d-5"))
+    val r1 = rows.head
+    assert(r1.getAs[String]("pk") == "USER#1" && r1.getAs[Long]("sizeBytes") == 50L)
+    assert(r1.getAs[String]("newImageJson").contains(""""v":{"N":"1"}"""))
+    // number-typed pk surfaces as its raw JSON text
+    assert(rows.last.getAs[String]("pk") == "7")
+  }
+
+  test("pk equality and prefix filters push into the source scan") {
+    val dir = writeDir()
+    val eq = read(dir).filter(col("pk") === "USER#2")
+    assert(eq.collect().map(_.getAs[String]("eventID")).toSeq == Seq("d-2"))
+    val eqScan = eq.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(eqScan.contains("PushedFilters=[EqualTo(pk,USER#2)]"), eqScan.take(400))
+
+    val pre = read(dir).filter(col("pk").startsWith("USER#"))
+    assert(pre.collect().map(_.getAs[String]("eventID")).sorted.toSeq == Seq("d-1", "d-2"))
+    val preScan = pre.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(preScan.contains("PushedFilters=[StringStartsWith(pk,USER#)]"), preScan.take(400))
+  }
+
+  test("source rows feed the CDC pipeline stages unchanged") {
+    import spark.implicits._
+    val df = read(writeDir()).filter(col("eventName") === "MODIFY")
+    val recs = df.select(col("eventID"), col("eventName"), col("sizeBytes"),
+      col("keysJson"), col("newImageJson"), col("oldImageJson"))
+      .as[(String, String, Long, String, String, String)]
+      .map { case (id, op, size, k, n, o) =>
+        graft.cdc.CdcRecord(Some(id), Some(op),
+          Some(graft.cdc.CdcStreamPart(Some(size), Option(k), Option(n), Option(o))))
+      }
+    val out = graft.cdc.CdcPipeline.events(recs,
+      graft.cdc.CdcConfig(eventSource = "dsv2", blobDir = "/tmp/unused")).collect()
+    assert(out.length == 1 && out.head.operation == "MODIFY")
+    assert(out.head.attributesChanged == Seq("v"))
+  }
+}
