@@ -89,11 +89,16 @@ private[sources] class CdcScan(path: String, filters: Array[Filter]) extends Sca
     s"graft-cdc path=$path PushedFilters=[${filters.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val dir = new java.io.File(path)
+    // Hadoop FS, not java.io: the same code path serves file://, hdfs://,
+    // and object stores — one partition per file (stream-record archives
+    // are many moderate files; intra-file splitting would buy little here)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val st = fs.getFileStatus(p)
     val files =
-      if (dir.isFile) Array(dir)
-      else Option(dir.listFiles()).getOrElse(Array.empty).filter(_.isFile).sortBy(_.getName)
-    files.map(f => CdcFilePartition(f.getAbsolutePath): InputPartition)
+      if (st.isFile) Array(st)
+      else fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
+    files.map(f => CdcFilePartition(f.getPath.toString): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcReaderFactory(filters)
@@ -119,7 +124,9 @@ private[sources] class CdcReaderFactory(filters: Array[Filter])
       }
 
     new PartitionReader[InternalRow] {
-      private val lines = scala.io.Source.fromFile(file, "UTF-8")
+      private val hPath = new org.apache.hadoop.fs.Path(file)
+      private val in = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hPath)
+      private val lines = scala.io.Source.fromInputStream(in, "UTF-8")
       private val it = lines.getLines()
       private var row: InternalRow = _
 
