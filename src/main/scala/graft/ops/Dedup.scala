@@ -325,18 +325,26 @@ object Dedup {
     * Two execution paths on purpose: the edge set is the NEAR-DUP PAIR list
     * — orders of magnitude smaller than the corpus — so up to `localLimit`
     * edges it is collected once and solved with driver-side union-find
-    * (milliseconds, one job, exact). Past the limit it falls back to the
-    * distributed min-label + pointer-jumping loop, whose per-round actions
-    * cost ~10 small jobs — the right trade only when the graph is genuinely
-    * big. Both paths produce identical labels (min doc_id per component).
+    * (milliseconds, one job, exact). The default limit is sized for a small
+    * driver heap (~200k boxed edges ≈ tens of MB incl. the union-find map).
+    * Past the limit it falls back to the distributed min-label +
+    * pointer-jumping loop, whose per-round actions cost ~10 small jobs —
+    * the right trade only when the graph is genuinely big. The probe runs
+    * against the PERSISTED pair frame, so an over-limit probe leaves the
+    * scanned partitions cached rather than recomputing the pair pipeline.
+    * Both paths produce identical labels (min doc_id per component).
     */
   def clusterPairs(pairDf: DataFrame, maxIters: Int = 20,
-      localLimit: Int = 2000000): DataFrame = {
+      localLimit: Int = 200000): DataFrame = {
     val spark = pairDf.sparkSession
     import spark.implicits._
-    val probe = pairDf.as[(Long, Long)].take(localLimit + 1)
-    if (probe.length <= localLimit) return localComponents(spark, probe)
     val pairs = pairDf.as[(Long, Long)].persist()
+    val probe = pairs.take(localLimit + 1)
+    if (probe.length <= localLimit) {
+      val out = localComponents(spark, probe)
+      pairs.unpersist()
+      return out
+    }
     // adjacency both ways + self-loop carries each node's own label
     val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a), (a, a), (b, b)) }
       .toDF("node", "nbr").distinct().persist()

@@ -2,8 +2,7 @@ package graft.sources
 
 import java.util
 
-import scala.jdk.CollectionConverters._
-
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -14,26 +13,31 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.attr.{AttrVal, Json, JsonParser}
+import graft.attr.{AttrCodec, AttrVal}
+import graft.cdc.RecordProcessor
 
 /** DataSource V2 connector for stream-record JSON-line directories:
   * `spark.read.format("graft-cdc").load(dir)` — the engine's OP-1 source as
-  * a first-class Spark table with **pk filter pushdown INTO the source**
-  * (the DSv2 analogue of DynamoDB's event-source-mapping filter running
-  * before the handler, `/root/reference/lib/constructs/dynamo.ts:160-168`).
+  * a first-class Spark table with pk filter pushdown (the DSv2 analogue of
+  * DynamoDB's event-source-mapping filter running before the handler,
+  * `/root/reference/lib/constructs/dynamo.ts:160-168`).
   *
-  * Pushdown contract: `pk = 'X'` and `pk LIKE 'X%'` (StringStartsWith) are
-  * accepted. A pushed pk filter short-circuits BEFORE JSON parsing with a
-  * conservative substring scan — a line that cannot contain the wanted pk
-  * value is skipped at memchr cost; candidate lines are fully parsed and
-  * then exactly filtered. At 100 TB with a selective pk this skips the
-  * dominant cost (the parse) for the dominant fraction (non-matching
-  * lines); Spark re-applies the residual filter above the scan, so
-  * correctness never depends on the shortcut.
+  * Pushdown contract — designed so correctness NEVER rests on the source:
+  * `pushFilters` returns every filter as residual, so Spark re-applies the
+  * exact predicate above the scan regardless of what the source skipped
+  * (filters a source accepts outright are trusted and never re-checked —
+  * too sharp a knife for a line-skipping optimization). Inside the scan, pk
+  * equality/prefix predicates drive two SAFE reductions: a pre-parse
+  * substring skip, applied only when the needle contains no
+  * JSON-escapable characters (so a matching line must contain it verbatim),
+  * and an exact post-parse pk check (emitting a subset of matches is fine —
+  * the residual filter above is the authority on what stays).
   *
-  * Schema: the raw record envelope, one column per stream-record field,
-  * image subtrees as JSON strings (the [[graft.cdc.CdcPipeline]] stages
-  * consume exactly this shape).
+  * Schema: the raw record envelope (parsed by the same
+  * [[RecordProcessor.parseRecord]] the pipeline uses — one decoder, not
+  * two), image subtrees as JSON strings. pk semantics match the fused
+  * pipeline: S-typed pk surfaces raw, other tags as their JSON text, and a
+  * record whose Keys fail to unmarshall drops (OP-3).
   */
 class CdcSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-cdc"
@@ -54,6 +58,33 @@ object CdcSource {
     StructField("keysJson", StringType),
     StructField("newImageJson", StringType),
     StructField("oldImageJson", StringType)))
+
+  /** pk text exactly as the fused pipeline computes it
+    * (RecordProcessor.processLine semantics); throws on malformed Keys.
+    */
+  private[sources] def pkText(keysJson: String): Option[String] =
+    AttrCodec.unmarshallItem(keysJson).get("pk").map {
+      case AttrVal.SVal(s) => s
+      case other => AttrVal.printJson(other)
+    }
+}
+
+/** Hadoop Configuration is not serializable; standard write/readFields
+  * wrapper so executors receive the session's spark.hadoop.* settings
+  * (S3A credentials, defaultFS) instead of empty defaults.
+  */
+private[sources] class SerializableHadoopConf(
+    @transient private var conf: org.apache.hadoop.conf.Configuration) extends Serializable {
+  def value: org.apache.hadoop.conf.Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(in)
+  }
 }
 
 private[sources] class CdcTable(path: String) extends Table with SupportsRead {
@@ -70,13 +101,12 @@ private[sources] class CdcScanBuilder(path: String)
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (sup, rest) = filters.partition {
+    pushed = filters.filter {
       case EqualTo("pk", _: String) => true
       case StringStartsWith("pk", _) => true
       case _ => false
     }
-    pushed = sup
-    rest // Spark still evaluates these above the scan
+    filters // ALL residual: Spark re-applies exactly; the scan only prunes
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan = new CdcScan(path, pushed)
@@ -88,12 +118,16 @@ private[sources] class CdcScan(path: String, filters: Array[Filter]) extends Sca
   override def description(): String =
     s"graft-cdc path=$path PushedFilters=[${filters.mkString(", ")}]"
 
+  private val hadoopConf = new SerializableHadoopConf(
+    SparkSession.active.sessionState.newHadoopConf())
+
   override def planInputPartitions(): Array[InputPartition] = {
-    // Hadoop FS, not java.io: the same code path serves file://, hdfs://,
-    // and object stores — one partition per file (stream-record archives
-    // are many moderate files; intra-file splitting would buy little here)
+    // Hadoop FS with the SESSION conf: the same code path serves file://,
+    // hdfs://, and object stores with the user's credentials/endpoints.
+    // One partition per file — stream-record archives are many moderate
+    // files; intra-file splitting would buy little here.
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hadoopConf.value)
     val st = fs.getFileStatus(p)
     val files =
       if (st.isFile) Array(st)
@@ -101,85 +135,85 @@ private[sources] class CdcScan(path: String, filters: Array[Filter]) extends Sca
     files.map(f => CdcFilePartition(f.getPath.toString): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdcReaderFactory(filters)
+    new CdcReaderFactory(filters, hadoopConf)
 }
 
 private[sources] case class CdcFilePartition(file: String) extends InputPartition
 
-private[sources] class CdcReaderFactory(filters: Array[Filter])
+private[sources] class CdcReaderFactory(
+    filters: Array[Filter], hadoopConf: SerializableHadoopConf)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[CdcFilePartition].file
-    // conservative pre-parse needles: a matching line MUST contain one
+    // Pre-parse needles, ONLY for values JSON never escapes in our format
+    // (quote/backslash/control chars would differ between the pk text and
+    // its in-line representation, and any char may legally be \u-escaped by
+    // exotic writers — such needles disable the shortcut, never correctness)
     val needles: Array[String] = filters.collect {
-      case EqualTo("pk", v: String) => v
-      case StringStartsWith("pk", p) => p
+      case EqualTo("pk", v: String) if escapeFree(v) => v
+      case StringStartsWith("pk", p) if escapeFree(p) => p
     }
-    def pkMatches(pk: String): Boolean =
-      filters.isEmpty || filters.forall {
-        case EqualTo("pk", v: String) => pk == v
-        case StringStartsWith("pk", p) => pk.startsWith(p)
-        case _ => true
-      }
+    val skipSafe = needles.length == filters.length && filters.nonEmpty
+    def pkMatches(pk: String): Boolean = filters.forall {
+      case EqualTo("pk", v: String) => pk == v
+      case StringStartsWith("pk", p) => pk.startsWith(p)
+      case _ => true
+    }
 
     new PartitionReader[InternalRow] {
       private val hPath = new org.apache.hadoop.fs.Path(file)
-      private val in = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hPath)
-      private val lines = scala.io.Source.fromInputStream(in, "UTF-8")
-      private val it = lines.getLines()
+      private val in = hPath.getFileSystem(hadoopConf.value).open(hPath)
+      // REPLACE malformed bytes like spark.read.textFile does — a poison
+      // byte must not throw from the line iterator (OP-3 at the source)
+      private val decoder = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+      private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, decoder))
+      private var line: String = _
       private var row: InternalRow = _
 
       override def next(): Boolean = {
-        while (it.hasNext) {
-          val line = it.next()
-          // cheap skip: candidate lines must contain a needle substring
-          if (needles.isEmpty || needles.exists(line.contains)) {
+        line = reader.readLine()
+        while (line != null) {
+          if (!skipSafe || needles.exists(line.contains)) {
             parse(line) match {
               case Some(r) => row = r; return true
-              case None => () // malformed or filtered out — OP-3 isolation
+              case None => () // malformed or pk-pruned — residual is authority
             }
           }
+          line = reader.readLine()
         }
         false
       }
       override def get(): InternalRow = row
-      override def close(): Unit = lines.close()
+      override def close(): Unit = reader.close()
 
-      private def parse(line: String): Option[InternalRow] =
+      private def parse(l: String): Option[InternalRow] =
         try {
-          JsonParser.parseOpt(line).collect { case o: Json.JObj => o }.flatMap { o =>
-            val m = o.asMap
-            val ddb = m.get("dynamodb").collect { case d: Json.JObj => d }
-            def str(j: Option[Json]): UTF8String = j match {
-              case Some(Json.JStr(s)) => UTF8String.fromString(s)
-              case _ => null
+          RecordProcessor.parseRecord(l).flatMap { rec =>
+            val ddb = rec.dynamodb
+            val keysJson = ddb.flatMap(_.Keys)
+            // throws on malformed Keys → record drops, like processLine
+            val pk = keysJson.flatMap(CdcSource.pkText)
+            if (filters.nonEmpty && !pk.exists(pkMatches)) None
+            else {
+              def s(v: Option[String]): UTF8String =
+                v.map(UTF8String.fromString).orNull
+              Some(new GenericInternalRow(Array[Any](
+                s(rec.eventID),
+                s(rec.eventName),
+                ddb.flatMap(_.SizeBytes).map(java.lang.Long.valueOf).orNull,
+                s(pk),
+                s(keysJson),
+                s(ddb.flatMap(_.NewImage)),
+                s(ddb.flatMap(_.OldImage)))))
             }
-            val keys = ddb.flatMap(_.asMap.get("Keys"))
-            val pk = keys.collect { case k: Json.JObj => k }
-              .flatMap(_.asMap.get("pk"))
-              .map {
-                case o2: Json.JObj =>
-                  // marshalled AttrVal: unwrap the {"S": "..."} / typed tag
-                  o2.asMap.get("S") match {
-                    case Some(Json.JStr(s)) => s
-                    case _ => AttrVal.printJson(graft.attr.AttrCodec.unmarshallValue(o2))
-                  }
-                case other => other.print
-              }
-            if (pk.exists(p => !pkMatches(p))) None
-            else Some(new GenericInternalRow(Array[Any](
-              str(m.get("eventID")),
-              str(m.get("eventName")),
-              ddb.flatMap(_.asMap.get("SizeBytes")).collect {
-                case Json.JNum(n) => java.lang.Long.valueOf(n.toLong)
-              }.orNull,
-              pk.map(UTF8String.fromString).orNull,
-              keys.map(j => UTF8String.fromString(j.print)).orNull,
-              ddb.flatMap(_.asMap.get("NewImage")).map(j => UTF8String.fromString(j.print)).orNull,
-              ddb.flatMap(_.asMap.get("OldImage")).map(j => UTF8String.fromString(j.print)).orNull)))
           }
         } catch { case _: Throwable => None }
     }
   }
+
+  private def escapeFree(v: String): Boolean =
+    v.forall(c => c >= 0x20 && c < 0x7f && c != '"' && c != '\\')
 }

@@ -282,6 +282,33 @@ class OpsSpec extends SparkSuite {
     assert(!plan.contains("SinglePartition"), s"serial window:\n${plan.take(500)}")
   }
 
+  test("orders pivot equals the plain conditional counts") {
+    import spark.implicits._
+    val piv = Analytics.ordersPivot(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val plain = Tables.orders(spark, sf)
+      .withColumn("y", year(col("o_orderdate")).cast("long"))
+      .groupBy("y")
+      .agg(count(when(col("o_orderstatus") === "F", 1)).as("f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("o"),
+        count(when(col("o_orderstatus") === "P", 1)).as("p"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(piv == plain && piv.nonEmpty)
+  }
+
+  test("embedding stats norm agrees with the native l2_norm expression") {
+    import spark.implicits._
+    val hof = Similarity.embeddingStats(spark, sf)
+      .select("vec_id", "norm_e6").as[(Long, Long)].collect().toMap
+    val native = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        floor(graft.functions.VectorFunctions.l2_norm(col("embedding")) * 1000000.0)
+          .cast("long")).as[(Long, Long)].collect().toMap
+    assert(hof == native && hof.nonEmpty)
+  }
+
   test("driver t1 smoke: SparkEntry.entry yields rows on sf0.001") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

@@ -54,6 +54,45 @@ class CdcSourceSpec extends SparkSuite {
     assert(preScan.contains("PushedFilters=[StringStartsWith(pk,USER#)]"), preScan.take(400))
   }
 
+  test("escaped pk value: pushed equality still finds the row (residual authority)") {
+    val dir = Files.createTempDirectory("graft-dsv2-esc").toString
+    val esc =
+      """{"eventID":"e-1","eventName":"INSERT","dynamodb":{"SizeBytes":10,"Keys":{"pk":{"S":"A\"B"}},"NewImage":{"pk":{"S":"A\"B"}}}}"""
+    Files.write(Paths.get(s"$dir/a.json"), esc.getBytes)
+    // the needle A"B is not escape-free, so the substring shortcut is
+    // disabled and the row must still be found via parse + exact filter
+    val rows = read(dir).filter(col("pk") === "A\"B").collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("eventID") == "e-1")
+  }
+
+  test("missing pk under a pk filter drops; untagged pk drops like processLine") {
+    val dir = Files.createTempDirectory("graft-dsv2-nopk").toString
+    val noPk =
+      """{"eventID":"n-1","eventName":"INSERT","dynamodb":{"SizeBytes":10,"Keys":{"sk":{"S":"USER#2"}},"NewImage":{"x":{"N":"1"}}}}"""
+    val untagged =
+      """{"eventID":"n-2","eventName":"INSERT","dynamodb":{"SizeBytes":10,"Keys":{"pk":"USER#2"},"NewImage":{"x":{"N":"1"}}}}"""
+    Files.write(Paths.get(s"$dir/a.json"), Seq(noPk, untagged).mkString("\n").getBytes)
+    // n-1's NewImage does not contain the needle, n-2's Keys are malformed
+    // (untagged value) — neither may satisfy pk = 'USER#2'
+    assert(read(dir).filter(col("pk") === "USER#2").collect().isEmpty)
+    // unfiltered: the missing-pk record surfaces with pk NULL, the
+    // malformed-Keys record drops entirely (processLine parity)
+    val all = read(dir).collect()
+    assert(all.map(_.getAs[String]("eventID")).toSeq == Seq("n-1"))
+    assert(all.head.getAs[String]("pk") == null)
+  }
+
+  test("a poison byte in one file does not kill the scan (OP-3 at the source)") {
+    val dir = Files.createTempDirectory("graft-dsv2-poison").toString
+    val good =
+      """{"eventID":"p-1","eventName":"INSERT","dynamodb":{"SizeBytes":10,"Keys":{"pk":{"S":"U"}},"NewImage":{"pk":{"S":"U"}}}}"""
+    val bytes = ("garbageÿ".getBytes("ISO-8859-1") :+ 0xFF.toByte) ++
+      ("\n" + good).getBytes("UTF-8")
+    Files.write(Paths.get(s"$dir/a.json"), bytes)
+    val rows = read(dir).collect()
+    assert(rows.map(_.getAs[String]("eventID")).toSeq == Seq("p-1"))
+  }
+
   test("source rows feed the CDC pipeline stages unchanged") {
     import spark.implicits._
     val df = read(writeDir()).filter(col("eventName") === "MODIFY")
