@@ -97,8 +97,9 @@ private[sources] class CdcTable(path: String) extends Table with SupportsRead {
 }
 
 private[sources] class CdcScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = CdcSource.schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter {
@@ -109,14 +110,19 @@ private[sources] class CdcScanBuilder(path: String)
     filters // ALL residual: Spark re-applies exactly; the scan only prunes
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new CdcScan(path, pushed)
+  // column pruning: a projection of (eventID, pk) ships 2 small strings per
+  // row instead of the whole envelope with its image JSON bodies
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new CdcScan(path, pushed, required)
 }
 
-private[sources] class CdcScan(path: String, filters: Array[Filter]) extends Scan with Batch {
-  override def readSchema(): StructType = CdcSource.schema
+private[sources] class CdcScan(path: String, filters: Array[Filter],
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-cdc path=$path PushedFilters=[${filters.mkString(", ")}]"
+    s"graft-cdc path=$path PushedFilters=[${filters.mkString(", ")}] " +
+      s"ReadSchema=[${required.fieldNames.mkString(", ")}]"
 
   private val hadoopConf = new SerializableHadoopConf(
     SparkSession.active.sessionState.newHadoopConf())
@@ -135,13 +141,14 @@ private[sources] class CdcScan(path: String, filters: Array[Filter]) extends Sca
     files.map(f => CdcFilePartition(f.getPath.toString): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdcReaderFactory(filters, hadoopConf)
+    new CdcReaderFactory(filters, required.fieldNames, hadoopConf)
 }
 
 private[sources] case class CdcFilePartition(file: String) extends InputPartition
 
 private[sources] class CdcReaderFactory(
-    filters: Array[Filter], hadoopConf: SerializableHadoopConf)
+    filters: Array[Filter], requiredCols: Array[String],
+    hadoopConf: SerializableHadoopConf)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -200,14 +207,16 @@ private[sources] class CdcReaderFactory(
             else {
               def s(v: Option[String]): UTF8String =
                 v.map(UTF8String.fromString).orNull
-              Some(new GenericInternalRow(Array[Any](
-                s(rec.eventID),
-                s(rec.eventName),
-                ddb.flatMap(_.SizeBytes).map(java.lang.Long.valueOf).orNull,
-                s(pk),
-                s(keysJson),
-                s(ddb.flatMap(_.NewImage)),
-                s(ddb.flatMap(_.OldImage)))))
+              // emit only the pruned columns, in Spark's requested order
+              Some(new GenericInternalRow(requiredCols.map[Any] {
+                case "eventID" => s(rec.eventID)
+                case "eventName" => s(rec.eventName)
+                case "sizeBytes" => ddb.flatMap(_.SizeBytes).map(java.lang.Long.valueOf).orNull
+                case "pk" => s(pk)
+                case "keysJson" => s(keysJson)
+                case "newImageJson" => s(ddb.flatMap(_.NewImage))
+                case "oldImageJson" => s(ddb.flatMap(_.OldImage))
+              }))
             }
           }
         } catch { case _: Throwable => None }

@@ -54,6 +54,16 @@ class CdcSourceSpec extends SparkSuite {
     assert(preScan.contains("PushedFilters=[StringStartsWith(pk,USER#)]"), preScan.take(400))
   }
 
+  test("column pruning reaches the scan: projection reads only what it needs") {
+    val dir = writeDir()
+    val df = read(dir).select("eventID", "pk")
+    val rows = df.orderBy("eventID").collect()
+    assert(rows.length == 4 && rows.head.length == 2)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("ReadSchema=[eventID, pk]") ||
+      scan.contains("ReadSchema=[pk, eventID]"), scan.take(400))
+  }
+
   test("escaped pk value: pushed equality still finds the row (residual authority)") {
     val dir = Files.createTempDirectory("graft-dsv2-esc").toString
     val esc =
