@@ -25,8 +25,6 @@ import org.apache.spark.sql.types.DecimalType
 object Analytics {
 
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
-  private def dec4(c: Column): Column = c.cast(DecimalType(6, 4))
-  private val one4: Column = lit(1).cast(DecimalType(6, 4))
 
   /** TPC-H Q1-style pricing summary: hash agg with partial aggregation.
     * Money is integer cents / e6 micro-units throughout (see [[Exact]]); the
