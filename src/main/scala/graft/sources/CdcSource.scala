@@ -93,10 +93,10 @@ private[sources] class CdcTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CdcScanBuilder(path)
+    new CdcScanBuilder(path, options.getLong("splitSize", 128L * 1024 * 1024))
 }
 
-private[sources] class CdcScanBuilder(path: String)
+private[sources] class CdcScanBuilder(path: String, splitSize: Long)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = CdcSource.schema
@@ -113,11 +113,11 @@ private[sources] class CdcScanBuilder(path: String)
   // column pruning: a projection of (eventID, pk) ships 2 small strings per
   // row instead of the whole envelope with its image JSON bodies
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new CdcScan(path, pushed, required)
+  override def build(): Scan = new CdcScan(path, pushed, required, splitSize)
 }
 
 private[sources] class CdcScan(path: String, filters: Array[Filter],
-    required: StructType) extends Scan with Batch {
+    required: StructType, splitSize: Long) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -130,21 +130,29 @@ private[sources] class CdcScan(path: String, filters: Array[Filter],
   override def planInputPartitions(): Array[InputPartition] = {
     // Hadoop FS with the SESSION conf: the same code path serves file://,
     // hdfs://, and object stores with the user's credentials/endpoints.
-    // One partition per file — stream-record archives are many moderate
-    // files; intra-file splitting would buy little here.
+    // Files are BYTE-RANGE SPLIT at `splitSize` (Hadoop line-reader
+    // boundary semantics: a split owns the lines that START inside it) —
+    // one 100 GB archive file must not become one task.
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hadoopConf.value)
     val st = fs.getFileStatus(p)
     val files =
       if (st.isFile) Array(st)
       else fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
-    files.map(f => CdcFilePartition(f.getPath.toString): InputPartition)
+    files.flatMap { f =>
+      val len = f.getLen
+      if (len == 0) Seq(CdcFilePartition(f.getPath.toString, 0L, 0L))
+      else (0L until len by splitSize).map { start =>
+        CdcFilePartition(f.getPath.toString, start, math.min(splitSize, len - start))
+      }
+    }.map(identity[InputPartition])
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcReaderFactory(filters, required.fieldNames, hadoopConf)
 }
 
-private[sources] case class CdcFilePartition(file: String) extends InputPartition
+private[sources] case class CdcFilePartition(file: String, start: Long, length: Long)
+    extends InputPartition
 
 private[sources] class CdcReaderFactory(
     filters: Array[Filter], requiredCols: Array[String],
@@ -152,7 +160,8 @@ private[sources] class CdcReaderFactory(
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[CdcFilePartition].file
+    val part = partition.asInstanceOf[CdcFilePartition]
+    val file = part.file
     // Pre-parse needles, ONLY for values JSON never escapes in our format
     // (quote/backslash/control chars would differ between the pk text and
     // its in-line representation, and any char may legally be \u-escaped by
@@ -171,30 +180,42 @@ private[sources] class CdcReaderFactory(
     new PartitionReader[InternalRow] {
       private val hPath = new org.apache.hadoop.fs.Path(file)
       private val in = hPath.getFileSystem(hadoopConf.value).open(hPath)
-      // REPLACE malformed bytes like spark.read.textFile does — a poison
-      // byte must not throw from the line iterator (OP-3 at the source)
-      private val decoder = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
-        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
-      private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, decoder))
-      private var line: String = _
+      // Hadoop LineReader: exact BYTE accounting for split boundaries
+      // (char-based readers can't track file offsets through buffering).
+      // Split contract (same as Hadoop's LineRecordReader): a split owns
+      // every line that STARTS inside [start, start+length); a reader with
+      // start > 0 discards the first (partial) line, and the last owned
+      // line is read to completion past the boundary.
+      private val lr = {
+        if (part.start > 0) in.seek(part.start)
+        new org.apache.hadoop.util.LineReader(in)
+      }
+      private val end = part.start + part.length
+      private var pos = part.start
+      private val text = new org.apache.hadoop.io.Text()
+      if (part.start > 0) pos += lr.readLine(text) // skip the partial line
       private var row: InternalRow = _
 
       override def next(): Boolean = {
-        line = reader.readLine()
-        while (line != null) {
+        while (pos < end) {
+          val n = lr.readLine(text)
+          if (n == 0) return false // EOF
+          pos += n
+          // new String(bytes, UTF_8) REPLACEs malformed bytes — a poison
+          // byte must not throw from the line iterator (OP-3 at the source)
+          val line = new String(text.getBytes, 0, text.getLength,
+            java.nio.charset.StandardCharsets.UTF_8)
           if (!skipSafe || needles.exists(line.contains)) {
             parse(line) match {
               case Some(r) => row = r; return true
               case None => () // malformed or pk-pruned — residual is authority
             }
           }
-          line = reader.readLine()
         }
         false
       }
       override def get(): InternalRow = row
-      override def close(): Unit = reader.close()
+      override def close(): Unit = lr.close()
 
       private def parse(l: String): Option[InternalRow] =
         try {

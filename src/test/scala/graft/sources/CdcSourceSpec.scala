@@ -54,6 +54,24 @@ class CdcSourceSpec extends SparkSuite {
     assert(preScan.contains("PushedFilters=[StringStartsWith(pk,USER#)]"), preScan.take(400))
   }
 
+  test("byte-range splits: tiny splitSize reads every line exactly once") {
+    val dir = Files.createTempDirectory("graft-dsv2-split").toString
+    val many = (0 until 200).map { i =>
+      s"""{"eventID":"s-$i","eventName":"INSERT","dynamodb":{"SizeBytes":10,"Keys":{"pk":{"S":"U#${i % 7}"}},"NewImage":{"pk":{"S":"U#${i % 7}"},"v":{"N":"$i"}}}}"""
+    }
+    Files.write(Paths.get(s"$dir/big.json"), many.mkString("\n").getBytes)
+    // ~150-byte lines with a 256-byte splitSize → dozens of splits, every
+    // boundary landing mid-line
+    val df = spark.read.format(classOf[CdcSource].getName)
+      .option("splitSize", "256").load(dir)
+    assert(df.rdd.getNumPartitions > 10, s"expected many splits, got ${df.rdd.getNumPartitions}")
+    val ids = df.select("eventID").collect().map(_.getString(0))
+    assert(ids.length == 200 && ids.distinct.length == 200)
+    // filters still exact across split boundaries
+    assert(df.filter(col("pk") === "U#3").count() ==
+      (0 until 200).count(_ % 7 == 3))
+  }
+
   test("column pruning reaches the scan: projection reads only what it needs") {
     val dir = writeDir()
     val df = read(dir).select("eventID", "pk")
