@@ -98,13 +98,20 @@ object CdcPipeline {
     * stream-delivered events — route backfills such consumers must see
     * through the streaming input path instead.
     */
+  /** Thrown by [[readBus]] when the bus holds no parquet files yet — a
+    * DEDICATED type so callers (backfill) can treat exactly "bus is empty"
+    * as empty without catching broader failure classes that must propagate.
+    */
+  final class NoBusFilesException(dir: String)
+      extends RuntimeException(s"no parquet files in $dir")
+
   def readBus(spark: SparkSession, busDir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(busDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val files = fs.listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString)
-    require(files.nonEmpty, s"no parquet files in $busDir")
+    if (files.isEmpty) throw new NoBusFilesException(busDir)
     spark.read.parquet(files: _*)
   }
 
@@ -118,10 +125,20 @@ object CdcPipeline {
     lines.flatMap(l => RecordProcessor.processLine(l, cfg, rules))
   }
 
-  /** Streaming pipeline: `readStream` over stream-record JSON lines →
-    * foreachBatch sink that (a) writes claim-check blobs task-side and (b)
-    * appends bus rows as parquet — exactly-once per micro-batch via
-    * checkpointing (stronger than the reference's at-least-once, SURVEY §4.2).
+  /** Streaming pipeline: `readStream` through the `graft-cdc` DSv2 source
+    * (MICRO_BATCH_READ) → foreachBatch-free sink that (a) writes claim-check
+    * blobs task-side and (b) appends bus rows as parquet — exactly-once per
+    * micro-batch via checkpointing (stronger than the reference's
+    * at-least-once, SURVEY §4.2).
+    *
+    * Reading the SAME source as batch means the streaming path gets the
+    * source-level pruning too: pk eq/prefix predicates push into the scan
+    * (`PushedFilters`, the reference's pre-invoke event-source-mapping
+    * filter) and large archive files byte-range split across tasks. One
+    * documented envelope-view divergence: a record whose `dynamodb` is
+    * present but EMPTY (`{}`) is indistinguishable from an absent `dynamodb`
+    * once flattened to envelope columns, so it drops here; the fused batch
+    * path ([[processedLines]]) preserves the reference's emit-on-empty quirk.
     */
   def stream(
       spark: SparkSession,
@@ -130,7 +147,29 @@ object CdcPipeline {
       checkpointDir: String,
       cfg: CdcConfig): DataStreamWriter[BusEvent] = {
     import spark.implicits._
-    val proc = processedLines(spark.readStream.textFile(inputDir), cfg)
+    val reader = spark.readStream.format("graft-cdc")
+    // OP-2 at the SOURCE: Catalyst does not push filters into streaming DSv2
+    // scans, so the patterns ride in as reader config (like the reference's
+    // deploy-time event-source-mapping filter) and prune pre-emit...
+    if (cfg.pkFilters.nonEmpty)
+      reader.option("pkFilters",
+        graft.attr.Json.JArr(cfg.pkFilters.toVector.map(graft.attr.Json.JStr)).print)
+    val raw = reader.load(inputDir)
+    // ...while the EXACT predicate stays in the plan (residual authority —
+    // correctness never rests on the source's pruning).
+    val filtered =
+      if (cfg.pkFilters.isEmpty) raw
+      else raw.filter(col("pk").isNotNull && PkFilter.toColumn(col("pk"), cfg.pkFilters))
+    val proc = filtered
+      .select(col("eventID"), col("eventName"), col("sizeBytes"),
+        col("keysJson"), col("newImageJson"), col("oldImageJson"))
+      .as[(Option[String], Option[String], Option[Long], Option[String], Option[String], Option[String])]
+      .flatMap { case (id, op, size, k, n, o) =>
+        val ddb =
+          if (size.isEmpty && k.isEmpty && n.isEmpty && o.isEmpty) None
+          else Some(CdcStreamPart(size, k, n, o))
+        RecordProcessor.processSafe(CdcRecord(id, op, ddb), cfg)
+      }
     val blobDir = cfg.blobDir
 
     proc
@@ -182,17 +221,15 @@ object CdcPipeline {
   def backfill(spark: SparkSession, inputDir: String, busDir: String, cfg: CdcConfig): Long = {
     import spark.implicits._
     val proc = processedLines(spark.read.textFile(inputDir), cfg)
-    // Narrow catch: ONLY "bus does not exist yet" may mean empty — any other
-    // read failure (corrupt footer, transient FS error) must propagate, or
-    // the anti-join would silently re-append the whole archive as duplicates.
+    // Narrow catch: ONLY "bus does not exist / is empty yet" may mean empty —
+    // any other read failure (corrupt footer, transient FS error) must
+    // propagate, or the anti-join would silently re-append the whole archive
+    // as duplicates. Both cases are now dedicated types, not broad classes.
     val existing =
       try readBus(spark, busDir).select(col("eventID").as("existing_id"))
       catch {
         case _: java.io.FileNotFoundException => Seq.empty[String].toDF("existing_id")
-        case _: IllegalArgumentException => Seq.empty[String].toDF("existing_id")
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PATH_NOT_FOUND") || e.getMessage.contains("does not exist") =>
-          Seq.empty[String].toDF("existing_id")
+        case _: NoBusFilesException => Seq.empty[String].toDF("existing_id")
       }
     val fresh = proc.toDF()
       .withColumn("eid", col("event.eventID"))

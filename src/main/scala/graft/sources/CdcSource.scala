@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, SupportsTriggerAvailableNow, Offset => StreamingOffset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -59,6 +60,14 @@ object CdcSource {
     StructField("newImageJson", StringType),
     StructField("oldImageJson", StringType)))
 
+  /** Per-record error isolation (OP-3) at the row-parse layer: NonFatal
+    * parse failures drop the record; fatal errors (OOM, InterruptedException)
+    * MUST propagate — swallowing them would mask task kills as silently
+    * dropped rows.
+    */
+  private[sources] def droppingNonFatal[T](f: => Option[T]): Option[T] =
+    try f catch { case scala.util.control.NonFatal(_) => None }
+
   /** pk text exactly as the fused pipeline computes it
     * (RecordProcessor.processLine semantics); throws on malformed Keys.
     */
@@ -91,71 +100,197 @@ private[sources] class CdcTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft-cdc:$path"
   override def schema(): StructType = CdcSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CdcScanBuilder(path, options.getLong("splitSize", 128L * 1024 * 1024))
+    new CdcScanBuilder(path, options.getLong("splitSize", 128L * 1024 * 1024),
+      CdcTable.optionFilters(options))
 }
 
-private[sources] class CdcScanBuilder(path: String, splitSize: Long)
+private[sources] object CdcTable {
+  /** `pkFilters` read option — a JSON array of reference-style pk patterns
+    * (`"a"` eq, `"a*"` prefix, more stars rejected, [[graft.cdc.PkFilter]]).
+    * This is how STREAMING reads get source-level pk pruning: Catalyst's
+    * filter pushdown does not run on streaming DSv2 relations, so the
+    * predicate arrives as reader config instead — which mirrors the
+    * reference, where the event-source-mapping filter is deploy-time config
+    * (`dynamo.ts:157-191`), not a query optimization. Safe by the same
+    * argument as pushed filters: the scan only PRUNES; the pipeline keeps the
+    * exact predicate above the scan.
+    */
+  def optionFilters(options: CaseInsensitiveStringMap): Array[Filter] =
+    Option(options.get("pkFilters")).map { s =>
+      graft.attr.JsonParser.parse(s) match {
+        case graft.attr.Json.JArr(items) =>
+          items.map {
+            case graft.attr.Json.JStr(pat) =>
+              graft.cdc.PkFilter.compileOne(pat) match {
+                case graft.cdc.PkFilter.Eq(v) => EqualTo("pk", v): Filter
+                case graft.cdc.PkFilter.Prefix(p) => StringStartsWith("pk", p): Filter
+              }
+            case other =>
+              throw new IllegalArgumentException(s"pkFilters entries must be strings: $other")
+          }.toArray
+        case other => throw new IllegalArgumentException(s"pkFilters must be a JSON array: $other")
+      }
+    }.getOrElse(Array.empty)
+}
+
+/** Two filter channels with DIFFERENT combination semantics, kept separate
+  * end-to-end so the scan never over-prunes:
+  *  - `conj`: filters Catalyst pushed via `pushFilters` — conjuncts of one
+  *    predicate, a row must satisfy ALL of them;
+  *  - `disj`: reference-style patterns from the `pkFilters` option — OR'd
+  *    rules (`dynamo.ts:175-185`), a row must satisfy ANY of them.
+  */
+private[sources] class CdcScanBuilder(path: String, splitSize: Long,
+    disj: Array[Filter] = Array.empty)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
-  private var pushed: Array[Filter] = Array.empty
+  private var conj: Array[Filter] = Array.empty
   private var required: StructType = CdcSource.schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter {
+    conj = filters.filter {
       case EqualTo("pk", _: String) => true
       case StringStartsWith("pk", _) => true
       case _ => false
     }
     filters // ALL residual: Spark re-applies exactly; the scan only prunes
   }
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedFilters(): Array[Filter] = (conj ++ disj).distinct
   // column pruning: a projection of (eventID, pk) ships 2 small strings per
   // row instead of the whole envelope with its image JSON bodies
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new CdcScan(path, pushed, required, splitSize)
+  override def build(): Scan = new CdcScan(path, conj, disj, required, splitSize)
 }
 
-private[sources] class CdcScan(path: String, filters: Array[Filter],
+private[sources] class CdcScan(path: String, conj: Array[Filter], disj: Array[Filter],
     required: StructType, splitSize: Long) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-cdc path=$path PushedFilters=[${filters.mkString(", ")}] " +
+    s"graft-cdc path=$path PushedFilters=[${(conj ++ disj).distinct.mkString(", ")}] " +
       s"ReadSchema=[${required.fieldNames.mkString(", ")}]"
 
   private val hadoopConf = new SerializableHadoopConf(
     SparkSession.active.sessionState.newHadoopConf())
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    // Hadoop FS with the SESSION conf: the same code path serves file://,
-    // hdfs://, and object stores with the user's credentials/endpoints.
-    // Files are BYTE-RANGE SPLIT at `splitSize` (Hadoop line-reader
-    // boundary semantics: a split owns the lines that START inside it) —
-    // one 100 GB archive file must not become one task.
+  override def planInputPartitions(): Array[InputPartition] =
+    CdcScan.splitFiles(CdcScan.listFiles(path, hadoopConf), splitSize)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReaderFactory(conj, disj, required.fieldNames, hadoopConf)
+
+  /** Streaming read over the same directory: new files are the stream (the
+    * engine analogue of new stream-shard batches arriving). Same reader, same
+    * source-level pk pruning, same byte-range splits as the batch path — the
+    * point of MICRO_BATCH_READ is that the streaming pipeline loses none of
+    * the pruning the reference applies before its handler is invoked
+    * (`/root/reference/lib/constructs/dynamo.ts:157-191`).
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CdcMicroBatchStream(path, conj, disj, required, splitSize, hadoopConf)
+}
+
+private[sources] object CdcScan {
+  /** List (path, length) under `path` via Hadoop FS with the SESSION conf:
+    * the same code path serves file://, hdfs://, and object stores with the
+    * user's credentials/endpoints.
+    */
+  def listFiles(path: String, hadoopConf: SerializableHadoopConf): Seq[(String, Long)] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hadoopConf.value)
     val st = fs.getFileStatus(p)
     val files =
-      if (st.isFile) Array(st)
-      else fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
-    files.flatMap { f =>
-      val len = f.getLen
-      if (len == 0) Seq(CdcFilePartition(f.getPath.toString, 0L, 0L))
-      else (0L until len by splitSize).map { start =>
-        CdcFilePartition(f.getPath.toString, start, math.min(splitSize, len - start))
-      }
-    }.map(identity[InputPartition])
+      if (st.isFile) Seq(st)
+      else fs.listStatus(p).toSeq.filter(_.isFile).sortBy(_.getPath.getName)
+    files.map(f => (f.getPath.toString, f.getLen))
   }
+
+  /** BYTE-RANGE SPLIT at `splitSize` (Hadoop line-reader boundary semantics:
+    * a split owns the lines that start inside (start, end]) — one 100 GB
+    * archive file must not become one task.
+    */
+  def splitFiles(files: Seq[(String, Long)], splitSize: Long): Array[InputPartition] =
+    files.flatMap { case (f, len) =>
+      if (len == 0) Seq(CdcFilePartition(f, 0L, 0L))
+      else (0L until len by splitSize).map { start =>
+        CdcFilePartition(f, start, math.min(splitSize, len - start))
+      }
+    }.map(identity[InputPartition]).toArray
+}
+
+/** Streaming offset = the set of files fully processed, as a single-line
+  * JSON object `{path: length, ...}` sorted by path. Single-line is a HARD
+  * requirement: Spark's OffsetSeqLog is line-oriented — one line per source —
+  * so a newline inside an offset splits it into phantom sources on restart.
+  * Files are immutable once written (the append pattern of stream archives;
+  * in-place growth is not tracked).
+  */
+private[sources] case class CdcOffset(files: Map[String, Long]) extends StreamingOffset {
+  override def json(): String =
+    graft.attr.Json.JObj(
+      files.toVector.sortBy(_._1).map { case (p, l) =>
+        (p, graft.attr.Json.JNum(BigDecimal(l)))
+      }).print
+}
+
+private[sources] object CdcOffset {
+  def fromJson(s: String): CdcOffset =
+    if (s.isEmpty) CdcOffset(Map.empty)
+    else graft.attr.JsonParser.parse(s) match {
+      case o: graft.attr.Json.JObj =>
+        CdcOffset(o.fields.map {
+          case (p, graft.attr.Json.JNum(n)) => (p, n.toLong)
+          case (p, other) => throw new IllegalArgumentException(
+            s"malformed CdcOffset entry $p -> $other")
+        }.toMap)
+      case other => throw new IllegalArgumentException(s"malformed CdcOffset: $other")
+    }
+}
+
+/** Micro-batch planning: each trigger processes the files that appeared since
+  * the last committed offset, split by byte range exactly like the batch
+  * scan. Implements [[SupportsTriggerAvailableNow]] so `Trigger.AvailableNow`
+  * pins the end offset once at query start (drain-and-stop semantics without
+  * the wrapper's extra listing per batch).
+  */
+private[sources] class CdcMicroBatchStream(path: String, conj: Array[Filter],
+    disj: Array[Filter], required: StructType, splitSize: Long,
+    hadoopConf: SerializableHadoopConf)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private var fixedEnd: Option[CdcOffset] = None
+
+  private def snapshot(): CdcOffset = CdcOffset(CdcScan.listFiles(path, hadoopConf).toMap)
+
+  override def prepareForTriggerAvailableNow(): Unit = fixedEnd = Some(snapshot())
+  override def initialOffset(): StreamingOffset = CdcOffset(Map.empty)
+  override def latestOffset(): StreamingOffset = fixedEnd.getOrElse(snapshot())
+  // admission-control variant (SupportsTriggerAvailableNow extends it); this
+  // source does not rate-limit, so the limit is ignored
+  override def latestOffset(start: StreamingOffset, limit: ReadLimit): StreamingOffset =
+    latestOffset()
+  override def deserializeOffset(json: String): StreamingOffset = CdcOffset.fromJson(json)
+
+  override def planInputPartitions(start: StreamingOffset, end: StreamingOffset): Array[InputPartition] = {
+    val done = start.asInstanceOf[CdcOffset].files
+    val now = end.asInstanceOf[CdcOffset].files
+    val fresh = now.toSeq.filter { case (p, _) => !done.contains(p) }.sortBy(_._1)
+    CdcScan.splitFiles(fresh, splitSize)
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdcReaderFactory(filters, required.fieldNames, hadoopConf)
+    new CdcReaderFactory(conj, disj, required.fieldNames, hadoopConf)
+
+  override def commit(end: StreamingOffset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class CdcFilePartition(file: String, start: Long, length: Long)
     extends InputPartition
 
 private[sources] class CdcReaderFactory(
-    filters: Array[Filter], requiredCols: Array[String],
+    conj: Array[Filter], disj: Array[Filter], requiredCols: Array[String],
     hadoopConf: SerializableHadoopConf)
     extends PartitionReaderFactory {
 
@@ -166,16 +301,29 @@ private[sources] class CdcReaderFactory(
     // (quote/backslash/control chars would differ between the pk text and
     // its in-line representation, and any char may legally be \u-escaped by
     // exotic writers — such needles disable the shortcut, never correctness)
-    val needles: Array[String] = filters.collect {
-      case EqualTo("pk", v: String) if escapeFree(v) => v
-      case StringStartsWith("pk", p) if escapeFree(p) => p
+    def needleOf(f: Filter): Option[String] = f match {
+      case EqualTo("pk", v: String) if escapeFree(v) => Some(v)
+      case StringStartsWith("pk", p) if escapeFree(p) => Some(p)
+      case _ => None
     }
-    val skipSafe = needles.length == filters.length && filters.nonEmpty
-    def pkMatches(pk: String): Boolean = filters.forall {
+    val conjNeedles = conj.flatMap(needleOf(_))
+    val disjNeedles = disj.flatMap(needleOf(_))
+    // the substring shortcut may only fire when EVERY filter yielded a needle
+    val skipSafe = conjNeedles.length == conj.length &&
+      disjNeedles.length == disj.length && (conj.nonEmpty || disj.nonEmpty)
+    // a matching line must contain ALL conjunct needles and (when patterns
+    // are configured) AT LEAST ONE pattern needle
+    def lineMayMatch(line: String): Boolean =
+      conjNeedles.forall(line.contains) &&
+        (disjNeedles.isEmpty || disjNeedles.exists(line.contains))
+    def matchOne(pk: String, f: Filter): Boolean = f match {
       case EqualTo("pk", v: String) => pk == v
       case StringStartsWith("pk", p) => pk.startsWith(p)
       case _ => true
     }
+    val filtering = conj.nonEmpty || disj.nonEmpty
+    def pkMatches(pk: String): Boolean =
+      conj.forall(matchOne(pk, _)) && (disj.isEmpty || disj.exists(matchOne(pk, _)))
 
     new PartitionReader[InternalRow] {
       private val hPath = new org.apache.hadoop.fs.Path(file)
@@ -197,7 +345,12 @@ private[sources] class CdcReaderFactory(
       private var row: InternalRow = _
 
       override def next(): Boolean = {
-        while (pos < end) {
+        // `pos <= end`, not `<`: a line starting EXACTLY at `end` belongs to
+        // this split (Hadoop LineRecordReader reads while position <= end);
+        // the next split's unconditional first-line skip discards it. With
+        // strict `<` neither split would read it — silent data loss on any
+        // file where a line start aligns with a splitSize multiple.
+        while (pos <= end) {
           val n = lr.readLine(text)
           if (n == 0) return false // EOF
           pos += n
@@ -205,7 +358,7 @@ private[sources] class CdcReaderFactory(
           // byte must not throw from the line iterator (OP-3 at the source)
           val line = new String(text.getBytes, 0, text.getLength,
             java.nio.charset.StandardCharsets.UTF_8)
-          if (!skipSafe || needles.exists(line.contains)) {
+          if (!skipSafe || lineMayMatch(line)) {
             parse(line) match {
               case Some(r) => row = r; return true
               case None => () // malformed or pk-pruned — residual is authority
@@ -218,13 +371,13 @@ private[sources] class CdcReaderFactory(
       override def close(): Unit = lr.close()
 
       private def parse(l: String): Option[InternalRow] =
-        try {
+        CdcSource.droppingNonFatal {
           RecordProcessor.parseRecord(l).flatMap { rec =>
             val ddb = rec.dynamodb
             val keysJson = ddb.flatMap(_.Keys)
             // throws on malformed Keys → record drops, like processLine
             val pk = keysJson.flatMap(CdcSource.pkText)
-            if (filters.nonEmpty && !pk.exists(pkMatches)) None
+            if (filtering && !pk.exists(pkMatches)) None
             else {
               def s(v: Option[String]): UTF8String =
                 v.map(UTF8String.fromString).orNull
@@ -240,7 +393,7 @@ private[sources] class CdcReaderFactory(
               }))
             }
           }
-        } catch { case _: Throwable => None }
+        }
     }
   }
 

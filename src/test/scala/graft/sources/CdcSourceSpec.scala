@@ -3,6 +3,7 @@ package graft.sources
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.SparkSuite
 
@@ -72,6 +73,37 @@ class CdcSourceSpec extends SparkSuite {
       (0 until 200).count(_ % 7 == 3))
   }
 
+  test("a line starting exactly at a split boundary is read exactly once") {
+    // Every line is padded to exactly 128 bytes (127 chars + '\n'), so with
+    // splitSize=128 every line after the first STARTS exactly at a boundary.
+    // The old `pos < end` loop read such a line in neither split (previous
+    // split stopped at pos == end; next split's first-line skip discarded it)
+    // — this file lost all but line 0. Hadoop semantics: previous split owns
+    // it (reads while pos <= end).
+    val dir = Files.createTempDirectory("graft-dsv2-align").toString
+    def line(i: Int): String = {
+      val base =
+        s"""{"eventID":"b-$i","eventName":"INSERT","dynamodb":{"SizeBytes":1,"Keys":{"pk":{"S":"P$i"}},"NewImage":{"pad":{"S":"PAD"}}}}"""
+      base.replace("PAD", "x" * (127 - base.length + 3))
+    }
+    val many = (0 until 64).map(line)
+    assert(many.forall(_.length == 127))
+    Files.write(Paths.get(s"$dir/aligned.json"), many.mkString("\n").getBytes)
+    val df = spark.read.format(classOf[CdcSource].getName)
+      .option("splitSize", "128").load(dir)
+    assert(df.rdd.getNumPartitions >= 63, s"got ${df.rdd.getNumPartitions} splits")
+    val ids = df.select("eventID").collect().map(_.getString(0))
+    assert(ids.length == 64, s"lost lines at split boundaries: ${ids.length}/64")
+    assert(ids.distinct.length == 64, "duplicated lines across splits")
+  }
+
+  test("fatal errors propagate through the row parser; NonFatal drops the record") {
+    assert(CdcSource.droppingNonFatal[Int] { throw new RuntimeException("bad row") }.isEmpty)
+    intercept[OutOfMemoryError] {
+      CdcSource.droppingNonFatal[Int] { throw new OutOfMemoryError("simulated fatal") }
+    }
+  }
+
   test("column pruning reaches the scan: projection reads only what it needs") {
     val dir = writeDir()
     val df = read(dir).select("eventID", "pk")
@@ -119,6 +151,76 @@ class CdcSourceSpec extends SparkSuite {
     Files.write(Paths.get(s"$dir/a.json"), bytes)
     val rows = read(dir).collect()
     assert(rows.map(_.getAs[String]("eventID")).toSeq == Seq("p-1"))
+  }
+
+  private def explainOf(q: StreamingQuery): String = {
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
+    buf.toString
+  }
+
+  test("pkFilters option: patterns OR together; Catalyst conjuncts AND on top") {
+    val dir = writeDir()
+    // reference rule-array semantics: ["USER#1","ORG#*"] = eq OR prefix
+    val either = spark.read.format(classOf[CdcSource].getName)
+      .option("pkFilters", """["USER#1","ORG#*"]""").load(dir)
+    assert(either.collect().map(_.getAs[String]("eventID")).sorted.toSeq == Seq("d-1", "d-3"))
+    // a Catalyst-pushed conjunct narrows the pattern set, never widens it
+    val both = spark.read.format(classOf[CdcSource].getName)
+      .option("pkFilters", """["USER#1","ORG#*"]""").load(dir)
+      .filter(col("pk").startsWith("USER#"))
+    assert(both.collect().map(_.getAs[String]("eventID")).toSeq == Seq("d-1"))
+  }
+
+  test("micro-batch read: pk filter pushes into the streaming scan") {
+    val dir = Files.createTempDirectory("graft-dsv2-mb").toString
+    Files.write(Paths.get(s"$dir/a.json"), lines.take(3).mkString("\n").getBytes)
+    val out = Files.createTempDirectory("graft-dsv2-mb-out").toString
+    val ckpt = Files.createTempDirectory("graft-dsv2-mb-ckpt").toString
+    // Catalyst doesn't push filters into streaming scans, so source-level
+    // pruning arrives via the pkFilters OPTION; the .filter stays as the
+    // exact residual, like the pipeline does.
+    val q = spark.readStream.format(classOf[CdcSource].getName)
+      .option("pkFilters", """["USER#*"]""").load(dir)
+      .filter(col("pk").startsWith("USER#"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ids = spark.read.parquet(out).select("eventID").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq == Seq("d-1", "d-2"))
+    val plan = explainOf(q)
+    assert(plan.contains("StringStartsWith(pk,USER#)"), plan.take(600))
+  }
+
+  test("micro-batch read: only files newer than the committed offset are processed") {
+    val dir = Files.createTempDirectory("graft-dsv2-tail").toString
+    Files.write(Paths.get(s"$dir/a.json"), lines.take(3).mkString("\n").getBytes)
+    val out = Files.createTempDirectory("graft-dsv2-tail-out").toString
+    val ckpt = Files.createTempDirectory("graft-dsv2-tail-ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format(classOf[CdcSource].getName).load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 3)
+    // a new file arrives; the committed offset keeps a.json from reprocessing
+    Files.write(Paths.get(s"$dir/b.json"), lines.drop(3).mkString("\n").getBytes)
+    runOnce()
+    val ids = spark.read.parquet(out).select("eventID").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq == Seq("d-1", "d-2", "d-3", "d-5"), ids.mkString(","))
+    // nothing new → third run appends nothing (exactly-once over the offset log)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 4)
+  }
+
+  test("CdcOffset roundtrips through its JSON encoding") {
+    val o = CdcOffset(Map("/x/a b.json" -> 12L, "/x/b.json" -> 0L))
+    assert(CdcOffset.fromJson(o.json()) == o)
+    assert(CdcOffset.fromJson("") == CdcOffset(Map.empty))
   }
 
   test("source rows feed the CDC pipeline stages unchanged") {
