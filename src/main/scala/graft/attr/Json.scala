@@ -217,6 +217,11 @@ object JsonParser {
     def jsObject(): Json = {
       expect('{'); skipWs()
       val fields = new ArrayBuffer[(String, Json)]
+      // O(1) duplicate detection: this parser feeds untrusted per-record
+      // stream lines, and a linear indexWhere per field would make one
+      // adversarial line with ~1e5 keys in a single object O(n²) — a stalled
+      // task, not just a slow row
+      val seen = new scala.collection.mutable.HashMap[String, Int]
       if (i < s.length && s.charAt(i) == '}') { i += 1; return Json.JObj(fields.toVector) }
       while (true) {
         skipWs()
@@ -225,8 +230,10 @@ object JsonParser {
         val v = value()
         // duplicate keys: JS JSON.parse keeps the FIRST occurrence's position
         // with the LAST occurrence's value — replace in place, don't append
-        val existing = fields.indexWhere(_._1 == k)
-        if (existing >= 0) fields(existing) = ((k, v)) else fields += ((k, v))
+        seen.get(k) match {
+          case Some(idx) => fields(idx) = ((k, v))
+          case None => seen.put(k, fields.length); fields += ((k, v))
+        }
         skipWs()
         if (i >= s.length) err("unterminated object")
         s.charAt(i) match {

@@ -19,16 +19,15 @@ object Bucketing {
       nBuckets: Int,
       sortCol: Option[String] = None): Unit = {
     // drop stale metadata AND location: a leftover warehouse dir without
-    // catalog metadata (e.g. from a previous JVM) fails CTAS otherwise
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouse = new java.io.File(
-      new java.net.URI(df.sparkSession.conf.get("spark.sql.warehouse.dir")).getPath, table)
-    if (warehouse.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(warehouse)
-    }
+    // catalog metadata (e.g. from a previous JVM) fails CTAS otherwise.
+    // Hadoop FileSystem, not java.io.File — the warehouse can be HDFS/object
+    // storage on a real cluster, where a local-file delete silently no-ops.
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = warehouse.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(warehouse)) { fs.delete(warehouse, true); () }
     val w = df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(nBuckets, bucketCol)

@@ -153,6 +153,23 @@ class OpsSpec extends SparkSuite {
     assert(back == orig && back.nonEmpty)
   }
 
+  test("variant get semantics: missing path is NULL either way; try_ guards bad casts") {
+    import spark.implicits._
+    val df = Seq("""{"k": 5, "s": "not a number"}""").toDF("j")
+      .select(parse_json(col("j")).as("v"))
+    // missing path: plain variant_get already yields NULL (why variantProps
+    // does not need try_variant_get on its absent-path column)
+    val missing = df.select(
+      variant_get(col("v"), "$.nope", "string").as("plain"),
+      try_variant_get(col("v"), "$.nope", "string").as("tried")).head()
+    assert(missing.isNullAt(0) && missing.isNullAt(1))
+    // cast failure: the one case where try_ differs — NULL instead of throwing
+    assert(df.select(try_variant_get(col("v"), "$.s", "int")).head().isNullAt(0))
+    intercept[Exception] {
+      df.select(variant_get(col("v"), "$.s", "int")).head()
+    }
+  }
+
   test("binned range join equals the naive inequality join") {
     import spark.implicits._
     val weekMs = 7L * 86400000L
@@ -381,6 +398,25 @@ class OpsSpec extends SparkSuite {
         Exact.sumLong(Exact.c2(col("value"))).as("total_value_c2"))
       .orderBy("event_type").collect().map(_.toSeq).toSeq
     assert(salted == plain)
+  }
+
+  test("writeBucketed clears a stale warehouse dir through Hadoop FS (URI-form path)") {
+    import spark.implicits._
+    // orphan location with no catalog entry — the pre-CTAS cleanup must
+    // remove it via the Hadoop FileSystem API (the warehouse conf is a
+    // `file:` URI here; on a cluster it is hdfs:/s3a: where java.io.File
+    // would silently no-op and CTAS would fail)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    assert(wh.contains(":"), s"expected URI-form warehouse, got $wh")
+    val stale = new org.apache.hadoop.fs.Path(wh, "graft_stale_b")
+    val fs = stale.getFileSystem(spark.sessionState.newHadoopConf())
+    spark.sql("DROP TABLE IF EXISTS graft_stale_b")
+    fs.mkdirs(stale)
+    val junk = fs.create(new org.apache.hadoop.fs.Path(stale, "junk"))
+    junk.writeBytes("stale"); junk.close()
+    Bucketing.writeBucketed(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "graft_stale_b", "k", 2)
+    assert(spark.table("graft_stale_b").count() == 2)
+    spark.sql("DROP TABLE IF EXISTS graft_stale_b")
   }
 
   test("bucketed join on the order key runs without a shuffle exchange") {
