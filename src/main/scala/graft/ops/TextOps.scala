@@ -14,21 +14,30 @@ object TextOps {
   private def reCount(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
 
+  /** All text counters in ONE codegen'd pass over each document
+    * ([[graft.functions.TextScan]]) — replaces 4-6 independent
+    * `regexp_extract_all` walks (each of which also materialized an array of
+    * match strings). The DuckDB oracle still computes the same fields with
+    * the original regexes; TextScanSpec pins scanner==regex per field.
+    */
+  private def scanned(spark: SparkSession, d: String) =
+    Tables.documents(spark, d)
+      .withColumn("ts", graft.functions.TextFunctions.text_scan(col("text")))
+
   /** Token counting + quality heuristics: length/stopword/punctuation ratios
     * (the formulas are plain double arithmetic so the DuckDB oracle is
     * bit-identical).
     */
   def textStats(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d)
+    scanned(spark, d)
       .select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars_actual"),
-        reCount(col("text"), "[A-Za-z0-9]+").as("n_tokens"),
+        col("ts.n_tokens").as("n_tokens"),
         // BPE-ish segmentation (GPT-2-flavored, RE2-safe: no lookahead)
-        reCount(col("text"), "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+")
-          .as("n_bpe_tokens"),
-        reCount(col("text"), "\\bthe\\b|\\ba\\b").as("n_stop"),
-        reCount(col("text"), "[^A-Za-z0-9\\s]").as("n_punct"))
+        col("ts.n_bpe_tokens").as("n_bpe_tokens"),
+        col("ts.n_stop").as("n_stop"),
+        col("ts.n_punct").as("n_punct"))
       .withColumn("stop_ratio",
         col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1L)).cast("double"))
       .withColumn("quality_score",
@@ -39,21 +48,17 @@ object TextOps {
   /** N-gram-marker language ID heuristic: argmax of per-language marker-token
     * counts with deterministic tie-breaking (en > de > es > fr).
     */
-  def langId(spark: SparkSession, d: String): DataFrame = {
-    val en = reCount(col("text"), "\\b(the|a|of)\\b")
-    val de = reCount(col("text"), "\\b(der|die|das|und)\\b")
-    val es = reCount(col("text"), "\\b(el|la|los|y)\\b")
-    val fr = reCount(col("text"), "\\b(le|la|les|et)\\b")
-    Tables.documents(spark, d)
+  def langId(spark: SparkSession, d: String): DataFrame =
+    scanned(spark, d)
       .select(col("doc_id"), col("lang").as("labeled_lang"),
-        en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"))
+        col("ts.s_en").as("s_en"), col("ts.s_de").as("s_de"),
+        col("ts.s_es").as("s_es"), col("ts.s_fr").as("s_fr"))
       .withColumn("predicted_lang",
         when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
           .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
           .when(col("s_es") >= col("s_fr"), "es")
           .otherwise("fr"))
       .orderBy("doc_id")
-  }
 
   /** Normalized-content fingerprint (md5 of lowercased, whitespace-collapsed
     * text) — the exact-dedup key.
@@ -74,15 +79,14 @@ object TextOps {
     * exported as 0/1 BIGINT; booleans print differently across engines).
     */
   def qualityFilter(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d)
+    scanned(spark, d)
       .select(
         col("doc_id"),
-        reCount(col("text"), "[A-Za-z0-9]+").as("n_words"),
+        col("ts.n_tokens").as("n_words"),
         // summed word length for the mean-word-length rule
-        expr("aggregate(transform(regexp_extract_all(text, '[A-Za-z0-9]+', 0), " +
-          "x -> length(x)), 0L, (acc, x) -> acc + x)").as("n_word_chars"),
-        reCount(col("text"), "\\bthe\\b|\\ba\\b").as("n_stop"),
-        reCount(col("text"), "[^A-Za-z0-9\\s]").as("n_punct"))
+        col("ts.n_word_chars").as("n_word_chars"),
+        col("ts.n_stop").as("n_stop"),
+        col("ts.n_punct").as("n_punct"))
       .withColumn("mean_word_len",
         col("n_word_chars").cast("double") / greatest(col("n_words"), lit(1L)).cast("double"))
       .withColumn("symbol_ratio",
