@@ -111,4 +111,13 @@ class CdcApp(spark: SparkSession, spec: CdcSpec, paths: CdcPaths) {
       .repartitionByRange(col(s"${gsiName}pk"), col(s"${gsiName}sk"))
       .sortWithinPartitions(col(s"${gsiName}pk"), col(s"${gsiName}sk"))
   }
+
+  /** All configured GSI views at once — the engine analogue of the
+    * reference's `for (const gsi of gsiIndexNames)` loop (`dynamo.ts:75-83`):
+    * every declared index name yields its own independently re-keyed view of
+    * the same items. Views are lazy plans; materializing one does not pay for
+    * the others.
+    */
+  def gsiViews(items: DataFrame): Map[String, DataFrame] =
+    spec.gsiIndexNames.map(g => g -> gsiView(items, g)).toMap
 }

@@ -53,6 +53,29 @@ class CdcAppSpec extends SparkSuite {
     }
   }
 
+  test("gsiViews: two configured GSIs each get an independently re-keyed view") {
+    import spark.implicits._
+    // one item table carrying key attributes for BOTH indexes
+    // (ProjectionType.ALL: all columns ride along in each view)
+    val items = Seq(
+      ("b", "2", "x", "9", 1L),
+      ("a", "1", "y", "3", 2L),
+      ("a", "2", "x", "1", 3L))
+      .toDF("g1pk", "g1sk", "g2pk", "g2sk", "v")
+    val app = new CdcApp(spark,
+      CdcSpec(eventSource = "x", gsiIndexNames = Seq("g1", "g2")), setup(Seq(write)))
+    val views = app.gsiViews(items)
+    assert(views.keySet == Set("g1", "g2"))
+    // each view is sorted by ITS OWN key pair and keeps every column
+    val v1 = views("g1").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(v1.toSeq == Seq(("a", "1"), ("a", "2"), ("b", "2")))
+    val v2 = views("g2").select("g2pk", "g2sk").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(v2.toSeq == Seq(("x", "1"), ("x", "9"), ("y", "3")))
+    assert(views("g1").columns.toSeq == items.columns.toSeq)
+    // an undeclared name still fails fast
+    intercept[IllegalArgumentException](app.gsiView(items, "g9"))
+  }
+
   test("gsiView requires a declared index and re-keys the frame") {
     import spark.implicits._
     val items = Seq(("g1p", "g1s", 1), ("g1p", "g1s2", 2)).toDF("gsi1pk", "gsi1sk", "v")

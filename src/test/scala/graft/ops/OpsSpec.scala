@@ -20,23 +20,50 @@ class OpsSpec extends SparkSuite {
     assert(recall >= 0.9, s"LSH recall $recall too low (found ${lsh.size}, exact ${exact.size})")
   }
 
-  test("ann_topk_lsh recall vs brute force on shared-bucket queries") {
+  test("ann_topk_lsh recall vs brute force; exported recall_e6 matches") {
     val exact = Similarity.bruteForceTopK(spark, sf, nQueries = 8, k = 5)
-      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ann = Similarity.annTopK(spark, sf, k = 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val annRows = Similarity.annTopK(spark, sf, k = 5)
       .filter(col("qid") < 8)
-      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // LSH with 8 bits on weakly-clustered vectors: expect partial recall, not zero
-    val recall = exact.count(ann.contains).toDouble / exact.size
+      .select("qid", "cid", "recall_e6").collect()
+    val ann = annRows.map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the exported per-query recall_e6 must equal the recall computed here
+    annRows.foreach { r =>
+      val q = r.getLong(0)
+      val computed = math.floor(
+        exact(q).count(ann(q).contains).toDouble * 1e6 / 5.0).toLong
+      assert(!r.isNullAt(2) && r.getLong(2) == computed,
+        s"qid $q: exported ${r.get(2)} != computed $computed")
+    }
+    // LSH with few bits on weakly-clustered vectors: partial recall, not zero
+    val hits = exact.map { case (q, ex) => ex.count(ann.getOrElse(q, Set.empty).contains) }.sum
+    val recall = hits.toDouble / (exact.size * 5)
     assert(recall > 0.2, s"ANN recall $recall suspiciously low")
+    // unmeasured queries (outside the bounded query set) export NULL, not 0
+    val unmeasured = Similarity.annTopK(spark, sf, k = 5)
+      .filter(col("qid") >= 8).select("recall_e6").limit(5).collect()
+    assert(unmeasured.forall(_.isNullAt(0)))
   }
 
-  test("ivf_topk recall vs brute force; probing fewer cells than exist") {
+  test("ivf_topk recall vs brute force; exported recall_e6 matches") {
     val exact = Similarity.bruteForceTopK(spark, sf, nQueries = 8, k = 5)
-      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.ivfTopK(spark, sf, k = 5, nQueries = 8)
-      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = exact.count(ivf.contains).toDouble / exact.size
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivfRows = Similarity.ivfTopK(spark, sf, k = 5, nQueries = 8)
+      .select("qid", "cid", "recall_e6").collect()
+    val ivf = ivfRows.map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    ivfRows.foreach { r =>
+      val q = r.getLong(0)
+      val computed = math.floor(
+        exact(q).count(ivf(q).contains).toDouble * 1e6 / 5.0).toLong
+      assert(!r.isNullAt(2) && r.getLong(2) == computed,
+        s"qid $q: exported ${r.get(2)} != computed $computed")
+    }
+    val hits = exact.map { case (q, ex) => ex.count(ivf.getOrElse(q, Set.empty).contains) }.sum
+    val recall = hits.toDouble / (exact.size * 5)
     assert(recall > 0.2, s"IVF recall $recall suspiciously low")
     // structural: every query answered with exactly k ranked rows
     val perQ = Similarity.ivfTopK(spark, sf, k = 5, nQueries = 8)
