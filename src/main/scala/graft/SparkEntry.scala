@@ -65,6 +65,7 @@ object SparkEntry {
     "dedup_latest" -> ((s, d) => Dedup.latestByKey(s, d)),
     // --- LLM-data-pipeline: text analysis ---
     "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
+    "corpus_stats" -> ((s, d) => TextOps.corpusStats(s, d)),
     "lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
     "binary_content" -> ((s, d) => TextOps.binaryContent(s, d)),
@@ -409,6 +410,13 @@ object SparkEntry {
         |    + (CAST(len(regexp_extract_all(text, '\bthe\b|\ba\b')) AS DOUBLE)
         |       / CAST(greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) AS DOUBLE)) * 0.4 AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "corpus_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS BIGINT) AS total_bpe_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))) AS BIGINT) AS total_punct
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "lang_id" ->
       """WITH s AS (
         |  SELECT doc_id, lang AS labeled_lang,

@@ -57,9 +57,11 @@ class CdcApp(spark: SparkSession, spec: CdcSpec, paths: CdcPaths) {
         CdcPipeline.stream(spark, paths.inputDir, paths.busDir, paths.checkpointDir, config).start()
       case Some(fn) =>
         // custom handler (functionPath analogue): user supplies records →
-        // Processed, so custom outputs keep the stock claim-check sink
-        val recs = CdcPipeline.applyPkFilter(
-          CdcPipeline.parse(spark.readStream.textFile(paths.inputDir)), config)
+        // Processed, so custom outputs keep the stock claim-check sink.
+        // Reads the same DSv2 source as the stock pipeline: the custom
+        // handler inherits source-level pk pruning, the exact pk-text
+        // residual, and byte-range splits (streamRecords does all three).
+        val recs = CdcPipeline.streamRecords(spark, paths.inputDir, config)
         val blobDir = config.blobDir
         val cfg = config
         fn(recs)

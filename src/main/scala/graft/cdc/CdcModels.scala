@@ -68,7 +68,8 @@ final case class CdcConfig(
     eventSource: String = "unknown",
     blobDir: String = "blobs",
     pkFilters: Seq[String] = Nil,
-    strictCompat: Boolean = false) {
+    strictCompat: Boolean = false,
+    urlTtl: Option[UrlTtl] = None) {
   /** Blob object key for a record. The eventID is untrusted input — strip
     * path-capable characters so a hostile id can neither traverse out of
     * `blobDir` nor point into a nonexistent subdirectory.
@@ -76,9 +77,38 @@ final case class CdcConfig(
   def blobKey(eventID: String): String =
     eventID.replaceAll("[^A-Za-z0-9._-]", "_") + ".json"
 
-  def imagesUrl(eventID: String): String = s"$blobDir/${blobKey(eventID)}"
+  /** Claim-check URL (OP-12). With `urlTtl` set, the URL carries an
+    * expiry — the engine analogue of the reference's 24 h presigned GET
+    * (`dynamo-stream-handler.ts:154-163`: the S3 lifecycle deletes the blob
+    * on the same clock, [[CdcPipeline.cleanBlobs]] here). Default None keeps
+    * the plain path (and the byte-stable bus wire the oracle checks).
+    */
+  def imagesUrl(eventID: String): String = {
+    val base = s"$blobDir/${blobKey(eventID)}"
+    urlTtl.fold(base)(t => s"$base#expires=${t.issuedAtMs + t.ttlMs}")
+  }
 }
+
+/** Expiring-URL config: `issuedAtMs` is supplied by the caller (no hidden
+  * clock reads inside the record program — keeps it a pure function),
+  * `ttlMs` defaults to the reference's 24 h.
+  */
+final case class UrlTtl(issuedAtMs: Long, ttlMs: Long = 24L * 3600 * 1000)
 
 object CdcConfig {
   val DetailType = "dynamo.item.changed"
+
+  /** Consumer-side capability check: resolve an expiring claim-check URL to
+    * its blob path, or None when the URL has expired — the behavior an S3
+    * presigned GET enforces server-side after `expiresIn`.
+    */
+  def resolveImagesUrl(url: String, nowMs: Long): Option[String] = {
+    val idx = url.lastIndexOf("#expires=")
+    if (idx < 0) Some(url) // non-expiring URL (urlTtl unset)
+    else {
+      val exp = url.substring(idx + "#expires=".length)
+      try if (nowMs <= exp.toLong) Some(url.substring(0, idx)) else None
+      catch { case _: NumberFormatException => None } // malformed capability
+    }
+  }
 }

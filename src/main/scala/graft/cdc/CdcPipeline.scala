@@ -140,6 +140,38 @@ object CdcPipeline {
     * once flattened to envelope columns, so it drops here; the fused batch
     * path ([[processedLines]]) preserves the reference's emit-on-empty quirk.
     */
+  /** Streaming [[CdcRecord]]s through the DSv2 `graft-cdc` source — the
+    * shared front end of the stock [[stream]] pipeline and [[CdcApp]] custom
+    * transforms. Two filter layers, per the source's safety contract:
+    * source-level pk PRUNING via the `pkFilters` reader option (Catalyst
+    * does not push filters into streaming DSv2 scans; the option is the
+    * reference's deploy-time event-source-mapping filter), and the EXACT
+    * predicate re-applied in the plan over the source's pk text (residual
+    * authority — correctness never rests on the source's pruning; pk-text
+    * semantics match the fused `processLine`, including non-S-typed pks).
+    */
+  def streamRecords(spark: SparkSession, inputDir: String, cfg: CdcConfig): Dataset[CdcRecord] = {
+    import spark.implicits._
+    val reader = spark.readStream.format("graft-cdc")
+    if (cfg.pkFilters.nonEmpty)
+      reader.option("pkFilters",
+        graft.attr.Json.JArr(cfg.pkFilters.toVector.map(graft.attr.Json.JStr)).print)
+    val raw = reader.load(inputDir)
+    val filtered =
+      if (cfg.pkFilters.isEmpty) raw
+      else raw.filter(col("pk").isNotNull && PkFilter.toColumn(col("pk"), cfg.pkFilters))
+    filtered
+      .select(col("eventID"), col("eventName"), col("sizeBytes"),
+        col("keysJson"), col("newImageJson"), col("oldImageJson"))
+      .as[(Option[String], Option[String], Option[Long], Option[String], Option[String], Option[String])]
+      .map { case (id, op, size, k, n, o) =>
+        val ddb =
+          if (size.isEmpty && k.isEmpty && n.isEmpty && o.isEmpty) None
+          else Some(CdcStreamPart(size, k, n, o))
+        CdcRecord(id, op, ddb)
+      }
+  }
+
   def stream(
       spark: SparkSession,
       inputDir: String,
@@ -147,29 +179,8 @@ object CdcPipeline {
       checkpointDir: String,
       cfg: CdcConfig): DataStreamWriter[BusEvent] = {
     import spark.implicits._
-    val reader = spark.readStream.format("graft-cdc")
-    // OP-2 at the SOURCE: Catalyst does not push filters into streaming DSv2
-    // scans, so the patterns ride in as reader config (like the reference's
-    // deploy-time event-source-mapping filter) and prune pre-emit...
-    if (cfg.pkFilters.nonEmpty)
-      reader.option("pkFilters",
-        graft.attr.Json.JArr(cfg.pkFilters.toVector.map(graft.attr.Json.JStr)).print)
-    val raw = reader.load(inputDir)
-    // ...while the EXACT predicate stays in the plan (residual authority —
-    // correctness never rests on the source's pruning).
-    val filtered =
-      if (cfg.pkFilters.isEmpty) raw
-      else raw.filter(col("pk").isNotNull && PkFilter.toColumn(col("pk"), cfg.pkFilters))
-    val proc = filtered
-      .select(col("eventID"), col("eventName"), col("sizeBytes"),
-        col("keysJson"), col("newImageJson"), col("oldImageJson"))
-      .as[(Option[String], Option[String], Option[Long], Option[String], Option[String], Option[String])]
-      .flatMap { case (id, op, size, k, n, o) =>
-        val ddb =
-          if (size.isEmpty && k.isEmpty && n.isEmpty && o.isEmpty) None
-          else Some(CdcStreamPart(size, k, n, o))
-        RecordProcessor.processSafe(CdcRecord(id, op, ddb), cfg)
-      }
+    val proc = streamRecords(spark, inputDir, cfg)
+      .flatMap(r => RecordProcessor.processSafe(r, cfg))
     val blobDir = cfg.blobDir
 
     proc

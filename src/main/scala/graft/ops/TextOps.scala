@@ -60,6 +60,23 @@ object TextOps {
           .otherwise("fr"))
       .orderBy("doc_id")
 
+  /** Corpus-level rollup by labeled language: doc counts and exact token /
+    * char / punctuation sums — the "what is in this corpus" summary every
+    * training-data pipeline reports. One partial+final hash aggregation over
+    * the fused [[graft.functions.TextScan]] counters (BIGINT sums per the
+    * oracle parity rules; no doubles).
+    */
+  def corpusStats(spark: SparkSession, d: String): DataFrame =
+    scanned(spark, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).cast("long").as("total_chars"),
+        sum(col("ts.n_tokens")).cast("long").as("total_tokens"),
+        sum(col("ts.n_bpe_tokens")).cast("long").as("total_bpe_tokens"),
+        sum(col("ts.n_punct")).cast("long").as("total_punct"))
+      .orderBy("lang")
+
   /** Normalized-content fingerprint (md5 of lowercased, whitespace-collapsed
     * text) — the exact-dedup key.
     */

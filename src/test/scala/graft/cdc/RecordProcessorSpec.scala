@@ -92,6 +92,25 @@ class RecordProcessorSpec extends AnyFunSuite {
     assert(PkFilter.matches("anything", Nil))
   }
 
+  test("expiring claim-check URLs (OP-12): issue with TTL, refuse after expiry") {
+    val t0 = 1700000000000L
+    val dayMs = 24L * 3600 * 1000
+    val cfg = CdcConfig(blobDir = "blobs", urlTtl = Some(UrlTtl(issuedAtMs = t0)))
+    val url = cfg.imagesUrl("e-1")
+    assert(url == s"blobs/e-1.json#expires=${t0 + dayMs}")
+    // within the window: resolves to the blob path (presigned GET succeeds)
+    assert(CdcConfig.resolveImagesUrl(url, t0 + dayMs - 1) == Some("blobs/e-1.json"))
+    assert(CdcConfig.resolveImagesUrl(url, t0 + dayMs) == Some("blobs/e-1.json"))
+    // past expiry: the capability is dead, like S3 refusing a stale signature
+    assert(CdcConfig.resolveImagesUrl(url, t0 + dayMs + 1).isEmpty)
+    // tampered expiry is refused, never parsed as "no expiry"
+    assert(CdcConfig.resolveImagesUrl("blobs/e-1.json#expires=zzz", t0).isEmpty)
+    // default config: plain path, resolves at any time (oracle wire unchanged)
+    val plain = CdcConfig(blobDir = "blobs").imagesUrl("e-1")
+    assert(plain == "blobs/e-1.json")
+    assert(CdcConfig.resolveImagesUrl(plain, Long.MaxValue) == Some(plain))
+  }
+
   test("raw line parsing keeps image subtrees as raw JSON (FIXTURES A1)") {
     val line =
       """{"eventID":"e-9","eventName":"MODIFY","dynamodb":{"SizeBytes":412,""" +
