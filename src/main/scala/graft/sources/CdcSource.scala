@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, SupportsTriggerAvailableNow, Offset => StreamingOffset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow, Offset => StreamingOffset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -103,7 +103,8 @@ private[sources] class CdcTable(path: String) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CdcScanBuilder(path, options.getLong("splitSize", 128L * 1024 * 1024),
-      CdcTable.optionFilters(options))
+      CdcTable.optionFilters(options),
+      options.getInt("maxFilesPerTrigger", Int.MaxValue))
 }
 
 private[sources] object CdcTable {
@@ -143,7 +144,7 @@ private[sources] object CdcTable {
   *    rules (`dynamo.ts:175-185`), a row must satisfy ANY of them.
   */
 private[sources] class CdcScanBuilder(path: String, splitSize: Long,
-    disj: Array[Filter] = Array.empty)
+    disj: Array[Filter] = Array.empty, maxFilesPerTrigger: Int = Int.MaxValue)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var conj: Array[Filter] = Array.empty
   private var required: StructType = CdcSource.schema
@@ -160,11 +161,13 @@ private[sources] class CdcScanBuilder(path: String, splitSize: Long,
   // column pruning: a projection of (eventID, pk) ships 2 small strings per
   // row instead of the whole envelope with its image JSON bodies
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new CdcScan(path, conj, disj, required, splitSize)
+  override def build(): Scan =
+    new CdcScan(path, conj, disj, required, splitSize, maxFilesPerTrigger)
 }
 
 private[sources] class CdcScan(path: String, conj: Array[Filter], disj: Array[Filter],
-    required: StructType, splitSize: Long) extends Scan with Batch {
+    required: StructType, splitSize: Long,
+    maxFilesPerTrigger: Int = Int.MaxValue) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -188,7 +191,8 @@ private[sources] class CdcScan(path: String, conj: Array[Filter], disj: Array[Fi
     * (`/root/reference/lib/constructs/dynamo.ts:157-191`).
     */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcMicroBatchStream(path, conj, disj, required, splitSize, hadoopConf)
+    new CdcMicroBatchStream(path, conj, disj, required, splitSize, hadoopConf,
+      maxFilesPerTrigger)
 }
 
 private[sources] object CdcScan {
@@ -256,7 +260,7 @@ private[sources] object CdcOffset {
   */
 private[sources] class CdcMicroBatchStream(path: String, conj: Array[Filter],
     disj: Array[Filter], required: StructType, splitSize: Long,
-    hadoopConf: SerializableHadoopConf)
+    hadoopConf: SerializableHadoopConf, maxFilesPerTrigger: Int = Int.MaxValue)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private var fixedEnd: Option[CdcOffset] = None
@@ -266,11 +270,32 @@ private[sources] class CdcMicroBatchStream(path: String, conj: Array[Filter],
   override def prepareForTriggerAvailableNow(): Unit = fixedEnd = Some(snapshot())
   override def initialOffset(): StreamingOffset = CdcOffset(Map.empty)
   override def latestOffset(): StreamingOffset = fixedEnd.getOrElse(snapshot())
-  // admission-control variant (SupportsTriggerAvailableNow extends it); this
-  // source does not rate-limit, so the limit is ignored
-  override def latestOffset(start: StreamingOffset, limit: ReadLimit): StreamingOffset =
-    latestOffset()
   override def deserializeOffset(json: String): StreamingOffset = CdcOffset.fromJson(json)
+
+  /** Admission control: `maxFilesPerTrigger` bounds each micro-batch — at
+    * scale a week-long backlog must drain as many bounded batches (bounded
+    * task count, bounded sink commit, steady checkpoint cadence), not one
+    * giant catch-up batch. Under Trigger.AvailableNow the cap still applies
+    * per batch; Spark keeps scheduling batches until the pinned end offset
+    * is reached.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger == Int.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxFiles(maxFilesPerTrigger)
+
+  override def latestOffset(start: StreamingOffset, limit: ReadLimit): StreamingOffset = {
+    val available = fixedEnd.getOrElse(snapshot()).files
+    val done = start.asInstanceOf[CdcOffset].files
+    limit match {
+      case mf: ReadMaxFiles =>
+        val fresh = available.toSeq
+          .filter { case (p, _) => !done.contains(p) }
+          .sortBy(_._1)
+          .take(mf.maxFiles())
+        CdcOffset(done ++ fresh)
+      case _ => CdcOffset(available)
+    }
+  }
 
   override def planInputPartitions(start: StreamingOffset, end: StreamingOffset): Array[InputPartition] = {
     val done = start.asInstanceOf[CdcOffset].files

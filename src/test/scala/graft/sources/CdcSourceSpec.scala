@@ -217,6 +217,29 @@ class CdcSourceSpec extends SparkSuite {
     assert(spark.read.parquet(out).count() == 4)
   }
 
+  test("maxFilesPerTrigger drains a backlog as bounded micro-batches") {
+    val dir = Files.createTempDirectory("graft-dsv2-admission").toString
+    // 3-file backlog; cap = 1 file per micro-batch
+    Files.write(Paths.get(s"$dir/a.json"), lines.take(2).mkString("\n").getBytes)
+    Files.write(Paths.get(s"$dir/b.json"), lines.slice(2, 3).mkString("\n").getBytes)
+    Files.write(Paths.get(s"$dir/c.json"), lines.drop(4).mkString("\n").getBytes)
+    val out = Files.createTempDirectory("graft-dsv2-admission-out").toString
+    val ckpt = Files.createTempDirectory("graft-dsv2-admission-ckpt").toString
+    val q = spark.readStream.format(classOf[CdcSource].getName)
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // every record arrived exactly once...
+    val ids = spark.read.parquet(out).select("eventID").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq == Seq("d-1", "d-2", "d-3", "d-5"), ids.mkString(","))
+    // ...across one micro-batch per file (offsets log batches 0,1,2)
+    val batches = new java.io.File(s"$ckpt/offsets").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).sorted
+    assert(batches.length == 3, s"expected 3 bounded batches, got ${batches.mkString(",")}")
+  }
+
   test("CdcOffset roundtrips through its JSON encoding") {
     val o = CdcOffset(Map("/x/a b.json" -> 12L, "/x/b.json" -> 0L))
     assert(CdcOffset.fromJson(o.json()) == o)
