@@ -58,7 +58,9 @@ class TextScanSpec extends SparkSuite {
     " leading",
     "...---''' mixed!punct?runs",
     "42 7x 'd'm't all contractions 'veaf 'll",
-    "of course the a of y el la le et und")
+    "of course the a of y el la le et und",
+    "astral 😀 emoji 😀😁 runs and 🎉!",
+    "lone high \uD800 and low \uDC00 surrogates")
 
   test("scanner equals the regex reference on adversarial strings, per field") {
     val names = TextScan.schema.fieldNames
