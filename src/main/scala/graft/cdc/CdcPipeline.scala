@@ -125,21 +125,6 @@ object CdcPipeline {
     lines.flatMap(l => RecordProcessor.processLine(l, cfg, rules))
   }
 
-  /** Streaming pipeline: `readStream` through the `graft-cdc` DSv2 source
-    * (MICRO_BATCH_READ) → foreachBatch-free sink that (a) writes claim-check
-    * blobs task-side and (b) appends bus rows as parquet — exactly-once per
-    * micro-batch via checkpointing (stronger than the reference's
-    * at-least-once, SURVEY §4.2).
-    *
-    * Reading the SAME source as batch means the streaming path gets the
-    * source-level pruning too: pk eq/prefix predicates push into the scan
-    * (`PushedFilters`, the reference's pre-invoke event-source-mapping
-    * filter) and large archive files byte-range split across tasks. One
-    * documented envelope-view divergence: a record whose `dynamodb` is
-    * present but EMPTY (`{}`) is indistinguishable from an absent `dynamodb`
-    * once flattened to envelope columns, so it drops here; the fused batch
-    * path ([[processedLines]]) preserves the reference's emit-on-empty quirk.
-    */
   /** Streaming [[CdcRecord]]s through the DSv2 `graft-cdc` source — the
     * shared front end of the stock [[stream]] pipeline and [[CdcApp]] custom
     * transforms. Two filter layers, per the source's safety contract:
@@ -149,6 +134,8 @@ object CdcPipeline {
     * predicate re-applied in the plan over the source's pk text (residual
     * authority — correctness never rests on the source's pruning; pk-text
     * semantics match the fused `processLine`, including non-S-typed pks).
+    * The `hasDynamodb` marker makes the envelope→record bridge lossless, so
+    * stream and batch agree on the reference's emit-on-empty-dynamodb quirk.
     */
   def streamRecords(spark: SparkSession, inputDir: String, cfg: CdcConfig): Dataset[CdcRecord] = {
     import spark.implicits._
@@ -162,16 +149,23 @@ object CdcPipeline {
       else raw.filter(col("pk").isNotNull && PkFilter.toColumn(col("pk"), cfg.pkFilters))
     filtered
       .select(col("eventID"), col("eventName"), col("sizeBytes"),
-        col("keysJson"), col("newImageJson"), col("oldImageJson"))
-      .as[(Option[String], Option[String], Option[Long], Option[String], Option[String], Option[String])]
-      .map { case (id, op, size, k, n, o) =>
-        val ddb =
-          if (size.isEmpty && k.isEmpty && n.isEmpty && o.isEmpty) None
-          else Some(CdcStreamPart(size, k, n, o))
+        col("keysJson"), col("newImageJson"), col("oldImageJson"), col("hasDynamodb"))
+      .as[(Option[String], Option[String], Option[Long], Option[String], Option[String], Option[String], Boolean)]
+      .map { case (id, op, size, k, n, o, hasDdb) =>
+        // the marker distinguishes absent vs present-but-empty `dynamodb`
+        // ({}): the reference emits on the latter (truthy guard), so the
+        // streaming path must reconstruct Some(empty part), not None
+        val ddb = if (hasDdb) Some(CdcStreamPart(size, k, n, o)) else None
         CdcRecord(id, op, ddb)
       }
   }
 
+  /** Streaming pipeline: [[streamRecords]] (DSv2 micro-batch source with
+    * source-level pk pruning + byte-range splits) → per-record program →
+    * sink that (a) writes claim-check blobs task-side and (b) appends bus
+    * rows as parquet — exactly-once per micro-batch via checkpointing
+    * (stronger than the reference's at-least-once, SURVEY §4.2).
+    */
   def stream(
       spark: SparkSession,
       inputDir: String,

@@ -58,7 +58,12 @@ object CdcSource {
     StructField("pk", StringType),
     StructField("keysJson", StringType),
     StructField("newImageJson", StringType),
-    StructField("oldImageJson", StringType)))
+    StructField("oldImageJson", StringType),
+    // present-but-EMPTY `dynamodb` ({}) flattens to the same NULL columns as
+    // an absent one, but the reference treats them differently (truthy {}
+    // passes the validity guard, dynamo-stream-handler.ts:92-97) — the
+    // marker keeps the envelope lossless so consumers can reconstruct
+    StructField("hasDynamodb", BooleanType)))
 
   /** Per-record error isolation (OP-3) at the row-parse layer: NonFatal
     * parse failures drop the record; fatal errors (OOM, InterruptedException)
@@ -415,6 +420,7 @@ private[sources] class CdcReaderFactory(
                 case "keysJson" => s(keysJson)
                 case "newImageJson" => s(ddb.flatMap(_.NewImage))
                 case "oldImageJson" => s(ddb.flatMap(_.OldImage))
+                case "hasDynamodb" => java.lang.Boolean.valueOf(ddb.isDefined)
               }))
             }
           }

@@ -55,6 +55,26 @@ class CdcStreamSpec extends SparkSuite {
     assert(spark.read.parquet(s"$base/bus").count() == 1)
   }
 
+  test("stream: present-but-empty dynamodb emits, like the fused batch path (reference truthy-{} quirk)") {
+    val emptyDdb =
+      """{"eventID":"s-e","eventName":"INSERT","dynamodb":{}}"""
+    val noDdb =
+      """{"eventID":"s-n","eventName":"INSERT"}"""
+    // fused batch path: {} passes the validity guard (truthy), absent drops
+    val cfg = CdcConfig(eventSource = "spec", blobDir = "/tmp/unused-blobs-empty")
+    import spark.implicits._
+    val batchIds = CdcPipeline.batch(spark, writeLines(Seq(emptyDdb, noDdb)), cfg)
+      .collect().map(_.eventID).sorted
+    assert(batchIds.toSeq == Seq("s-e"))
+    // streaming over the DSv2 source: the hasDynamodb marker preserves the
+    // distinction through the flattened envelope
+    val (bus, _, _) = run(Seq(emptyDdb, noDdb))
+    assert(bus.map(_.eventID) == Seq("s-e"), bus.map(_.eventID).mkString(","))
+    // and the emitted event is the claim-check shape (SizeBytes absent = Q5
+    // falsy -> blob path), matching processLine
+    assert(bus.head.detail.contains(""""imagesUrl":"""))
+  }
+
   test("stream: pk filter applies before the per-record program") {
     val (bus, _, _) = run(Seq(small, bigRemove), c => c.copy(pkFilters = Seq("U#1")))
     assert(bus.map(_.eventID) == Seq("s-1"))

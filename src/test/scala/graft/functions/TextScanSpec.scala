@@ -16,6 +16,15 @@ class TextScanSpec extends SparkSuite {
   private def reCountJ(s: String, p: String): Long =
     Pattern.compile(p).matcher(s).results().count()
 
+  /** The ORACLE's word boundary is RE2's: `\b` over ASCII `\w`=[A-Za-z0-9_].
+    * Java Pattern's `\b` is Unicode-aware (isLetterOrDigit), so `\bthe\b`
+    * finds nothing in "ñthe" in Java but matches in RE2/DuckDB — the scanner
+    * implements the RE2 semantics the oracle checks, so the Java reference
+    * here spells the ASCII boundary explicitly via lookarounds.
+    */
+  private def asciiWord(words: String): String =
+    s"(?<![A-Za-z0-9_])(?:$words)(?![A-Za-z0-9_])"
+
   private def regexReference(s: String): Seq[Long] = {
     val m = Pattern.compile("[A-Za-z0-9]+").matcher(s)
     var nTokens = 0L
@@ -25,12 +34,12 @@ class TextScanSpec extends SparkSuite {
       nTokens,
       nWordChars,
       reCountJ(s, "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"),
-      reCountJ(s, "\\bthe\\b|\\ba\\b"),
+      reCountJ(s, asciiWord("the|a")),
       reCountJ(s, "[^A-Za-z0-9\\s]"),
-      reCountJ(s, "\\b(the|a|of)\\b"),
-      reCountJ(s, "\\b(der|die|das|und)\\b"),
-      reCountJ(s, "\\b(el|la|los|y)\\b"),
-      reCountJ(s, "\\b(le|la|les|et)\\b"))
+      reCountJ(s, asciiWord("the|a|of")),
+      reCountJ(s, asciiWord("der|die|das|und")),
+      reCountJ(s, asciiWord("el|la|los|y")),
+      reCountJ(s, asciiWord("le|la|les|et")))
   }
 
   private def scannerOf(s: String): Seq[Long] = {
@@ -60,7 +69,10 @@ class TextScanSpec extends SparkSuite {
     "42 7x 'd'm't all contractions 'veaf 'll",
     "of course the a of y el la le et und",
     "astral 😀 emoji 😀😁 runs and 🎉!",
-    "lone high \uD800 and low \uDC00 surrogates")
+    "lone high \uD800 and low \uDC00 surrogates",
+    // divergent case: RE2 \b sees a boundary between ñ and t (ñ is not ASCII
+    // \w), Java \b does not — the scanner must follow RE2 (the oracle)
+    "ñthe la ña ofñ elx ña ñof der ñder")
 
   test("scanner equals the regex reference on adversarial strings, per field") {
     val names = TextScan.schema.fieldNames
