@@ -48,6 +48,7 @@ object SparkEntry {
     "intersect_segments" -> ((s, d) => Analytics.segmentIntersect(s, d)),
     "except_segments" -> ((s, d) => Analytics.segmentExcept(s, d)),
     "q17_small_qty_revenue" -> ((s, d) => Analytics.smallQuantityRevenue(s, d)),
+    "q4_late_ship_priority" -> ((s, d) => Analytics.orderPriorityLateShip(s, d)),
     "q8_market_share" -> ((s, d) => Analytics.marketShare(s, d)),
     "q19_promo_revenue" -> ((s, d) => Analytics.promoRevenue(s, d)),
     "orders_pivot" -> ((s, d) => Analytics.ordersPivot(s, d)),
@@ -314,6 +315,16 @@ object SparkEntry {
         |WHERE p_brand = 'Brand#13'
         |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
         |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+    "q4_late_ship_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = orders.o_orderkey
+        |                AND l.l_shipdate > orders.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q8_market_share" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
         |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'

@@ -224,6 +224,28 @@ object Analytics {
         |""".stripMargin)
   }
 
+  /** TPC-H Q4-style order-priority count gated by a correlated EXISTS —
+    * Catalyst decorrelates it into a left-semi join on the order key
+    * (SURVEY §4.1 subquery handling). The inner predicate references the
+    * OUTER row's `o_orderdate` ("shipped more than 60 days after
+    * ordering"), so this is a genuinely correlated exists, not a
+    * constant-filter semi join.
+    */
+  def orderPriorityLateShip(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("g_orders")
+    Tables.lineitem(spark, d).createOrReplaceTempView("g_lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM g_orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM g_lineitem l
+        |              WHERE l.l_orderkey = g_orders.o_orderkey
+        |                AND l.l_shipdate > g_orders.o_orderdate + INTERVAL 60 DAYS)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** TPC-H Q8-style market share: conditional aggregation — one nation's
     * revenue share within a region per order year. Exports the exact scaled
     * numerator/denominator (the ratio itself is one IEEE division away for

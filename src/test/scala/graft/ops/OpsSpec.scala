@@ -427,6 +427,13 @@ class OpsSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("q4 correlated EXISTS decorrelates to a left-semi join") {
+    val df = Analytics.orderPriorityLateShip(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(500))
+    assert(df.collect().nonEmpty)
+  }
+
   test("writeBucketed clears a stale warehouse dir through Hadoop FS (URI-form path)") {
     import spark.implicits._
     // orphan location with no catalog entry — the pre-CTAS cleanup must
