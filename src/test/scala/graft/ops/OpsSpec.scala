@@ -427,6 +427,30 @@ class OpsSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("clustered layout: disjoint per-file zone maps; point scan skips row groups") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice", "o_orderpriority")
+    val total = orders.count()
+    Layout.writeClustered(orders, "o_orderkey", dir, nFiles = 4)
+    // zone maps: every file owns a disjoint o_orderkey range
+    val ranges = Layout.keyRanges(spark, dir, "o_orderkey").sortBy(_._2)
+    assert(ranges.length == 4, ranges.mkString(","))
+    ranges.sliding(2).foreach {
+      case Seq((fa, _, maxA), (fb, minB, _)) =>
+        assert(maxA < minB, s"$fa [..$maxA] overlaps $fb [$minB..]")
+      case _ => ()
+    }
+    // a point query reads only the row group(s) whose zone map covers the
+    // key: the scan's output rows stay far below the table size
+    val probe = ranges.head._2 // an existing key
+    val scan = spark.read.parquet(dir).filter(col("o_orderkey") === probe)
+    assert(scan.count() >= 1)
+    val leaf = scan.queryExecution.executedPlan.collectLeaves().head
+    val rowsRead = leaf.metrics("numOutputRows").value
+    assert(rowsRead < total / 2,
+      s"zone-map skipping ineffective: scan emitted $rowsRead of $total rows")
+  }
+
   test("q4 correlated EXISTS decorrelates to a left-semi join") {
     val df = Analytics.orderPriorityLateShip(spark, sf)
     val plan = df.queryExecution.optimizedPlan.toString
