@@ -27,7 +27,9 @@ object Layout {
 
   /** Per-file (min, max) statistics of `keyCol` straight from the parquet
     * footers — the zone maps the reader's row-group skipping consults.
-    * Diagnostic/assertion surface for layout quality.
+    * Diagnostic/assertion surface for layout quality; throws when a file has
+    * NO integer statistics for `keyCol` (typo'd/nested column, stats-free
+    * writer) instead of returning plausible-looking sentinels.
     */
   def keyRanges(spark: SparkSession, path: String, keyCol: String): Seq[(String, Long, Long)] = {
     val conf = spark.sessionState.newHadoopConf()
@@ -59,6 +61,8 @@ object Layout {
               }
             }
           }
+          require(mn != Long.MaxValue || mx != Long.MinValue,
+            s"no integer statistics for column '$keyCol' in ${st.getPath.getName}")
           (st.getPath.getName, mn, mx)
         } finally reader.close()
       }

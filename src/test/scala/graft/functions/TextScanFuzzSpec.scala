@@ -16,28 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextScanFuzzSpec extends Properties("TextScanner") {
 
-  private def reCountJ(s: String, p: String): Long =
-    Pattern.compile(p).matcher(s).results().count()
-
-  private def asciiWord(words: String): String =
-    s"(?<![A-Za-z0-9_])(?:$words)(?![A-Za-z0-9_])"
-
-  private def reference(s: String): Seq[Long] = {
-    val m = Pattern.compile("[A-Za-z0-9]+").matcher(s)
-    var nTokens = 0L
-    var nWordChars = 0L
-    while (m.find()) { nTokens += 1; nWordChars += m.end() - m.start() }
-    Seq(
-      nTokens,
-      nWordChars,
-      reCountJ(s, "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"),
-      reCountJ(s, asciiWord("the|a")),
-      reCountJ(s, "[^A-Za-z0-9\\s]"),
-      reCountJ(s, asciiWord("the|a|of")),
-      reCountJ(s, asciiWord("der|die|das|und")),
-      reCountJ(s, asciiWord("el|la|los|y")),
-      reCountJ(s, asciiWord("le|la|les|et")))
-  }
+  private def reference(s: String): Seq[Long] = TextScanReference.fields(s)
 
   // biased toward the scanner's edge tokens: dictionary words, contractions,
   // boundary chars, multi-space runs, unicode letters, astral chars

@@ -13,34 +13,9 @@ import graft.SparkSuite
   */
 class TextScanSpec extends SparkSuite {
 
-  private def reCountJ(s: String, p: String): Long =
-    Pattern.compile(p).matcher(s).results().count()
-
-  /** The ORACLE's word boundary is RE2's: `\b` over ASCII `\w`=[A-Za-z0-9_].
-    * Java Pattern's `\b` is Unicode-aware (isLetterOrDigit), so `\bthe\b`
-    * finds nothing in "ñthe" in Java but matches in RE2/DuckDB — the scanner
-    * implements the RE2 semantics the oracle checks, so the Java reference
-    * here spells the ASCII boundary explicitly via lookarounds.
-    */
-  private def asciiWord(words: String): String =
-    s"(?<![A-Za-z0-9_])(?:$words)(?![A-Za-z0-9_])"
-
-  private def regexReference(s: String): Seq[Long] = {
-    val m = Pattern.compile("[A-Za-z0-9]+").matcher(s)
-    var nTokens = 0L
-    var nWordChars = 0L
-    while (m.find()) { nTokens += 1; nWordChars += m.end() - m.start() }
-    Seq(
-      nTokens,
-      nWordChars,
-      reCountJ(s, "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"),
-      reCountJ(s, asciiWord("the|a")),
-      reCountJ(s, "[^A-Za-z0-9\\s]"),
-      reCountJ(s, asciiWord("the|a|of")),
-      reCountJ(s, asciiWord("der|die|das|und")),
-      reCountJ(s, asciiWord("el|la|los|y")),
-      reCountJ(s, asciiWord("le|la|les|et")))
-  }
+  // one shared definition of the oracle-regex semantics (RE2 ASCII \b) —
+  // also used by the TextScanFuzzSpec property
+  private def regexReference(s: String): Seq[Long] = TextScanReference.fields(s)
 
   private def scannerOf(s: String): Seq[Long] = {
     val row = TextScanner.scan(UTF8String.fromString(s))

@@ -441,12 +441,15 @@ class OpsSpec extends SparkSuite {
       case _ => ()
     }
     // a point query reads only the row group(s) whose zone map covers the
-    // key: the scan's output rows stay far below the table size
+    // key: the scan's output rows stay far below the table size. Metrics
+    // must be read from the SAME QueryExecution that ran — Dataset.count()
+    // builds a separate derived plan whose metrics never populate here.
     val probe = ranges.head._2 // an existing key
     val scan = spark.read.parquet(dir).filter(col("o_orderkey") === probe)
-    assert(scan.count() >= 1)
+    assert(scan.collect().length >= 1)
     val leaf = scan.queryExecution.executedPlan.collectLeaves().head
     val rowsRead = leaf.metrics("numOutputRows").value
+    assert(rowsRead >= 1, "scan metric did not populate — wrong QueryExecution?")
     assert(rowsRead < total / 2,
       s"zone-map skipping ineffective: scan emitted $rowsRead of $total rows")
   }
