@@ -58,6 +58,7 @@ object SparkEntry {
     "variant_props" -> ((s, d) => VariantOps.variantProps(s, d)),
     "variant_agg" -> ((s, d) => VariantOps.variantAgg(s, d)),
     "salted_agg" -> ((s, d) => Skew.saltedEventAgg(s, d)),
+    "salted_join" -> ((s, d) => Skew.saltedUserSegmentAgg(s, d)),
     "approx_event_stats" -> ((s, d) => Sketches.approxEventStats(s, d)), // sketch: rows-only
     // --- event-stream windowing ---
     "session_window" -> ((s, d) => Sessions.sessionize(s, d)),
@@ -377,6 +378,11 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_c2
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_c2
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "session_window" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value,

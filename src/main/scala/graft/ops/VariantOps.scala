@@ -99,6 +99,30 @@ object Skew {
       .agg(sum(col("pn")).as("n"),
         sum(col("pv")).cast("long").as("total_value_c2"))
       .orderBy("event_type")
+
+  /** Salted fact⋈dim JOIN — the hot-KEY answer when the dim is too big to
+    * broadcast and one join key dominates (a celebrity user at 100 TB sends
+    * every one of its rows to ONE reducer). The fact side salts each row
+    * deterministically; the dim side replicates each row `nSalts` times
+    * (explode), so a hot key's rows spread over `nSalts` reducers. Results
+    * are exactly the plain join's — the oracle checks the unsalted SQL.
+    * Cost: dim side ships nSalts×; size nSalts to the skew factor, not
+    * higher. (AQE's skew-join split is the runtime alternative; salting is
+    * the declarative one that also works under non-AQE shuffles.)
+    */
+  def saltedUserSegmentAgg(spark: SparkSession, d: String, nSalts: Int = 8): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .withColumn("fsalt", pmod(hash(col("event_id")), lit(nSalts)))
+    val cust = Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("dsalt", explode(array((0 until nSalts).map(lit(_)): _*)))
+    ev.join(cust,
+        col("user_id") === col("c_custkey") && col("fsalt") === col("dsalt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.sumLong(Exact.c2(col("value"))).as("total_value_c2"))
+      .orderBy("c_mktsegment")
+  }
 }
 
 /** Sketch aggregations: approximate distinct (HLL++) and quantiles — the

@@ -454,6 +454,17 @@ class OpsSpec extends SparkSuite {
       s"zone-map skipping ineffective: scan emitted $rowsRead of $total rows")
   }
 
+  test("salted join equals the plain join exactly") {
+    val salted = Skew.saltedUserSegmentAgg(spark, sf).collect().toSeq
+    val plain = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.sumLong(Exact.c2(col("value"))).as("total_value_c2"))
+      .orderBy("c_mktsegment").collect().toSeq
+    assert(salted == plain && salted.nonEmpty)
+  }
+
   test("q4 correlated EXISTS decorrelates to a left-semi join") {
     val df = Analytics.orderPriorityLateShip(spark, sf)
     val plan = df.queryExecution.optimizedPlan.toString
