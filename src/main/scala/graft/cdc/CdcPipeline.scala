@@ -202,6 +202,24 @@ object CdcPipeline {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
+  /** Streaming consumer over the live bus sink: subscribe with the OP-14
+    * pattern rule, then maintain running per-operation counts — the
+    * "analytics serving" end of the CDC loop (produce → bus → consume)
+    * running as its own continuously-updating streaming query. Complete
+    * output mode: the aggregate is small (one row per operation), so
+    * re-emitting the whole result each micro-batch is the cheap, correct
+    * choice. Reads the sink's `_spark_metadata` log (a FileStreamSource),
+    * so it sees exactly the stream-delivered events — the consumer boundary
+    * [[readBus]] documents.
+    */
+  def busOperationCounts(spark: SparkSession, busDir: String, source: String): DataFrame = {
+    val busSchema = org.apache.spark.sql.Encoders.product[BusEvent].schema
+    subscribe(spark.readStream.schema(busSchema).parquet(busDir), source)
+      .select(get_json_object(col("detail"), "$.operation").as("operation"))
+      .groupBy(col("operation"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** At-least-once compatibility (SURVEY §4.2): the reference delivers
     * at-least-once with drop-on-failure (`retryAttempts: 0`,
     * `/root/reference/lib/constructs/dynamo.ts:137`,

@@ -120,6 +120,21 @@ class CdcStreamSpec extends SparkSuite {
     assert(ids.toSeq == Seq("s-1", "s-3", "s-8"))
   }
 
+  test("bus consumer: streaming per-operation counts over the live sink") {
+    val (bus0, _, base) = run(Seq(small, bigRemove))
+    assert(bus0.length == 2)
+    val counts = CdcPipeline.busOperationCounts(spark, s"$base/bus", "spec")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("graft_bus_counts")
+      .option("checkpointLocation", s"$base/consumer-ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    counts.awaitTermination()
+    val rows = spark.table("graft_bus_counts").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows == Map("INSERT" -> 1L, "REMOVE" -> 1L), rows.toString)
+  }
+
   test("dedupByEventId: replayed at-least-once delivery collapses to one row") {
     import spark.implicits._
     // simulate an at-least-once source re-delivering a whole micro-batch
