@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, TextScan}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions for SQL users. Install with
@@ -15,6 +15,7 @@ import graft.functions.DotProduct
   * {{{
   *   SELECT graft_dot_product(a.embedding, b.embedding) FROM ...
   *   SELECT graft_cosine_sim(a.embedding, b.embedding) FROM ...
+  *   SELECT graft_text_scan(text).n_tokens FROM docs
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -36,6 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
         Divide(DotProduct(a, b),
           Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_text_scan"),
+      new ExpressionInfo(classOf[TextScan].getName, "graft_text_scan"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_text_scan(text) takes 1 argument")
+        TextScan(children.head)
       }))
   }
 }

@@ -34,4 +34,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // wrong arity is rejected at analysis
     intercept[Exception](spark.sql("SELECT graft_dot_product(a) FROM vecs").collect())
   }
+
+  test("graft_text_scan callable from SQL; struct fields extract") {
+    import spark.implicits._
+    Seq("the quick 'll a the").toDF("text").createOrReplaceTempView("docs")
+    val r = spark.sql(
+      "SELECT graft_text_scan(text).n_tokens AS t, graft_text_scan(text).n_stop AS s FROM docs")
+      .as[(Long, Long)].head()
+    assert(r == ((5L, 3L)), r.toString)
+  }
 }
