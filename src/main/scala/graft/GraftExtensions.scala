@@ -45,5 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "graft_text_scan(text) takes 1 argument")
         TextScan(children.head)
       }))
+    // regex-count queries silently upgrade to the one-pass scanner
+    // (semantics-preserving subset only — see the rule's scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.FuseTextScanRule)
   }
 }

@@ -35,6 +35,29 @@ class GraftExtensionsSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("SELECT graft_dot_product(a) FROM vecs").collect())
   }
 
+  test("optimizer rule fuses size(regexp_extract_all) into TextScan field reads") {
+    import spark.implicits._
+    // parquet-backed so ConvertToLocalRelation can't pre-evaluate
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuse-rule").toString
+    Seq("the quick brown fox!", "a b c 42 'll", "ñ unicode, punct…")
+      .toDF("text").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("fuse_docs")
+    val df = spark.sql(
+      """SELECT size(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS t,
+        |       size(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)) AS p,
+        |       size(regexp_extract_all(text, '\\bthe\\b', 0)) AS keep_regex
+        |FROM fuse_docs""".stripMargin)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // ASCII-class patterns rewrite; the \b pattern must NOT (Java/RE2 differ)
+    assert(opt.contains("textscan") || opt.contains("TextScan"), opt.take(600))
+    assert(opt.contains("regexp_extract_all"), opt.take(600))
+    // results identical to the un-fused evaluation
+    val rows = df.orderBy("t").collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    // "ñ unicode, punct…"=(2 tokens, ñ+comma+ellipsis, 0), "the quick brown
+    // fox!"=(4,1,1), "a b c 42 'll"=(5,1,0)
+    assert(rows.toSeq == Seq((2, 3, 0), (4, 1, 1), (5, 1, 0)), rows.mkString(","))
+  }
+
   test("graft_text_scan callable from SQL; struct fields extract") {
     import spark.implicits._
     Seq("the quick 'll a the").toDF("text").createOrReplaceTempView("docs")
