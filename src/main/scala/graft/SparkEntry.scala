@@ -75,6 +75,7 @@ object SparkEntry {
     "pii_redaction" -> ((s, d) => TextOps.redactPii(s, d)),
     "corpus_curation" -> ((s, d) => TextOps.curateCorpus(s, d)),
     "train_test_split" -> ((s, d) => TextOps.trainTestSplit(s, d)),
+    "stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     // --- LLM-data-pipeline: dedup family ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -609,6 +610,14 @@ object SparkEntry {
         |  CASE WHEN ((cluster_id % 2147483648) * 2654435761) % 4294967296 % 100 < 90
         |       THEN 'train' ELSE 'test' END AS split
         |FROM labeled ORDER BY doc_id""".stripMargin,
+    "stratified_sample" ->
+      """SELECT doc_id, lang, bucket FROM (
+        |  SELECT doc_id, lang,
+        |    CAST((((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS BIGINT) AS bucket
+        |  FROM documents)
+        |WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25
+        |                         WHEN 'es' THEN 25 WHEN 'fr' THEN 25 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |sh AS (

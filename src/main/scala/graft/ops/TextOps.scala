@@ -184,6 +184,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified sampling — eval-set construction at corpus
+    * scale: per-stratum (language) keep-rates, applied through the same
+    * exact-integer Knuth hash as [[trainTestSplit]] (mod-2^31 pre-reduction,
+    * see that scaladoc for the overflow argument). No RNG anywhere, so the
+    * sample is reproducible across engines, runs, and cluster sizes — the
+    * property an eval set needs and `df.sample()` cannot give. Narrow: one
+    * scan, a per-row hash, a filter.
+    */
+  def stratifiedSample(spark: SparkSession, d: String,
+      ratesPct: Map[String, Int] = Map("en" -> 50, "de" -> 25, "es" -> 25, "fr" -> 25),
+      defaultPct: Int = 10): DataFrame = {
+    val rate = ratesPct.foldLeft(lit(defaultPct): Column) {
+      case (acc, (lang, pct)) => when(col("lang") === lang, lit(pct)).otherwise(acc)
+    }
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("bucket",
+        pmod(pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
+          lit(4294967296L)), lit(100L)))
+      .filter(col("bucket") < rate)
+      .orderBy("doc_id")
+  }
+
   /** Multimodal plumbing: treat content as an opaque binary column with typed
     * metadata — here synthesized from text (the container ships no image/audio
     * codecs; SURVEY.md north-star stub). Byte length and content digest are

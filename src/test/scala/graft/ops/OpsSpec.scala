@@ -454,6 +454,19 @@ class OpsSpec extends SparkSuite {
       s"zone-map skipping ineffective: scan emitted $rowsRead of $total rows")
   }
 
+  test("stratified sample: deterministic, rates land near their strata targets") {
+    val s1 = TextOps.stratifiedSample(spark, sf).collect()
+    val s2 = TextOps.stratifiedSample(spark, sf).collect()
+    assert(s1.toSeq == s2.toSeq && s1.nonEmpty) // no RNG: byte-stable
+    val total = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = s1.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    val enFrac = kept.getOrElse("en", 0L).toDouble / total("en")
+    assert(enFrac > 0.3 && enFrac < 0.7, s"en kept fraction $enFrac, want ~0.5")
+    val deFrac = kept.getOrElse("de", 0L).toDouble / total("de")
+    assert(deFrac > 0.08 && deFrac < 0.45, s"de kept fraction $deFrac, want ~0.25")
+  }
+
   test("salted join equals the plain join exactly") {
     val salted = Skew.saltedUserSegmentAgg(spark, sf).collect().toSeq
     val plain = Tables.events(spark, sf)
