@@ -56,6 +56,16 @@ case class TextScan(child: Expression) extends UnaryExpression {
 }
 
 object TextScan {
+  /** The regex formulations the scanner's count fields are pinned to — the
+    * SINGLE source of truth shared by the parity specs and by
+    * [[graft.plans.FuseTextScanRule]] (which may only rewrite patterns
+    * where Java regex and the scanner provably agree: these three are pure
+    * ASCII classes with no `\b`).
+    */
+  val TokensPattern = "[A-Za-z0-9]+"
+  val BpePattern = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+  val PunctPattern = "[^A-Za-z0-9\\s]"
+
   val schema: StructType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
     StructField("n_word_chars", LongType, nullable = false),

@@ -170,15 +170,22 @@ object TextOps {
     * for any 64-bit id (2^31 · 2654435761 < 2^63) — without the reduction,
     * ids past ~3.5e9 would overflow (ANSI error / engine-divergent wrap).
     */
+  /** The ONE definition of the exact-integer Knuth bucket (0..99) used by
+    * every deterministic-assignment operator ([[trainTestSplit]],
+    * [[stratifiedSample]]) — a drifted copy would silently diverge from the
+    * oracle's formulation of the same arithmetic.
+    */
+  private[ops] def knuthBucket(id: Column): Column =
+    pmod(pmod(pmod(id, lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L)), lit(100L))
+
   def trainTestSplit(spark: SparkSession, d: String, trainPct: Int = 90): DataFrame = {
     val clusters = Dedup.dupClusters(spark, d)
     Tables.documents(spark, d)
       .select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("bucket",
-        pmod(pmod(pmod(col("cluster_id"), lit(2147483648L)) * lit(2654435761L),
-          lit(4294967296L)), lit(100L)))
+      .withColumn("bucket", knuthBucket(col("cluster_id")))
       .withColumn("split", when(col("bucket") < trainPct, "train").otherwise("test"))
       .select(col("doc_id"), col("cluster_id"), col("bucket"), col("split"))
       .orderBy("doc_id")
@@ -200,9 +207,7 @@ object TextOps {
     }
     Tables.documents(spark, d)
       .select(col("doc_id"), col("lang"))
-      .withColumn("bucket",
-        pmod(pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
-          lit(4294967296L)), lit(100L)))
+      .withColumn("bucket", knuthBucket(col("doc_id")))
       .filter(col("bucket") < rate)
       .orderBy("doc_id")
   }

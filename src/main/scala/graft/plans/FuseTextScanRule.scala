@@ -26,11 +26,12 @@ import graft.functions.TextScan
   */
 object FuseTextScanRule extends Rule[LogicalPlan] {
 
-  // pattern string -> TextScan schema field ordinal
+  // pattern string -> TextScan schema field ordinal (patterns defined ONCE
+  // on the TextScan companion, shared with the parity specs)
   private val fieldOf: Map[String, Int] = Map(
-    "[A-Za-z0-9]+" -> 0,
-    "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+" -> 2,
-    "[^A-Za-z0-9\\s]" -> 4)
+    TextScan.TokensPattern -> 0,
+    TextScan.BpePattern -> 2,
+    TextScan.PunctPattern -> 4)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case s @ Size(RegExpExtractAll(child, Literal(p: UTF8String, StringType),

@@ -17,18 +17,21 @@ object TextScanReference {
   def asciiWord(words: String): String =
     s"(?<![A-Za-z0-9_])(?:$words)(?![A-Za-z0-9_])"
 
-  /** All 9 TextScan fields, in schema order, from the regex formulation. */
+  /** All 9 TextScan fields, in schema order, from the regex formulation —
+    * the ASCII-class patterns come from the TextScan companion (one source
+    * of truth with the optimizer rule).
+    */
   def fields(s: String): Seq[Long] = {
-    val m = Pattern.compile("[A-Za-z0-9]+").matcher(s)
+    val m = Pattern.compile(TextScan.TokensPattern).matcher(s)
     var nTokens = 0L
     var nWordChars = 0L
     while (m.find()) { nTokens += 1; nWordChars += m.end() - m.start() }
     Seq(
       nTokens,
       nWordChars,
-      reCountJ(s, "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"),
+      reCountJ(s, TextScan.BpePattern),
       reCountJ(s, asciiWord("the|a")),
-      reCountJ(s, "[^A-Za-z0-9\\s]"),
+      reCountJ(s, TextScan.PunctPattern),
       reCountJ(s, asciiWord("the|a|of")),
       reCountJ(s, asciiWord("der|die|das|und")),
       reCountJ(s, asciiWord("el|la|los|y")),
