@@ -52,6 +52,7 @@ object SparkEntry {
     "q8_market_share" -> ((s, d) => Analytics.marketShare(s, d)),
     "q19_promo_revenue" -> ((s, d) => Analytics.promoRevenue(s, d)),
     "orders_pivot" -> ((s, d) => Analytics.ordersPivot(s, d)),
+    "orders_cube" -> ((s, d) => Analytics.ordersCube(s, d)),
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(s, d)),
     "asof_join_signup" -> ((s, d) => AsOfJoin.purchaseToSignup(s, d)),
     "range_join_repeat" -> ((s, d) => RangeJoin.repeatOrders(s, d)),
@@ -254,6 +255,13 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name) ORDER BY region, nation""".stripMargin,
+    "orders_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_c2
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY status, priority""".stripMargin,
     "distinct_segments" ->
       """SELECT n_name, CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
         |  count(*) AS n_customers,

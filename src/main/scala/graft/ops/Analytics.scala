@@ -153,6 +153,21 @@ object Analytics {
       .orderBy("region", "nation")
   }
 
+  /** CUBE grouping sets: order counts/totals across ALL subsets of
+    * (status, priority) — the 2^n companion of [[salesRollup]]'s
+    * hierarchical rollup. Spark expands grouping sets into one aggregation
+    * pass with a grouping-id column; no per-subset rescans.
+    */
+  def ordersCube(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.sumLong(Exact.c2(col("o_totalprice"))).as("total_c2"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_c2"))
+      .orderBy("status", "priority")
+
   /** Distinct aggregation: segment diversity per nation. */
   def segmentsPerNation(spark: SparkSession, d: String): DataFrame =
     Tables.customer(spark, d)
