@@ -65,6 +65,8 @@ object SparkEntry {
     "session_window" -> ((s, d) => Sessions.sessionize(s, d)),
     "event_type_stats" -> ((s, d) => Sessions.eventTypeStats(s, d)),
     "daily_counts" -> ((s, d) => Sessions.dailyCounts(s, d)),
+    "value_histogram" -> ((s, d) => Sessions.valueHistogram(s, d)),
+    "top_users" -> ((s, d) => Sessions.topUsers(s, d)),
     "dedup_latest" -> ((s, d) => Dedup.latestByKey(s, d)),
     // --- LLM-data-pipeline: text analysis ---
     "text_stats" -> ((s, d) => TextOps.textStats(s, d)),
@@ -407,6 +409,16 @@ object SparkEntry {
         |  CAST(min(ms) AS BIGINT) AS start_ms, CAST(max(ms) AS BIGINT) AS end_ms,
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_c2
         |FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "value_histogram" ->
+      """SELECT (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000) * 1000 AS bucket_c2,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_c2
+        |FROM events GROUP BY 1 ORDER BY bucket_c2""".stripMargin,
+    "top_users" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_c2
+        |FROM events GROUP BY user_id
+        |ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin,
     "event_type_stats" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

@@ -57,6 +57,35 @@ object Sessions {
         Exact.sumLong(Exact.c2(col("value"))).as("total_value_c2"))
       .orderBy("day_ms", "event_type")
 
+  /** Exact value histogram — distribution profiling for training-data stats
+    * (the fixed-bucket companion of the approximate percentile sketch).
+    * Buckets computed in exact integer cents with floor division (negatives
+    * land in the right bucket in any engine), so the oracle hash-matches.
+    */
+  def valueHistogram(spark: SparkSession, d: String, bucketCents: Long = 1000L): DataFrame =
+    Tables.events(spark, d)
+      .withColumn("c2", Exact.c2(col("value")))
+      .withColumn("bucket_c2",
+        ((col("c2") - pmod(col("c2"), lit(bucketCents))) / bucketCents).cast("long")
+          * bucketCents)
+      .groupBy(col("bucket_c2"))
+      .agg(count(lit(1)).as("n"),
+        Exact.sumLong(col("c2")).as("total_value_c2"))
+      .orderBy("bucket_c2")
+
+  /** Exact heavy hitters: top-k users by event volume, deterministic
+    * tie-break on user_id. Partial aggregation + TakeOrderedAndProject —
+    * at scale, each partition contributes its local counts and the driver
+    * holds only k rows.
+    */
+  def topUsers(spark: SparkSession, d: String, k: Int = 20): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.sumLong(Exact.c2(col("value"))).as("total_value_c2"))
+      .orderBy(desc("n_events"), asc("user_id"))
+      .limit(k)
+
   /** Floor(ts / 10^6), nanos → epoch-ms, exact for NEGATIVE (pre-1970) nanos
     * too: `pmod` is non-negative, so `ts - pmod(ts, 1e6)` is the largest
     * multiple of 10^6 ≤ ts, and the remaining `div` is exact (no truncation
