@@ -410,10 +410,10 @@ object SparkEntry {
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_c2
         |FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
     "value_histogram" ->
-      """SELECT (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000) * 1000 AS bucket_c2,
-        |  count(*) AS n,
-        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_c2
-        |FROM events GROUP BY 1 ORDER BY bucket_c2""".stripMargin,
+      """WITH c AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c2 FROM events)
+        |SELECT c2 - ((c2 % 1000 + 1000) % 1000) AS bucket_c2,
+        |  count(*) AS n, CAST(SUM(c2) AS BIGINT) AS total_value_c2
+        |FROM c GROUP BY 1 ORDER BY bucket_c2""".stripMargin,
     "top_users" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_c2

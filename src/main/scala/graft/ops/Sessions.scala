@@ -59,15 +59,21 @@ object Sessions {
 
   /** Exact value histogram — distribution profiling for training-data stats
     * (the fixed-bucket companion of the approximate percentile sketch).
-    * Buckets computed in exact integer cents with floor division (negatives
-    * land in the right bucket in any engine), so the oracle hash-matches.
+    * Bucket = `c2 - pmod(c2, w)` — pure integer FLOOR arithmetic, exact for
+    * negative values and for |c2| > 2^53 alike (no division, no double
+    * round-trip). The oracle spells the identical floor explicitly
+    * (`v - ((v % w + w) % w)`): DuckDB's `//` TRUNCATES toward zero, so a
+    * naive `(v // w) * w` would put -1500 cents in bucket -1000 while floor
+    * puts it in -2000.
     */
   def valueHistogram(spark: SparkSession, d: String, bucketCents: Long = 1000L): DataFrame =
-    Tables.events(spark, d)
+    valueHistogramOf(Tables.events(spark, d), bucketCents)
+
+  /** Frame-parameterized variant (spec surface for negative-value inputs). */
+  def valueHistogramOf(events: DataFrame, bucketCents: Long = 1000L): DataFrame =
+    events
       .withColumn("c2", Exact.c2(col("value")))
-      .withColumn("bucket_c2",
-        ((col("c2") - pmod(col("c2"), lit(bucketCents))) / bucketCents).cast("long")
-          * bucketCents)
+      .withColumn("bucket_c2", col("c2") - pmod(col("c2"), lit(bucketCents)))
       .groupBy(col("bucket_c2"))
       .agg(count(lit(1)).as("n"),
         Exact.sumLong(col("c2")).as("total_value_c2"))

@@ -467,6 +467,45 @@ class OpsSpec extends SparkSuite {
     assert(deFrac > 0.08 && deFrac < 0.45, s"de kept fraction $deFrac, want ~0.25")
   }
 
+  test("value histogram floors NEGATIVE values into the lower bucket (oracle parity)") {
+    import spark.implicits._
+    // -15.00 -> c2 -1500 -> floor bucket -2000 (DuckDB's // would say -1000)
+    val df = Seq(-15.00, -0.01, 0.0, 9.99, 10.0, 25.50).toDF("value")
+    val rows = Sessions.valueHistogramOf(df, bucketCents = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows == Map(-2000L -> 1L, -1000L -> 1L, 0L -> 2L, 1000L -> 1L, 2000L -> 1L), rows.toString)
+  }
+
+  test("cube: subset rows are consistent with the grand total") {
+    // plain Seq, no Map/Set anywhere: two margins can legitimately carry
+    // identical (n, total) pairs and must both count
+    val rows = Analytics.ordersCube(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val Seq((_, _, grandN, grandT)) = rows.filter(r => r._1 == "ALL" && r._2 == "ALL")
+    val byStatus = rows.filter(r => r._1 != "ALL" && r._2 == "ALL")
+    val byPriority = rows.filter(r => r._1 == "ALL" && r._2 != "ALL")
+    val cells = rows.filter(r => r._1 != "ALL" && r._2 != "ALL")
+    for (group <- Seq(byStatus, byPriority, cells)) {
+      assert(group.map(_._3).sum == grandN && group.map(_._4).sum == grandT,
+        s"margin sums ${group.map(_._3).sum}/${group.map(_._4).sum} != $grandN/$grandT")
+    }
+  }
+
+  test("top users: exactly k rows, sorted, deterministic tie-break") {
+    val a = Sessions.topUsers(spark, sf, k = 10).collect()
+    val b = Sessions.topUsers(spark, sf, k = 10).collect()
+    assert(a.toSeq == b.toSeq && a.length == 10)
+    val counts = a.map(_.getLong(1))
+    assert(counts.sorted.reverse.toSeq == counts.toSeq, "not sorted by volume")
+    // within equal counts, user_id ascending
+    a.sliding(2).foreach {
+      case Array(x, y) =>
+        assert(x.getLong(1) > y.getLong(1) ||
+          (x.getLong(1) == y.getLong(1) && x.getLong(0) < y.getLong(0)))
+      case _ => ()
+    }
+  }
+
   test("salted join equals the plain join exactly") {
     val salted = Skew.saltedUserSegmentAgg(spark, sf).collect().toSeq
     val plain = Tables.events(spark, sf)
