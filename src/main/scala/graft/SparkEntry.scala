@@ -49,6 +49,7 @@ object SparkEntry {
     "except_segments" -> ((s, d) => Analytics.segmentExcept(s, d)),
     "q17_small_qty_revenue" -> ((s, d) => Analytics.smallQuantityRevenue(s, d)),
     "q4_late_ship_priority" -> ((s, d) => Analytics.orderPriorityLateShip(s, d)),
+    "q10_returned_revenue" -> ((s, d) => Analytics.returnedItemRevenue(s, d)),
     "q8_market_share" -> ((s, d) => Analytics.marketShare(s, d)),
     "q19_promo_revenue" -> ((s, d) => Analytics.promoRevenue(s, d)),
     "orders_pivot" -> ((s, d) => Analytics.ordersPivot(s, d)),
@@ -337,6 +338,18 @@ object SparkEntry {
         |                AND l.l_shipdate > orders.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    * (10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT))) AS BIGINT) AS revenue_e6
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_e6 DESC, c_custkey LIMIT 20""".stripMargin,
     "q8_market_share" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
         |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'

@@ -261,6 +261,26 @@ object Analytics {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** TPC-H Q10-style returned-item revenue: which customers returned the
+    * most value in a quarter. Fact-fact join shuffles on the order key;
+    * nation broadcast; deterministic top-k (revenue desc, custkey asc) via
+    * TakeOrderedAndProject.
+    */
+  def returnedItemRevenue(spark: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, d).filter(col("l_returnflag") === "R")
+    val ord = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-07-01")))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(Exact.sumLong(Exact.c2(col("l_extendedprice"))
+        * (lit(10000L) - Exact.e4(col("l_discount")))).as("revenue_e6"))
+      .orderBy(desc("revenue_e6"), asc("c_custkey"))
+      .limit(k)
+  }
+
   /** TPC-H Q8-style market share: conditional aggregation — one nation's
     * revenue share within a region per order year. Exports the exact scaled
     * numerator/denominator (the ratio itself is one IEEE division away for
