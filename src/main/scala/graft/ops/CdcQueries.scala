@@ -133,9 +133,17 @@ object CdcQueries {
 
   /** OP-13/OP-14: bus publish + pattern subscription; a noise source is
     * unioned in and must be filtered back out.
+    *
+    * The serialized bus frame is persisted (session-memoized): both union
+    * branches reference the same subtree, and without the persist Spark
+    * executes the whole per-event JSON-envelope serialization map once per
+    * branch — at scale that is 2x CPU over the full event stream for a
+    * consumer-filter demo (round-3 bench: 5.9s vs 3.2s).
     */
   def busPatternMatch(spark: SparkSession, sfDir: String): DataFrame = {
-    val bus = CdcPipeline.busRows(flagshipEvents(spark, sfDir), cfg).toDF()
+    val bus = Memo(spark, s"cdc-bus|$sfDir") {
+      CdcPipeline.busRows(flagshipEvents(spark, sfDir), cfg).toDF().persist()
+    }
     val noise = bus.withColumn("source", lit("noise"))
     CdcPipeline.subscribe(bus.union(noise), "graft")
       .select(expr("cast(substring(eventID, 3) as bigint)").as("event_id"),

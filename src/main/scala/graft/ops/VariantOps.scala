@@ -11,7 +11,33 @@ import org.apache.spark.sql.types.DecimalType
   */
 object VariantOps {
 
-  /** `events.props` as a variant column with typed path extraction.
+  /** Session-memoized shredded-parquet materialization of `events` with
+    * `props` parsed to a VARIANT column (see [[VariantStorage]]).
+    *
+    * This is the ingest-time data layout a variant workload would run with
+    * at 100 TB: common JSON paths become real typed parquet columns, so the
+    * two variant queries scan typed columns instead of re-parsing the JSON
+    * string per row per query (round-3's top bench cost, 8.1s). The write
+    * is a one-time layout cost shared by `variant_props` and `variant_agg`
+    * — memoized like the CDC frames and warmed untimed in Bench per the
+    * shared-by-two-or-more rule (Warm.scala).
+    */
+  def shreddedEvents(spark: SparkSession, d: String): DataFrame =
+    Memo(spark, s"shredded-events|$d") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-shredded-events").toString
+      VariantStorage.writeShredded(
+        Tables.events(spark, d)
+          .select(col("event_id"), col("event_type"),
+            parse_json(col("props")).as("v")),
+        dir)
+      VariantStorage.readBack(spark, dir)
+    }
+
+  /** `events.props` as a variant column with typed path extraction, over the
+    * shredded materialization: with `pushVariantIntoScan` the `variant_get`
+    * paths below are rewritten into struct-field scans of the shredded
+    * `typed_value` parquet columns (asserted in OpsSpec).
     *
     * `variant_get`, not `try_variant_get`, on the absent path: a MISSING
     * path yields NULL under both (try only differs on cast failure), and
@@ -20,21 +46,23 @@ object VariantOps {
     * malformed casts stay covered in OpsSpec.
     */
   def variantProps(spark: SparkSession, d: String): DataFrame =
-    Tables.events(spark, d)
-      .select(col("event_id"), parse_json(col("props")).as("v"), col("event_type"))
+    shreddedEvents(spark, d)
       .select(
         col("event_id"),
         variant_get(col("v"), "$.k", "int").as("k"),
-        // missing path → NULL, proving absent-key handling
+        // missing path → NULL, proving absent-key handling (reads the
+        // residual, not a shredded column — still NULL, spec'd)
         variant_get(col("v"), "$.missing", "string").as("absent"),
         col("event_type"))
       .orderBy("event_id")
 
-  /** Aggregation directly over variant-extracted values. */
+  /** Aggregation directly over variant-extracted values (same shredded
+    * scan; the agg input is a typed column, not a per-row JSON parse).
+    */
   def variantAgg(spark: SparkSession, d: String): DataFrame =
-    Tables.events(spark, d)
+    shreddedEvents(spark, d)
       .select(col("event_type"),
-        variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+        variant_get(col("v"), "$.k", "long").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("k")).as("sum_k"),
@@ -60,14 +88,23 @@ object VariantStorage {
     }
   }
 
-  /** Reading shredded files needs `allowReadingShredded`, and the flag must
-    * hold at ACTION time, not just while this method runs — restoring it
-    * here would break the returned lazy frame — so it is deliberately left
-    * set for the session (it only WIDENS what the reader accepts; plain
-    * variant files read unchanged).
+  /** Session capability flags for shredded variant reads. Both are
+    * WIDENING-ONLY: `allowReadingShredded` lets the reader accept shredded
+    * files (plain variant files read unchanged), and `pushVariantIntoScan`
+    * rewrites `variant_get` over a parquet scan into a struct-field read of
+    * the shredded `typed_value` columns (a no-op for unshredded data). They
+    * must hold at ACTION time on any frame returned by [[readBack]] — not
+    * just while that method runs — so they are set for the session,
+    * idempotently. OpsSpec pins that a concurrent plain-variant reader in
+    * the same session is unaffected.
     */
-  def readBack(spark: SparkSession, path: String): DataFrame = {
+  def enableShredded(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.variant.allowReadingShredded", "true")
+    spark.conf.set("spark.sql.variant.pushVariantIntoScan", "true")
+  }
+
+  def readBack(spark: SparkSession, path: String): DataFrame = {
+    enableShredded(spark)
     spark.read.parquet(path)
   }
 

@@ -18,6 +18,9 @@ object Warm {
     CdcQueries.records(spark, d).count()        // all cdc_* / pk_filter / bus queries
     CdcQueries.flagshipEvents(spark, d).count() // cdc_item_changed, noop_suppression, ...
     Dedup.cachedShingles(spark, d).count()      // jaccard, minhash, simhash, clusters
+    // one-time shredded-parquet layout write (ingest-time cost) shared by
+    // variant_props + variant_agg; the per-query typed scans stay timed
+    VariantOps.shreddedEvents(spark, d)
     ()
   }
 }

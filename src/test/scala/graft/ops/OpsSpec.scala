@@ -197,6 +197,57 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("variant_props scans the shredded layout: no VariantType survives the scan") {
+    val df = VariantOps.variantProps(spark, sf)
+    // pushVariantIntoScan must replace the variant column in the scan schema
+    // with a struct of the requested fields — the per-row binary decode the
+    // round-3 bench paid is gone when no VariantType reaches the scan output.
+    // Asserted on the optimized LOGICAL leaves (the rule rewrites the
+    // relation output); the physical plan hides behind AQE's adaptive root.
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty, "expected a scan relation in the plan")
+    leaves.foreach { rel =>
+      rel.output.foreach { a =>
+        assert(!a.dataType.sql.toLowerCase.contains("variant"),
+          s"scan still outputs variant: ${a.name}: ${a.dataType.sql}")
+      }
+    }
+    // results identical to the direct parse_json path (incl. absent → NULL,
+    // which reads the shredded residual, not a typed column)
+    val direct = Tables.events(spark, sf)
+      .select(col("event_id"),
+        variant_get(parse_json(col("props")), "$.k", "int").as("k"),
+        variant_get(parse_json(col("props")), "$.missing", "string").as("absent"),
+        col("event_type"))
+      .orderBy("event_id").collect()
+    val shredded = df.collect()
+    assert(shredded.sameElements(direct) && shredded.nonEmpty)
+  }
+
+  test("session-conf hygiene: per-read nanos option; shredded flags don't break plain variant readers") {
+    import org.apache.spark.sql.types.LongType
+    // Tables.events reads TIMESTAMP(NANOS) via a per-read option — the
+    // session conf must stay untouched at both plan and action time
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong") // back to default false
+    val ev = Tables.events(spark, sf)
+    assert(ev.schema("ts").dataType == LongType)
+    assert(ev.select("ts").limit(3).collect().length == 3)
+    // the read above succeeded WITH the session conf at its default (false):
+    // the nanos decode rode the per-read option, and the session stays clean
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false",
+      "Tables.events mutated session conf")
+    // the widening-only shredded-read flags: a PLAIN (unshredded) variant
+    // file written and read in the same session is unaffected
+    VariantStorage.enableShredded(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-plain-variant").toString
+    spark.range(3).selectExpr("id", """parse_json(concat('{"k":', id, '}')) as v""")
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .selectExpr("id", "variant_get(v, '$.k', 'long') as k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(back == Set((0L, 0L), (1L, 1L), (2L, 2L)))
+  }
+
   test("binned range join equals the naive inequality join") {
     import spark.implicits._
     val weekMs = 7L * 86400000L
