@@ -261,6 +261,71 @@ object Analytics {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** TPC-H Q2-style correlated MIN scalar subquery: each customer's
+    * cheapest order(s). Catalyst decorrelates the scalar MIN into a
+    * per-custkey aggregate joined back to the outer scan (spec'd in
+    * OpsSpec) — one shuffle on the correlation key, no per-row subquery
+    * re-execution, which is the shape that scales: the naive semantics
+    * would re-scan orders once per outer row.
+    */
+  def cheapestOrderPerCustomer(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("g_orders")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_c2
+        |FROM g_orders o
+        |WHERE o_totalprice = (SELECT min(o2.o_totalprice) FROM g_orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** TPC-H Q13-style left-outer count distribution: how many customers
+    * placed N (non-urgent) orders, INCLUDING the zero-order customers the
+    * outer join preserves — the shape an inner join silently gets wrong.
+    * Two shuffles (custkey, then the tiny c_count regroup); the join
+    * predicate on o_orderpriority lives in the JOIN condition, not a WHERE,
+    * which is the semantic point of the pattern.
+    */
+  def orderCountDistribution(spark: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.customer(spark, d)
+      .join(Tables.orders(spark, d).filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col): NULLs from no-match rows don't count
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** TPC-H Q21-style EXISTS + NOT EXISTS: suppliers who were the ONLY late
+    * shipper in a finished multi-supplier order ("late" adapted to this
+    * schema: shipped >60 days after the order date). Catalyst decorrelates
+    * the EXISTS into a left-semi and the NOT EXISTS into a left-anti join,
+    * both shuffling on the order key — three key-local joins, no per-row
+    * re-execution (plan spec'd in OpsSpec).
+    */
+  def waitingSupplier(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("g_orders")
+    Tables.lineitem(spark, d).createOrReplaceTempView("g_lineitem")
+    Tables.supplier(spark, d).createOrReplaceTempView("g_supplier")
+    spark.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM g_supplier, g_lineitem l1, g_orders o
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o.o_orderkey = l1.l_orderkey
+        |  AND o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM g_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM g_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin)
+  }
+
   /** TPC-H Q10-style returned-item revenue: which customers returned the
     * most value in a quarter. Fact-fact join shuffles on the order key;
     * nation broadcast; deterministic top-k (revenue desc, custkey asc) via

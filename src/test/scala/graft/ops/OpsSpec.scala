@@ -575,6 +575,40 @@ class OpsSpec extends SparkSuite {
     assert(df.collect().nonEmpty)
   }
 
+  test("q2 correlated MIN scalar subquery decorrelates into an aggregate join") {
+    val df = Analytics.cheapestOrderPerCustomer(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // decorrelated = the scalar-subquery expression is GONE from the
+    // optimized plan, replaced by a per-custkey MIN aggregate joined back;
+    // the naive shape would re-scan orders once per outer row
+    assert(!plan.contains("scalar-subquery"), plan.take(800))
+    assert(plan.contains("Aggregate") && plan.contains("Join"), plan.take(800))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every returned order really is its customer's min (spot the invariant)
+    val minByCust = rows.groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(2)).min)
+    assert(rows.forall(r => r.getLong(2) == minByCust(r.getLong(1))))
+  }
+
+  test("q13 left-outer count distribution preserves zero-order customers") {
+    val df = Analytics.orderCountDistribution(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftOuter"), plan.take(500))
+    // the outer join must preserve EVERY customer: the distribution sums to
+    // the full customer count (an inner join would silently drop the
+    // urgent-only/zero-order customers)
+    val total = df.agg(sum(col("custdist"))).head().getLong(0)
+    assert(total == Tables.customer(spark, sf).count())
+  }
+
+  test("q21 EXISTS + NOT EXISTS decorrelate to left-semi + left-anti joins") {
+    val df = Analytics.waitingSupplier(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(800))
+    assert(plan.contains("LeftAnti"), plan.take(800))
+    assert(df.collect().nonEmpty)
+  }
+
   test("writeBucketed clears a stale warehouse dir through Hadoop FS (URI-form path)") {
     import spark.implicits._
     // orphan location with no catalog entry — the pre-CTAS cleanup must
