@@ -212,7 +212,7 @@ object Dedup {
     val banded = keepPairableBuckets(banded0, Seq("band", "bucket"), maxBucket)
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bucket"))
+    val cand = l.join(r, Seq("band", "bucket"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), col("sig_a"), col("sig_b"))
       .distinct()
@@ -221,6 +221,27 @@ object Dedup {
           .cast("double") / lit(k.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select(col("a"), col("b"), col("est_jaccard"))
+    // Self-checking invariant column for the driver artifact: the EXACT
+    // shingle jaccard of each emitted candidate, floor-scaled e6. Computed
+    // only for the bounded surviving pair list (joined against the shingle
+    // index on the doc keys — never a second full pair mine), so the cost
+    // scales with the candidate count, not the corpus. Evidence that the
+    // sketch pairs genuinely overlap, checkable without running Spark.
+    val sh = cachedShingles(spark, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand.select(col("a"), col("b"))
+      .join(sh.select(col("doc_id").as("a"), col("shingle")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    cand
+      .join(inter, Seq("a", "b"), "left_outer")
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("n_a")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("n_b")), "b")
+      .withColumn("exact_jaccard_e6",
+        floor(coalesce(col("n_common"), lit(0L)).cast("double") * lit(1000000.0) /
+          (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L))).cast("double"))
+          .cast("long"))
+      .select(col("a"), col("b"), col("est_jaccard"), col("exact_jaccard_e6"))
       .orderBy("a", "b")
   }
 

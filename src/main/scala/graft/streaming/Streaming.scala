@@ -123,3 +123,43 @@ object WindowedAgg {
       .select(col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"), col("eventType"), col("n"), col("total"))
 }
+
+/** Native watermarked STREAM-STREAM join — the event-time-bounded two-stream
+  * join a streaming analytics user reaches for beyond the CDC pipeline
+  * itself (the batch twin is [[graft.ops.AsOfJoin]]). Spark buffers both
+  * sides in join state; the two ingredients that keep that state BOUNDED at
+  * stream scale are (1) watermarks on both sides and (2) an event-time
+  * range condition tying the sides together — together they let the engine
+  * evict a buffered row as soon as the other side's watermark passes its
+  * last possible match, so state scales with the join window, not the
+  * stream length. Late rows behind the watermark are dropped, never
+  * matched (both behaviors pinned in StreamingSpec).
+  */
+object StreamJoin {
+
+  final case class Signup(userId: Long, ts: java.sql.Timestamp)
+  final case class Purchase(userId: Long, ts: java.sql.Timestamp, amount: Double)
+
+  /** Purchases within `boundMinutes` AFTER the user's signup, inner-joined
+    * on the user key plus the event-time range. The equality on the user id
+    * keeps the join hash-partitioned (state co-located per key); the range
+    * predicate is what bounds eviction.
+    */
+  def purchasesNearSignup(
+      signups: Dataset[Signup],
+      purchases: Dataset[Purchase],
+      watermark: String = "10 minutes",
+      boundMinutes: Int = 60): DataFrame = {
+    val s = signups.toDF()
+      .select(col("userId").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", watermark)
+    val p = purchases.toDF()
+      .select(col("userId").as("p_user"), col("ts").as("p_ts"), col("amount"))
+      .withWatermark("p_ts", watermark)
+    s.join(p, expr(
+      s"""s_user = p_user AND
+         |p_ts >= s_ts AND
+         |p_ts <= s_ts + interval $boundMinutes minutes""".stripMargin))
+      .select(col("s_user").as("user_id"), col("s_ts"), col("p_ts"), col("amount"))
+  }
+}

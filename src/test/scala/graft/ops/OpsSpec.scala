@@ -20,6 +20,38 @@ class OpsSpec extends SparkSuite {
     assert(recall >= 0.9, s"LSH recall $recall too low (found ${lsh.size}, exact ${exact.size})")
   }
 
+  test("minhash LSH pairs carry exact-jaccard evidence (invariant column)") {
+    import spark.implicits._
+    val rows = Dedup.minhashLsh(spark, sf, threshold = 0.5)
+      .select("a", "b", "exact_jaccard_e6").collect()
+    assert(rows.nonEmpty)
+    // the exported invariant must be the TRUE (uncapped) shingle jaccard,
+    // recomputed here independently from the raw texts
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    rows.foreach { r =>
+      val sa = Dedup.shingleHashes(texts(r.getLong(0)), 5).toSet
+      val sb = Dedup.shingleHashes(texts(r.getLong(1)), 5).toSet
+      val n = sa.intersect(sb).size
+      val j = math.floor(n.toDouble * 1e6 / (sa.size + sb.size - n)).toLong
+      assert(r.getLong(2) == j,
+        s"pair (${r.getLong(0)},${r.getLong(1)}): exported ${r.getLong(2)} != recomputed $j")
+    }
+  }
+
+  test("approx_event_stats exports its real error, within HLL++ bounds") {
+    val rows = Sketches.approxEventStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(r.fieldIndex("approx_users"))
+      val exact = r.getLong(r.fieldIndex("exact_users"))
+      val err = r.getLong(r.fieldIndex("users_err_e6"))
+      assert(err == math.floor(math.abs(approx - exact).toDouble * 1e6 / exact).toLong,
+        s"users_err_e6 $err is not the real relative error")
+      assert(err < 100000, s"HLL++ error ${err / 1e4}% exceeds 10% (rsd 0.05)")
+    }
+  }
+
   test("ann_topk_lsh recall vs brute force; exported recall_e6 matches") {
     val exact = Similarity.bruteForceTopK(spark, sf, nQueries = 8, k = 5)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -162,4 +162,41 @@ class StreamingSpec extends SparkSuite {
     assert(rows.contains((0L, "click", 2L, 3.0)))
     assert(!rows.exists { case (w, tpe, _, tot) => tpe == "click" && tot > 3.0 })
   }
+
+  test("StreamJoin: on-time match; out-of-bound + late rows never match; watermark evicts state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sm = MemoryStream[StreamJoin.Signup]
+    val pm = MemoryStream[StreamJoin.Purchase]
+    val joined = StreamJoin.purchasesNearSignup(sm.toDS(), pm.toDS(),
+      watermark = "10 minutes", boundMinutes = 60)
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssj_out").start()
+    // times start at t(100): an event at the INITIAL watermark (epoch 0)
+    // would be dropped as late before the join ever sees it
+    def t(min: Int) = new Timestamp(min * 60000L)
+    sm.addData(StreamJoin.Signup(1L, t(100)), StreamJoin.Signup(2L, t(100)))
+    pm.addData(StreamJoin.Purchase(1L, t(110), 5.0)) // within 60 min of signup: matches
+    pm.addData(StreamJoin.Purchase(1L, t(190), 7.0)) // outside the bound: must not match
+    q.processAllAvailable()
+    // advance BOTH watermarks far past the signups (global watermark = min)
+    sm.addData(StreamJoin.Signup(99L, t(400)))
+    pm.addData(StreamJoin.Purchase(98L, t(400), 1.0))
+    q.processAllAvailable()
+    // watermark updates at batch end — run one more batch so eviction executes
+    sm.addData(StreamJoin.Signup(97L, t(401)))
+    pm.addData(StreamJoin.Purchase(96L, t(401), 1.0))
+    q.processAllAvailable()
+    // LATE purchase behind the watermark for buffered signup user 2: dropped
+    pm.addData(StreamJoin.Purchase(2L, t(105), 100.0))
+    q.processAllAvailable()
+    val rows = spark.table("ssj_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("amount")))
+    val removed = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+    q.stop()
+    assert(rows.contains((1L, 5.0)), s"on-time match missing: ${rows.mkString(",")}")
+    assert(!rows.exists(_._2 == 7.0), "out-of-bound purchase must not match")
+    assert(!rows.exists(_._2 == 100.0), "late purchase behind the watermark must not match")
+    assert(removed > 0, "watermark advance must evict join state")
+  }
 }
