@@ -1,9 +1,7 @@
 package graft
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
-import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times every SparkEntry query at the SF
@@ -37,8 +35,13 @@ object Bench {
     // Untimed warmup: JVM/codegen/parquet-footer costs land here, not on
     // whichever query happens to run first.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case _: Throwable => () }
+    // warm every input table (parquet footers + OS page cache): storage
+    // warmth is shared state, and charging it to whichever query sorts
+    // first distorts that query's number (sorted order = ann_topk_lsh)
+    for (t <- Seq("lineitem", "orders", "customer", "supplier", "part",
+        "nation", "region", "events", "documents", "embeddings"))
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
     // Shared memoized frames (CDC synth, shingle index) materialize untimed
     // too — they back MULTIPLE queries, and charging them to the first
     // toucher made r2's pk_filter_eq look 10x its real cost.
@@ -46,26 +49,23 @@ object Bench {
     catch { case _: Throwable => () }
     // Per-query shuffle accounting: scale evidence, not just seconds — a
     // query whose time is fine but whose shuffle grows superlinearly is the
-    // one that dies at 100 TB. Task-end metrics accumulate between queries.
-    val shuffleBytes = new AtomicLong()
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-        val m = t.taskMetrics
-        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-      }
-    })
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val s0 = shuffleBytes.get()
+    // one that dies at 100 TB. Uses the library-level scoped accounting
+    // (graft.obs.ScopedMetrics), which drains the async listener bus per
+    // scope; a slow drain bleeds that query's MB into the next rather than
+    // killing the run (the metric file is the only reliable channel).
+    // Sorted name order, not Map order: (a) deterministic round-over-round
+    // comparisons, (b) a production entry sorts BEFORE its `*_recall` twin,
+    // so the shared memoized pipeline is charged to the production query
+    // and the twin pays only its instrumentation — Map iteration order once
+    // ran a twin first and silently inverted that attribution.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+      val (_, snap) = graft.obs.ScopedMetrics.measure(spark) {
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      }
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener events are async; drain before reading the counter. A slow
-      // drain must not kill the run — the metric file is the only reliable
-      // channel, so tolerate a timeout (that query's MB bleeds to the next).
-      try org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext, 30000L)
-      catch { case _: Throwable => () }
-      name -> ((sec, (shuffleBytes.get() - s0) / 1048576.0))
+      name -> ((sec, snap.shuffleWriteMb))
     }
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -73,7 +73,7 @@ object Bench {
     val sh = results.map { case (k, (_, mb)) =>
       s"\"" + k + "\":" + (math.rint(mb * 10) / 10.0)
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val total = results.map(_._2._1).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_write_mb":$sh,"sf":"$sfDir"}"""
     val outPath = if (args.nonEmpty) args(0) else "BENCH.json"

@@ -212,15 +212,21 @@ object Dedup {
     val banded = keepPairableBuckets(banded0, Seq("band", "bucket"), maxBucket)
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b"), col("sig").as("sig_b"))
-    val cand = l.join(r, Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sig_a"), col("sig_b"))
-      .distinct()
-      .withColumn("est_jaccard",
-        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), t -> t))") //
-          .cast("double") / lit(k.toDouble))
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("a"), col("b"), col("est_jaccard"))
+    // persisted (session-memoized): the surviving-candidate frame feeds BOTH
+    // the output and the exact-jaccard evidence join below — unpersisted,
+    // the whole band-join + distinct pipeline would execute once per branch
+    val cand = Memo(spark, s"minhashcand|$d|$bands|$rowsPer|$threshold|$maxBucket") {
+      l.join(r, Seq("band", "bucket"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), col("sig_a"), col("sig_b"))
+        .distinct()
+        .withColumn("est_jaccard",
+          expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), t -> t))") //
+            .cast("double") / lit(k.toDouble))
+        .filter(col("est_jaccard") >= threshold)
+        .select(col("a"), col("b"), col("est_jaccard"))
+        .persist()
+    }
     // Self-checking invariant column for the driver artifact: the EXACT
     // shingle jaccard of each emitted candidate, floor-scaled e6. Computed
     // only for the bounded surviving pair list (joined against the shingle
