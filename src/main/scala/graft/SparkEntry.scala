@@ -52,6 +52,10 @@ object SparkEntry {
     "q2_cheapest_order" -> ((s, d) => Analytics.cheapestOrderPerCustomer(s, d)),
     "q13_order_distribution" -> ((s, d) => Analytics.orderCountDistribution(s, d)),
     "q21_waiting_supplier" -> ((s, d) => Analytics.waitingSupplier(s, d)),
+    "q11_segment_share" -> ((s, d) => Analytics.segmentShareOverThreshold(s, d)),
+    "q18_large_orders" -> ((s, d) => Analytics.largeQuantityOrders(s, d)),
+    "grouping_sets_orders" -> ((s, d) => Analytics.ordersGroupingSets(s, d)),
+    "running_revenue" -> ((s, d) => Analytics.runningRevenue(s, d)),
     "q10_returned_revenue" -> ((s, d) => Analytics.returnedItemRevenue(s, d)),
     "q8_market_share" -> ((s, d) => Analytics.marketShare(s, d)),
     "q19_promo_revenue" -> ((s, d) => Analytics.promoRevenue(s, d)),
@@ -378,6 +382,40 @@ object SparkEntry {
         |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name""".stripMargin,
+    "q11_segment_share" ->
+      """SELECT c_mktsegment,
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_c2
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |HAVING SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) * 5 >
+        |       (SELECT SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) FROM orders)
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_c2
+        |FROM orders
+        |WHERE o_orderkey IN
+        |  (SELECT l_orderkey FROM lineitem
+        |   GROUP BY l_orderkey
+        |   HAVING SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) > 15000)
+        |ORDER BY o_orderkey""".stripMargin,
+    "grouping_sets_orders" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n_orders,
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_c2
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+    "running_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(SUM(c2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c2,
+        |       lag(c2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_c2
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c2
+        |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name, n_name,
         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)

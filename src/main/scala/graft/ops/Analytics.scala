@@ -326,6 +326,81 @@ object Analytics {
         |ORDER BY numwait DESC, s_name""".stripMargin)
   }
 
+  /** Explicit GROUPING SETS (beyond rollup/cube's fixed lattices): two
+    * one-dimension marginals plus the grand total in ONE pass — Spark
+    * expands the sets in a single Expand + aggregate, not one scan per set.
+    * NULL group keys exported as 'ALL' per the rollup/cube convention.
+    */
+  def ordersGroupingSets(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("g_orders")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n_orders,
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_c2
+        |FROM g_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  /** TPC-H Q11-style global-threshold HAVING: segments whose order value
+    * exceeds a fifth of the GLOBAL total. The uncorrelated scalar subquery
+    * is computed once and broadcast into the having filter — at 100 TB both
+    * sides are one partial+final aggregate each, and the comparison is kept
+    * in exact integer cents (a times-5 integer inequality, no fraction).
+    */
+  def segmentShareOverThreshold(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("g_orders")
+    Tables.customer(spark, d).createOrReplaceTempView("g_customer")
+    spark.sql(
+      """SELECT c_mktsegment,
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_c2
+        |FROM g_orders JOIN g_customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |HAVING SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) * 5 >
+        |       (SELECT SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) FROM g_orders)
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  /** TPC-H Q18-style IN over an aggregated-HAVING subquery: orders whose
+    * total lineitem quantity clears a threshold. Catalyst turns the IN into
+    * a left-semi join against the aggregated subquery — the aggregate runs
+    * once over lineitem (grouped on its own key, map-side partials), never
+    * per outer row. Quantities compared as exact cents.
+    */
+  def largeQuantityOrders(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("g_orders")
+    Tables.lineitem(spark, d).createOrReplaceTempView("g_lineitem")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_c2
+        |FROM g_orders
+        |WHERE o_orderkey IN
+        |  (SELECT l_orderkey FROM g_lineitem
+        |   GROUP BY l_orderkey
+        |   HAVING SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) > 15000)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Window FRAMES (running + offset): per-customer running revenue with an
+    * explicit ROWS frame, plus lag of the previous order's value. One
+    * shuffle on the partition key serves both window functions (same
+    * partitioning + ordering); all money stays exact integer cents.
+    */
+  def runningRevenue(spark: SparkSession, d: String): DataFrame = {
+    val c2 = Exact.c2(col("o_totalprice"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), c2.as("c2"))
+      .withColumn("running_c2",
+        sum(col("c2")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .withColumn("prev_c2", lag(col("c2"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_c2"), col("prev_c2"))
+      .orderBy("o_orderkey")
+  }
+
   /** TPC-H Q10-style returned-item revenue: which customers returned the
     * most value in a quarter. Fact-fact join shuffles on the order key;
     * nation broadcast; deterministic top-k (revenue desc, custkey asc) via

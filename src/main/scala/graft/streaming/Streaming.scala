@@ -140,16 +140,24 @@ object StreamJoin {
   final case class Signup(userId: Long, ts: java.sql.Timestamp)
   final case class Purchase(userId: Long, ts: java.sql.Timestamp, amount: Double)
 
-  /** Purchases within `boundMinutes` AFTER the user's signup, inner-joined
-    * on the user key plus the event-time range. The equality on the user id
-    * keeps the join hash-partitioned (state co-located per key); the range
+  /** Purchases within `boundMinutes` AFTER the user's signup, joined on the
+    * user key plus the event-time range. The equality on the user id keeps
+    * the join hash-partitioned (state co-located per key); the range
     * predicate is what bounds eviction.
+    *
+    * `joinType` "left_outer": a signup with NO in-bound purchase is emitted
+    * with NULL purchase columns — but only once the watermark proves no
+    * match can still arrive (the null row appears at eviction time, not
+    * immediately; spec'd). This is the "did the user ever convert?" shape
+    * that a batch left join answers trivially but a stream can only answer
+    * watermark-late.
     */
   def purchasesNearSignup(
       signups: Dataset[Signup],
       purchases: Dataset[Purchase],
       watermark: String = "10 minutes",
-      boundMinutes: Int = 60): DataFrame = {
+      boundMinutes: Int = 60,
+      joinType: String = "inner"): DataFrame = {
     val s = signups.toDF()
       .select(col("userId").as("s_user"), col("ts").as("s_ts"))
       .withWatermark("s_ts", watermark)
@@ -159,7 +167,7 @@ object StreamJoin {
     s.join(p, expr(
       s"""s_user = p_user AND
          |p_ts >= s_ts AND
-         |p_ts <= s_ts + interval $boundMinutes minutes""".stripMargin))
+         |p_ts <= s_ts + interval $boundMinutes minutes""".stripMargin), joinType)
       .select(col("s_user").as("user_id"), col("s_ts"), col("p_ts"), col("amount"))
   }
 }

@@ -199,4 +199,36 @@ class StreamingSpec extends SparkSuite {
     assert(!rows.exists(_._2 == 100.0), "late purchase behind the watermark must not match")
     assert(removed > 0, "watermark advance must evict join state")
   }
+
+  test("StreamJoin left_outer: unmatched signup emits NULL row only after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sm = MemoryStream[StreamJoin.Signup]
+    val pm = MemoryStream[StreamJoin.Purchase]
+    val joined = StreamJoin.purchasesNearSignup(sm.toDS(), pm.toDS(),
+      watermark = "10 minutes", boundMinutes = 60, joinType = "left_outer")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssj_outer").start()
+    def t(min: Int) = new Timestamp(min * 60000L)
+    sm.addData(StreamJoin.Signup(1L, t(100)), StreamJoin.Signup(2L, t(100)))
+    pm.addData(StreamJoin.Purchase(1L, t(110), 5.0)) // user 1 converts; user 2 never does
+    q.processAllAvailable()
+    def collected() = spark.table("ssj_outer").collect()
+      .map(r => (r.getAs[Long]("user_id"), Option(r.getAs[Any]("amount"))))
+    // BEFORE the watermark passes signup+bound, the unmatched signup must
+    // NOT have emitted — a match could still arrive
+    assert(!collected().exists(r => r._1 == 2L),
+      s"null row emitted too early: ${collected().mkString(",")}")
+    // advance both watermarks past signup time + bound + watermark delay
+    sm.addData(StreamJoin.Signup(99L, t(400)))
+    pm.addData(StreamJoin.Purchase(98L, t(400), 1.0))
+    q.processAllAvailable()
+    sm.addData(StreamJoin.Signup(97L, t(401)))
+    pm.addData(StreamJoin.Purchase(96L, t(401), 1.0))
+    q.processAllAvailable()
+    val rows = collected()
+    q.stop()
+    assert(rows.contains((1L, Some(5.0))), s"matched row missing: ${rows.mkString(",")}")
+    assert(rows.contains((2L, None)), s"watermark-late NULL row missing: ${rows.mkString(",")}")
+  }
 }
