@@ -65,17 +65,23 @@ object Bench {
         catch { case _: Throwable => () }
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      name -> ((sec, snap.shuffleWriteMb))
+      name -> ((sec, snap))
     }
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // locale-independent formatting: Double.toString never uses comma decimals
-    val sh = results.map { case (k, (_, mb)) =>
-      s"\"" + k + "\":" + (math.rint(mb * 10) / 10.0)
+    def mb1(b: Long) = math.rint(b / 1048576.0 * 10) / 10.0
+    val sh = results.map { case (k, (_, s)) =>
+      s"\"" + k + "\":" + mb1(s.shuffleWriteBytes)
+    }.mkString("{", ",", "}")
+    // spill = first sign partitions outgrow executor memory; 0.0 everywhere
+    // is itself the scale evidence the artifact should carry
+    val sp = results.map { case (k, (_, s)) =>
+      s"\"" + k + "\":" + mb1(s.memorySpillBytes + s.diskSpillBytes)
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""shuffle_write_mb":$sh,"sf":"$sfDir"}"""
+      s""""shuffle_write_mb":$sh,"spill_mb":$sp,"sf":"$sfDir"}"""
     val outPath = if (args.nonEmpty) args(0) else "BENCH.json"
     Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
