@@ -56,7 +56,30 @@ object PlanDoc {
     "salted_join" -> ("Skew-mitigated fact-dim join: the fact side carries a deterministic " +
       "salt, the dim side is exploded nSalts ways, so one hot user key spreads over nSalts " +
       "reducers; at small SF AQE broadcasts the exploded dim — the declared plan survives " +
-      "either physical choice."))
+      "either physical choice."),
+    "variant_props" -> ("The shredded-variant payoff (r4): the scan's ReadSchema shows the " +
+      "requested `$.k` path as a typed struct field of the shredded parquet — no VariantType " +
+      "reaches the scan output, so there is no per-row binary variant decode; the query is a " +
+      "typed column scan + sort."),
+    "q2_cheapest_order" -> ("Correlated MIN scalar subquery decorrelated: per-custkey MIN " +
+      "aggregate joined back to the outer orders scan on the correlation key — one aggregate + " +
+      "one join, never a per-row re-execution of the subquery."),
+    "q13_order_distribution" -> ("Left-outer count distribution: the orderpriority predicate " +
+      "lives in the JOIN condition (not WHERE), preserving zero-order customers; shuffle on " +
+      "custkey, then a tiny regroup on c_count."),
+    "q21_waiting_supplier" -> ("EXISTS + NOT EXISTS decorrelated into left-semi + left-anti " +
+      "joins, all shuffling on the order key; the three lineitem reads share one " +
+      "ReusedExchange where keys align."),
+    "q18_large_orders" -> ("IN over an aggregated-HAVING subquery: lineitem aggregates once on " +
+      "its own key (map-side partials), the HAVING filter prunes before the left-semi against " +
+      "orders — the aggregate never runs per outer row."),
+    "q11_segment_share" -> ("Uncorrelated scalar subquery in HAVING: the global total computes " +
+      "once as its own partial+final aggregate and broadcasts into the filter; the comparison " +
+      "stays in exact integer cents (times-5 inequality)."),
+    "grouping_sets_orders" -> ("Explicit GROUPING SETS: one Expand (3 projections per row) + " +
+      "one aggregate — a single scan serves both marginals and the grand total."),
+    "running_revenue" -> ("Window frames: the running ROWS-frame sum and lag share ONE window " +
+      "exchange+sort (same partitioning and ordering); money stays exact integer cents."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
