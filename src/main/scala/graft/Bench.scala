@@ -51,7 +51,7 @@ object Bench {
     // query whose time is fine but whose shuffle grows superlinearly is the
     // one that dies at 100 TB. Uses the library-level scoped accounting
     // (graft.obs.ScopedMetrics), which drains the async listener bus per
-    // scope; a slow drain bleeds that query's MB into the next rather than
+    // scope; a timed-out drain undercounts that query's MB rather than
     // killing the run (the metric file is the only reliable channel).
     // Sorted name order, not Map order: (a) deterministic round-over-round
     // comparisons, (b) a production entry sorts BEFORE its `*_recall` twin,
@@ -59,12 +59,17 @@ object Bench {
     // and the twin pays only its instrumentation — Map iteration order once
     // ran a twin first and silently inverted that attribution.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
+      // the timed window is the query body ONLY — ScopedMetrics' post-body
+      // listener drain (up to 30 s on a stalled bus) must not inflate the
+      // query's seconds (a timed-out drain undercounts that query's MB
+      // instead; events landing after listener removal are lost, not bled)
+      var sec = 0.0
       val (_, snap) = graft.obs.ScopedMetrics.measure(spark) {
+        val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () }
+        sec = (System.nanoTime() - t0) / 1e9
       }
-      val sec = (System.nanoTime() - t0) / 1e9
       name -> ((sec, snap))
     }
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }

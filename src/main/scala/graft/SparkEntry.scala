@@ -69,6 +69,7 @@ object SparkEntry {
     "salted_agg" -> ((s, d) => Skew.saltedEventAgg(s, d)),
     "salted_join" -> ((s, d) => Skew.saltedUserSegmentAgg(s, d)),
     "approx_event_stats" -> ((s, d) => Sketches.approxEventStats(s, d)), // sketch: rows-only
+    "approx_event_stats_check" -> ((s, d) => Sketches.approxEventStatsCheck(s, d)), // sketch err evidence: rows-only
     // --- event-stream windowing ---
     "session_window" -> ((s, d) => Sessions.sessionize(s, d)),
     "event_type_stats" -> ((s, d) => Sessions.eventTypeStats(s, d)),

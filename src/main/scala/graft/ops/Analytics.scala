@@ -337,7 +337,7 @@ object Analytics {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
         |       count(*) AS n_orders,
-        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_c2
+        |       CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(38,0))) AS BIGINT) AS total_c2
         |FROM g_orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin)
@@ -354,11 +354,11 @@ object Analytics {
     Tables.customer(spark, d).createOrReplaceTempView("g_customer")
     spark.sql(
       """SELECT c_mktsegment,
-        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_c2
+        |       CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(38,0))) AS BIGINT) AS total_c2
         |FROM g_orders JOIN g_customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
-        |HAVING SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) * 5 >
-        |       (SELECT SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) FROM g_orders)
+        |HAVING SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(38,0))) * 5 >
+        |       (SELECT SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(38,0))) FROM g_orders)
         |ORDER BY c_mktsegment""".stripMargin)
   }
 
@@ -378,7 +378,7 @@ object Analytics {
         |WHERE o_orderkey IN
         |  (SELECT l_orderkey FROM g_lineitem
         |   GROUP BY l_orderkey
-        |   HAVING SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) > 15000)
+        |   HAVING SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(38,0))) > 15000)
         |ORDER BY o_orderkey""".stripMargin)
   }
 
@@ -394,7 +394,10 @@ object Analytics {
     Tables.orders(spark, d)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), c2.as("c2"))
       .withColumn("running_c2",
-        sum(col("c2")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        // DECIMAL(38,0) accumulate → BIGINT export, per the Exact rule: a
+        // BIGINT window accumulator can wrap on a hot key at target scale
+        sum(col("c2").cast(DecimalType(38, 0)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("long"))
       .withColumn("prev_c2", lag(col("c2"), 1).over(w))
       .select(col("o_custkey"), col("o_orderkey"), col("running_c2"), col("prev_c2"))

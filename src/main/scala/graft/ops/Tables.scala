@@ -15,14 +15,15 @@ object Tables {
   def nation(spark: SparkSession, d: String): DataFrame = apply(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = apply(spark, d, "region")
   def part(spark: SparkSession, d: String): DataFrame = apply(spark, d, "part")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; `nanosAsLong` reads it as BIGINT nanos. Read with an EXPLICIT
-    * schema plus a per-read option, not a session conf mutation: schema
-    * inference would fail on the NANOS annotation before any option is
-    * consulted (and footer-sampling inference is the wrong posture at scale
-    * anyway), while the scan-time reader builds its hadoop Configuration
-    * from the per-read options, so this read decodes nanos-as-long without
-    * touching concurrent readers in the same session (spec'd in OpsSpec).
+  /** `events.ts` is parquet TIMESTAMP(NANOS); schema INFERENCE rejects that
+    * annotation, so the read supplies an explicit schema with `ts: LONG`
+    * (epoch nanos) — the EXPLICIT SCHEMA alone is the whole mechanism: the
+    * scan-time updater decodes NANOS→long whenever the requested Spark type
+    * is LongType, no conf needed (verified empirically; a per-read
+    * `nanosAsLong` option is inert because the scan's hadoopConf overwrites
+    * that key from the session conf). No session conf is mutated, so
+    * concurrent readers are untouched (spec'd in OpsSpec) — and skipping
+    * footer-sampling inference is the right posture at scale anyway.
     * All time arithmetic on events therefore uses epoch milliseconds via
     * floor division `(ts - pmod(ts, 1000000)) div 1000000` (see
     * [[Sessions.nanosToMsFloor]]), which agrees exactly with DuckDB's
@@ -39,7 +40,6 @@ object Tables {
   def events(spark: SparkSession, d: String): DataFrame =
     spark.read
       .schema(eventsSchema)
-      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
       .parquet(s"$d/events.parquet")
   def documents(spark: SparkSession, d: String): DataFrame = apply(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = apply(spark, d, "embeddings")

@@ -168,21 +168,32 @@ object Skew {
   * against exact answers in OpsSpec.
   */
 object Sketches {
-  /** The sketch columns are the operator; `exact_users` / `users_err_e6`
-    * are self-checking invariant columns for the driver artifact — the
-    * HLL++ estimate next to the exact distinct and the relative error in
-    * e6 units, so the sketch's accuracy is evidenced in the dumped parquet
-    * itself (OpsSpec bounds it; default rsd 0.05). The exact distinct is
-    * affordable here by construction: 5 groups — the 100 TB posture is
-    * the sketch, the exact column is the gate evidence.
+  /** Production shape: sketches ONLY — constant-memory per group, the
+    * whole reason HLL++/quantile sketches exist at 100 TB. The accuracy
+    * evidence lives in the `*_check` twin below (same split as the ANN
+    * production/recall pairs), never in this query's own cost.
     */
   def approxEventStats(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
-        count_distinct(col("user_id")).as("exact_users"),
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median_value"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Gate/evidence twin: the sketch next to the exact distinct and the
+    * relative error in e6 units, so the dumped artifact itself evidences
+    * sketch accuracy (OpsSpec bounds it; default rsd 0.05). The exact
+    * count_distinct's cost scales with distinct users — which is exactly
+    * why it lives HERE and not in the production query above.
+    */
+  def approxEventStatsCheck(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        count_distinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
       .withColumn("users_err_e6",
         floor(abs(col("approx_users") - col("exact_users")).cast("double") *

@@ -39,8 +39,8 @@ class OpsSpec extends SparkSuite {
     }
   }
 
-  test("approx_event_stats exports its real error, within HLL++ bounds") {
-    val rows = Sketches.approxEventStats(spark, sf).collect()
+  test("approx_event_stats_check exports its real error, within HLL++ bounds") {
+    val rows = Sketches.approxEventStatsCheck(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getLong(r.fieldIndex("approx_users"))
@@ -265,7 +265,8 @@ class OpsSpec extends SparkSuite {
     assert(ev.schema("ts").dataType == LongType)
     assert(ev.select("ts").limit(3).collect().length == 3)
     // the read above succeeded WITH the session conf at its default (false):
-    // the nanos decode rode the per-read option, and the session stays clean
+    // the explicit LongType schema alone drives the NANOS→long decode, and
+    // the session stays clean
     assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false",
       "Tables.events mutated session conf")
     // the widening-only shredded-read flags: a PLAIN (unshredded) variant
@@ -639,6 +640,87 @@ class OpsSpec extends SparkSuite {
     assert(plan.contains("LeftSemi"), plan.take(800))
     assert(plan.contains("LeftAnti"), plan.take(800))
     assert(df.collect().nonEmpty)
+  }
+
+  test("q18 IN+HAVING becomes a left-semi against the once-computed aggregate") {
+    val df = Analytics.largeQuantityOrders(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(800))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every returned order genuinely clears the quantity threshold,
+    // recomputed independently in exact cents
+    val qty = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(Exact.sumLong(Exact.c2(col("l_quantity"))).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(qty(r.getLong(0)) > 15000L,
+      s"order ${r.getLong(0)} qty ${qty(r.getLong(0))} below threshold"))
+  }
+
+  test("q11 HAVING threshold holds against an independently computed global total") {
+    val df = Analytics.segmentShareOverThreshold(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    val global = Tables.orders(spark, sf)
+      .agg(Exact.sumLong(Exact.c2(col("o_totalprice")))).head().getLong(0)
+    rows.foreach { r =>
+      assert(r.getLong(1) * 5 > global,
+        s"${r.getString(0)}: ${r.getLong(1)} * 5 <= $global")
+    }
+  }
+
+  test("grouping sets: one Expand pass; marginals sum to the grand total") {
+    val df = Analytics.ordersGroupingSets(spark, sf)
+    assert(df.queryExecution.optimizedPlan.toString.contains("Expand"))
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val grand = rows.filter(r => r._1 == "ALL" && r._2 == "ALL")
+    assert(grand.length == 1)
+    val statusMarg = rows.filter(r => r._1 != "ALL")
+    val prioMarg = rows.filter(r => r._2 != "ALL")
+    assert(statusMarg.map(_._3).sum == grand.head._3 &&
+      prioMarg.map(_._3).sum == grand.head._3, "marginal counts don't sum to grand total")
+    assert(statusMarg.map(_._4).sum == grand.head._4 &&
+      prioMarg.map(_._4).sum == grand.head._4, "marginal cents don't sum to grand total")
+  }
+
+  test("running_revenue: both window functions share one Window node; frame semantics hold") {
+    val df = Analytics.runningRevenue(spark, sf)
+    // one logical Window node carries BOTH the frame sum and the lag — two
+    // nodes would mean two sorts (and with different keys, two exchanges)
+    val nWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.size
+    assert(nWindows == 1, s"expected 1 Window node, got $nWindows")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // independent recompute: per customer ordered by (orderdate, orderkey),
+    // running_c2 is the prefix sum and prev_c2 the previous order's cents
+    val src = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        Exact.c2(col("o_totalprice")).as("c2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2).toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+        r.getLong(3)))
+    val expected: Map[Long, (Long, Option[Long])] =
+      src.groupBy(_._1).iterator.flatMap { case (_, os) =>
+        val ordered = os.sortBy(o => (o._3, o._2))
+        var run = 0L
+        var prev: Option[Long] = None
+        ordered.iterator.map { o =>
+          run += o._4
+          val e = o._2 -> ((run, prev))
+          prev = Some(o._4)
+          e
+        }
+      }.toMap
+    rows.foreach { r =>
+      val (run, prev) = expected(r.getLong(1))
+      assert(r.getLong(2) == run, s"order ${r.getLong(1)}: running ${r.getLong(2)} != $run")
+      assert((if (r.isNullAt(3)) None else Some(r.getLong(3))) == prev,
+        s"order ${r.getLong(1)}: prev mismatch")
+    }
   }
 
   test("writeBucketed clears a stale warehouse dir through Hadoop FS (URI-form path)") {
