@@ -56,6 +56,8 @@ object SparkEntry {
     "q18_large_orders" -> ((s, d) => Analytics.largeQuantityOrders(s, d)),
     "grouping_sets_orders" -> ((s, d) => Analytics.ordersGroupingSets(s, d)),
     "running_revenue" -> ((s, d) => Analytics.runningRevenue(s, d)),
+    "full_outer_activity" -> ((s, d) => Analytics.userActivityFullOuter(s, d)),
+    "lateral_top_orders" -> ((s, d) => Analytics.lateralTopOrders(s, d)),
     "q10_returned_revenue" -> ((s, d) => Analytics.returnedItemRevenue(s, d)),
     "q8_market_share" -> ((s, d) => Analytics.marketShare(s, d)),
     "q19_promo_revenue" -> ((s, d) => Analytics.promoRevenue(s, d)),
@@ -408,6 +410,24 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
+    "full_outer_activity" ->
+      """SELECT coalesce(o.u, e.u) AS user_id,
+        |       coalesce(n_orders, 0) AS n_orders,
+        |       coalesce(n_events, 0) AS n_events
+        |FROM (SELECT o_custkey AS u, count(*) AS n_orders FROM orders GROUP BY 1) o
+        |FULL OUTER JOIN (SELECT user_id AS u, count(*) AS n_events FROM events GROUP BY 1) e
+        |  ON o.u = e.u
+        |ORDER BY user_id""".stripMargin,
+    "lateral_top_orders" ->
+      """SELECT c_custkey, t.o_orderkey, t.total_c2
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey,
+        |                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_c2
+        |         FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) t
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
     "running_revenue" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(SUM(c2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey

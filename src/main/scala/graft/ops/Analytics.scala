@@ -404,6 +404,45 @@ object Analytics {
       .orderBy("o_orderkey")
   }
 
+  /** FULL OUTER join of two aggregated activity views: users seen in the
+    * orders table, the events table, or either. Both sides pre-aggregate to
+    * one row per key BEFORE the join (the full-outer then joins two
+    * key-unique relations — shuffle sized by distinct users, not raw rows),
+    * and absent sides surface as zero via coalesce.
+    */
+  def userActivityFullOuter(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+      .groupBy(col("o_custkey").as("u")).agg(count(lit(1)).as("n_orders"))
+    val e = Tables.events(spark, d)
+      .groupBy(col("user_id").as("u")).agg(count(lit(1)).as("n_events"))
+    o.join(e, Seq("u"), "full_outer")
+      .select(col("u").as("user_id"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** LATERAL correlated subquery: each customer's top-2 orders by value.
+    * The lateral subquery (with its correlated filter + ORDER BY + LIMIT)
+    * is rewritten by Catalyst into a window-style per-key limit, not a
+    * per-customer re-scan of orders — same scale shape as `window_top_orders`
+    * but exercising the LATERAL plan path (DomainJoin rewrite).
+    */
+  def lateralTopOrders(spark: SparkSession, d: String): DataFrame = {
+    Tables.orders(spark, d).createOrReplaceTempView("g_orders")
+    Tables.customer(spark, d).createOrReplaceTempView("g_customer")
+    spark.sql(
+      """SELECT c_custkey, t.o_orderkey, t.total_c2
+        |FROM g_customer,
+        |LATERAL (SELECT o_orderkey,
+        |                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_c2
+        |         FROM g_orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) t
+        |ORDER BY c_custkey, o_orderkey""".stripMargin)
+  }
+
   /** TPC-H Q10-style returned-item revenue: which customers returned the
     * most value in a quarter. Fact-fact join shuffles on the order key;
     * nation broadcast; deterministic top-k (revenue desc, custkey asc) via

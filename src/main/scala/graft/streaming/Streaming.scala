@@ -170,4 +170,15 @@ object StreamJoin {
          |p_ts <= s_ts + interval $boundMinutes minutes""".stripMargin), joinType)
       .select(col("s_user").as("user_id"), col("s_ts"), col("p_ts"), col("amount"))
   }
+
+  /** STREAM-STATIC enrichment: a streaming fact joined to a batch dimension.
+    * No watermark and no join state — each micro-batch joins against the
+    * static relation directly, and the explicit broadcast keeps it a
+    * map-side hash join per batch (the dim ships once per executor, the
+    * stream never shuffles). Left-outer so facts with no dim row survive
+    * with NULLs rather than disappearing — the enrichment contract.
+    */
+  def enrichPurchases(purchases: Dataset[Purchase], users: DataFrame): DataFrame =
+    purchases.toDF()
+      .join(broadcast(users), Seq("userId"), "left_outer")
 }

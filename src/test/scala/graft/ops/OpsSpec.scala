@@ -685,6 +685,40 @@ class OpsSpec extends SparkSuite {
       prioMarg.map(_._4).sum == grand.head._4, "marginal cents don't sum to grand total")
   }
 
+  test("full outer activity covers users from either side, zeros for the absent side") {
+    import spark.implicits._
+    val rows = Analytics.userActivityFullOuter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val orderUsers = Tables.orders(spark, sf)
+      .select("o_custkey").as[Long].collect().toSet
+    val eventUsers = Tables.events(spark, sf)
+      .select("user_id").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet == (orderUsers ++ eventUsers),
+      "full outer must cover exactly the union of both key sets")
+    rows.foreach { case (u, no, ne) =>
+      assert((no > 0) == orderUsers.contains(u), s"user $u n_orders=$no")
+      assert((ne > 0) == eventUsers.contains(u), s"user $u n_events=$ne")
+    }
+  }
+
+  test("lateral top-2 rewrites to a windowed per-key limit and returns the true top-2") {
+    import spark.implicits._
+    val df = Analytics.lateralTopOrders(spark, sf)
+    // Catalyst must rewrite the correlated LATERAL + LIMIT into a window
+    // row_number per key — not a per-customer re-scan of orders
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("row_number"), plan.take(800))
+    assert(!plan.contains("LateralJoin"), "lateral left unrewritten: " + plan.take(400))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(o => (-o._3, o._2)).take(2).map(_._2).toSet).toMap
+    assert(got.nonEmpty && got == expected.filter(_._2.nonEmpty))
+  }
+
   test("running_revenue: both window functions share one Window node; frame semantics hold") {
     val df = Analytics.runningRevenue(spark, sf)
     // one logical Window node carries BOTH the frame sum and the lag — two

@@ -231,4 +231,23 @@ class StreamingSpec extends SparkSuite {
     assert(rows.contains((1L, Some(5.0))), s"matched row missing: ${rows.mkString(",")}")
     assert(rows.contains((2L, None)), s"watermark-late NULL row missing: ${rows.mkString(",")}")
   }
+
+  test("StreamStatic enrichment: dim columns attach per batch; missing dim row survives as NULL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pm = MemoryStream[StreamJoin.Purchase]
+    val users = Seq((1L, "GOLD"), (3L, "SILVER")).toDF("userId", "segment")
+    val q = StreamJoin.enrichPurchases(pm.toDS(), users)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("enrich_out").start()
+    def t(min: Int) = new Timestamp(min * 60000L)
+    pm.addData(StreamJoin.Purchase(1L, t(100), 5.0), StreamJoin.Purchase(2L, t(101), 7.0))
+    q.processAllAvailable()
+    pm.addData(StreamJoin.Purchase(3L, t(102), 9.0)) // second batch joins the same static dim
+    q.processAllAvailable()
+    val rows = spark.table("enrich_out").collect()
+      .map(r => (r.getAs[Long]("userId"), Option(r.getAs[String]("segment")))).toSet
+    q.stop()
+    assert(rows == Set((1L, Some("GOLD")), (2L, None), (3L, Some("SILVER"))), rows.toString)
+  }
 }
