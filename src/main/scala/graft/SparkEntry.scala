@@ -109,7 +109,10 @@ object SparkEntry {
     "ann_topk_lsh" -> ((s, d) => Similarity.annTopK(s, d, recallQueries = 0)), // approx: rows-only
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, withRecallCol = false)), // approx: rows-only
     "ann_topk_lsh_recall" -> ((s, d) => Similarity.annTopK(s, d)), // approx: rows-only
-    "ivf_topk_recall" -> ((s, d) => Similarity.ivfTopK(s, d)) // approx: rows-only
+    "ivf_topk_recall" -> ((s, d) => Similarity.ivfTopK(s, d)), // approx: rows-only
+    // embedding-cosine near-dup at scale (LSH candidates + exact rerank);
+    // cosine_pairs is its bounded exact baseline
+    "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)) // approx: rows-only
   )
 
   /** Shared DuckDB CTE reconstructing the synthesized CDC pairing + depth-1+

@@ -52,6 +52,27 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("embedding near-dup pairs: exact sim parity with cosinePairs; high recall on strong pairs") {
+    val lsh = Similarity.embeddingNearDupPairs(spark, sf, threshold = 0.3)
+      .filter(col("a") < 300 && col("b") < 300)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val exact = Similarity.cosinePairs(spark, sf, maxId = 300, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(exact.nonEmpty && lsh.nonEmpty)
+    // the rerank is exact: every emitted pair's sim_e6 must equal the
+    // all-pairs computation bit-for-bit
+    lsh.foreach { case (p, sim) =>
+      assert(exact.get(p).contains(sim), s"pair $p: lsh $sim != exact ${exact.get(p)}")
+    }
+    // candidate generation approximates: strong pairs (sim >= 0.5) must be
+    // found with high recall (hyperplane collision prob rises with sim)
+    val strong = exact.filter(_._2 >= 500000L)
+    if (strong.nonEmpty) {
+      val recall = strong.keys.count(lsh.contains).toDouble / strong.size
+      assert(recall >= 0.8, s"strong-pair recall $recall (${strong.size} pairs)")
+    }
+  }
+
   test("ann_topk_lsh recall vs brute force; exported recall_e6 matches") {
     val exact = Similarity.bruteForceTopK(spark, sf, nQueries = 8, k = 5)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
