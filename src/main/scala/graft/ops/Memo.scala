@@ -15,9 +15,19 @@ import org.apache.spark.sql.SparkSession
   * session (fresh driver run) recomputes.
   */
 object Memo {
-  private val m = new ConcurrentHashMap[String, AnyRef]()
+  private val m = new ConcurrentHashMap[String, () => AnyRef]()
 
-  def apply[T <: AnyRef](spark: SparkSession, key: String)(f: => T): T =
-    m.computeIfAbsent(spark.sparkContext.applicationId + "|" + key,
-      _ => f).asInstanceOf[T]
+  /** The CHM mapping function only allocates a lazy cell; `f` itself is
+    * evaluated OUTSIDE `computeIfAbsent`. Memoized builds may therefore call
+    * Memo recursively (annTopK → lshCandidatePairs → lshBuckets) without
+    * violating the ConcurrentHashMap contract that a mapping function must
+    * not touch other mappings — a nested computeIfAbsent on a colliding bin
+    * live-locks (JDK-8062841 shape).
+    */
+  def apply[T <: AnyRef](spark: SparkSession, key: String)(f: => T): T = {
+    val cell = m.computeIfAbsent(
+      spark.sparkContext.applicationId + "|" + key,
+      _ => { lazy val v: AnyRef = f; () => v })
+    cell().asInstanceOf[T]
+  }
 }
