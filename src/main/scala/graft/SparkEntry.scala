@@ -55,6 +55,14 @@ object SparkEntry {
     "q11_segment_share" -> ((s, d) => Analytics.segmentShareOverThreshold(s, d)),
     "q18_large_orders" -> ((s, d) => Analytics.largeQuantityOrders(s, d)),
     "grouping_sets_orders" -> ((s, d) => Analytics.ordersGroupingSets(s, d)),
+    "q7_volume_shipping" -> ((s, d) => TpchFull.volumeShipping(s, d)),
+    "q9_product_profit" -> ((s, d) => TpchFull.productProfit(s, d)),
+    "q12_shipmode_priority" -> ((s, d) => TpchFull.shipmodePriority(s, d)),
+    "q14_promo_share" -> ((s, d) => TpchFull.promoShare(s, d)),
+    "q15_top_supplier" -> ((s, d) => TpchFull.topSupplier(s, d)),
+    "q16_part_supplier_cnt" -> ((s, d) => TpchFull.partSupplierCount(s, d)),
+    "q20_excess_supplier" -> ((s, d) => TpchFull.excessSupplier(s, d)),
+    "q22_global_balance" -> ((s, d) => TpchFull.globalBalance(s, d)),
     "running_revenue" -> ((s, d) => Analytics.runningRevenue(s, d)),
     "full_outer_activity" -> ((s, d) => Analytics.userActivityFullOuter(s, d)),
     "lateral_top_orders" -> ((s, d) => Analytics.lateralTopOrders(s, d)),
@@ -413,6 +421,115 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |                     (10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT))
+        |                AS DECIMAL(38,0))) AS BIGINT) AS revenue_e6
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |                     (10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT))
+        |                AS DECIMAL(38,0))) AS BIGINT) AS sum_profit_e6
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2
+        |ORDER BY nation ASC, o_year DESC""".stripMargin,
+    "q12_shipmode_priority" ->
+      """SELECT l_linestatus,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |  AND l_shipdate <= o_orderdate + INTERVAL 120 DAY
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT CAST(promo_dec AS BIGINT) AS promo_rev_e6,
+        |       CAST(total_dec AS BIGINT) AS total_rev_e6,
+        |       CAST((promo_dec * 10000) // total_dec AS BIGINT) AS promo_share_e4
+        |FROM (
+        |  SELECT SUM(CASE WHEN p_type = 'PROMO' THEN rev_e6 ELSE 0 END) AS promo_dec,
+        |         SUM(rev_e6) AS total_dec
+        |  FROM (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |               (10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT)) AS rev_e6,
+        |               p_type
+        |        FROM lineitem JOIN part ON l_partkey = p_partkey
+        |        WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |          AND l_shipdate < TIMESTAMP '1997-06-01') t
+        |) a""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |                       (10000 - CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT))
+        |                  AS DECIMAL(38,0))) AS BIGINT) AS total_rev_e6
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev_e6
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_e6 = (SELECT max(total_rev_e6) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_part_supplier_cnt" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#13'
+        |  AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_excess_supplier" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT li.l_suppkey
+        |  FROM lineitem li
+        |  WHERE li.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |  GROUP BY li.l_suppkey, li.l_partkey
+        |  HAVING SUM(CAST(CAST(CAST(li.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)) * 2 *
+        |           (SELECT count(DISTINCT l2.l_suppkey) FROM lineitem l2
+        |            WHERE l2.l_partkey = li.l_partkey)
+        |       > 3 * (SELECT SUM(CAST(CAST(CAST(l3.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT))
+        |              FROM lineitem l3 WHERE l3.l_partkey = li.l_partkey)
+        |)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q22_global_balance" ->
+      """SELECT cntrycode, count(*) AS numcust,
+        |       CAST(SUM(CAST(bal_c2 AS HUGEINT)) AS BIGINT) AS totacctbal_c2
+        |FROM (
+        |  SELECT substring(c_name, 17, 2) AS cntrycode,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c2,
+        |         c_custkey
+        |  FROM customer
+        |  WHERE substring(c_name, 17, 2) IN ('13', '31', '23', '29', '30', '18', '17')
+        |    AND CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |          (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+        |        > (SELECT SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |           FROM customer WHERE c_acctbal > 0.0)
+        |    AND NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_custkey = c_custkey
+        |                      AND o.o_orderpriority = '1-URGENT')
+        |) t
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin,
     "full_outer_activity" ->
       """SELECT coalesce(o.u, e.u) AS user_id,
         |       coalesce(n_orders, 0) AS n_orders,
