@@ -63,6 +63,9 @@ object SparkEntry {
     "q16_part_supplier_cnt" -> ((s, d) => TpchFull.partSupplierCount(s, d)),
     "q20_excess_supplier" -> ((s, d) => TpchFull.excessSupplier(s, d)),
     "q22_global_balance" -> ((s, d) => TpchFull.globalBalance(s, d)),
+    "repetition_stats" -> ((s, d) => TextOps.repetitionStats(s, d)),
+    "term_doc_freq" -> ((s, d) => TextOps.termDocFreq(s, d)),
+    "percentile_quantity" -> ((s, d) => Analytics.quantityPercentiles(s, d)),
     "running_revenue" -> ((s, d) => Analytics.runningRevenue(s, d)),
     "full_outer_activity" -> ((s, d) => Analytics.userActivityFullOuter(s, d)),
     "lateral_top_orders" -> ((s, d) => Analytics.lateralTopOrders(s, d)),
@@ -530,6 +533,37 @@ object SparkEntry {
         |) t
         |GROUP BY cntrycode
         |ORDER BY cntrycode""".stripMargin,
+    "repetition_stats" ->
+      """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |per AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct_words FROM docs),
+        |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+        |       FROM docs, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) t),
+        |bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS top_bigram_cnt FROM bgc GROUP BY 1)
+        |SELECT p.doc_id,
+        |       CAST(n_words AS BIGINT) AS n_words,
+        |       CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+        |       CAST(((n_words - n_distinct_words) * 1000000) // n_words AS BIGINT) AS dup_word_frac_e6,
+        |       CAST(coalesce(top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+        |       CAST((coalesce(top_bigram_cnt, 0) * 1000000) // greatest(n_words - 1, 1) AS BIGINT) AS top_bigram_frac_e6
+        |FROM per p LEFT JOIN top USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "term_doc_freq" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents)
+        |SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
+        |FROM words
+        |GROUP BY term
+        |ORDER BY df DESC, cf DESC, term
+        |LIMIT 100""".stripMargin,
+    "percentile_quantity" ->
+      """SELECT l_returnflag,
+        |       CAST(floor(percentile_cont(0.25) WITHIN GROUP (ORDER BY qty_c2)) AS BIGINT) AS p25_c2,
+        |       CAST(floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY qty_c2)) AS BIGINT) AS p50_c2,
+        |       CAST(floor(percentile_cont(0.75) WITHIN GROUP (ORDER BY qty_c2)) AS BIGINT) AS p75_c2,
+        |       count(*) AS n_rows
+        |FROM (SELECT l_returnflag, CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c2 FROM lineitem) t
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "full_outer_activity" ->
       """SELECT coalesce(o.u, e.u) AS user_id,
         |       coalesce(n_orders, 0) AS n_orders,

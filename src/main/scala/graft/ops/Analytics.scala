@@ -537,4 +537,29 @@ object Analytics {
         col("l_extendedprice"))
       .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
       .limit(20)
+
+  /** EXACT interpolated percentiles (percentile_cont semantics) of line-item
+    * quantity per return flag — the ordered-set aggregate surface, distinct
+    * from the HLL/sketch path in [[Sketches]]. Oracle parity is achievable
+    * because (a) the input is pre-shifted to exact integer cents, and (b)
+    * the probe points are DYADIC (0.25/0.5/0.75): the interpolation
+    * `lo + (hi-lo)*frac` is then exact in binary doubles in both engines, so
+    * the floor-to-BIGINT export cannot straddle an ulp. (A 0.9 probe would
+    * NOT be safe — non-dyadic fractions make the result representation-
+    * dependent.) At scale Spark's `percentile` is a per-group
+    * counts-map aggregate (OpenHashMap partials), not a global sort — memory
+    * scales with distinct values per group, not rows.
+    */
+  def quantityPercentiles(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .withColumn("qty_c2", Exact.c2(col("l_quantity")))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(qty_c2, array(0.25D, 0.5D, 0.75D))").as("ps"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"),
+        floor(col("ps")(0)).cast("long").as("p25_c2"),
+        floor(col("ps")(1)).cast("long").as("p50_c2"),
+        floor(col("ps")(2)).cast("long").as("p75_c2"),
+        col("n_rows"))
+      .orderBy("l_returnflag")
 }

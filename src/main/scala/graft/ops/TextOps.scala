@@ -212,6 +212,59 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style REPETITION rules (Rae et al. 2021 §A1.1's second family —
+    * [[qualityFilter]] covers the composition rules, this covers repetition):
+    * duplicate-word fraction and top-bigram fraction per document. Heavily
+    * repeated n-grams are the strongest single signal of low-quality /
+    * machine-generated text in public pipeline reports.
+    *
+    * Shape at scale: word/distinct counts are per-row array ops (narrow);
+    * the top-bigram count explodes to (doc_id, bigram) and aggregates twice
+    * — both shuffles are keyed by doc_id(+bigram), so they partition
+    * perfectly and combine map-side (same posture as the shingle index in
+    * [[Dedup.ngramJaccard]]). Bigrams are built with zip_with over two
+    * array slices — no self-join. Fractions export as floor-e6 BIGINT
+    * (integral div of exact counts; all non-negative so div == floor).
+    */
+  def repetitionStats(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
+    val perDoc = docs.select(
+      col("doc_id"),
+      size(col("ws")).cast("long").as("n_words"),
+      size(array_distinct(col("ws"))).cast("long").as("n_distinct_words"))
+    val top = docs
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_cnt"))
+    perDoc.join(top, Seq("doc_id"), "left")
+      .withColumn("top_bigram_cnt", coalesce(col("top_bigram_cnt"), lit(0L)))
+      .select(
+        col("doc_id"), col("n_words"), col("n_distinct_words"),
+        expr("((n_words - n_distinct_words) * 1000000) div n_words").as("dup_word_frac_e6"),
+        col("top_bigram_cnt"),
+        expr("(top_bigram_cnt * 1000000) div greatest(n_words - 1, 1)").as("top_bigram_frac_e6"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus vocabulary statistics (the IDF side of TF-IDF): per-term corpus
+    * frequency and document frequency, top-100 by df. One explode + one
+    * aggregation with a distinct-count — the two-phase distinct shuffle
+    * (term+doc partial dedup, then term count) survives term skew the same
+    * way Q16's supplier count does. The top-100 is a tiny final sort.
+    */
+  def termDocFreq(spark: SparkSession, d: String, topK: Int = 100): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("df"), desc("cf"), asc("term"))
+      .limit(topK)
+
   /** Multimodal plumbing: treat content as an opaque binary column with typed
     * metadata — here synthesized from text (the container ships no image/audio
     * codecs; SURVEY.md north-star stub). Byte length and content digest are
