@@ -102,12 +102,18 @@ object Bench {
     def s1(v: Double) = math.rint(v * 100) / 100.0
     val byCost = results.map { case (k, (v, _)) => (k, v) }.sortBy(-_._2)
     val budget = 1500 // chars for the queries map; tail is 2000 minus sbt epilogue
-    val (kept, _) = byCost.foldLeft((Vector.empty[(String, Double)], 0)) {
-      case ((acc, len), (k, v)) =>
+    // Stop at the FIRST entry that doesn't fit (a prefix of byCost), so
+    // "_other" — computed as the remainder of the total — stays consistent.
+    val kept = {
+      var len = 0
+      byCost.takeWhile { case (k, _) =>
         val entryLen = k.length + 10
-        if (len + entryLen <= budget) (acc :+ (k, v), len + entryLen) else (acc, len)
+        val fits = len + entryLen <= budget
+        if (fits) len += entryLen
+        fits
+      }
     }
-    val otherSum = s1(byCost.drop(kept.size).map(_._2).sum)
+    val otherSum = s1(total - kept.map(_._2).sum)
     val keptJson = (kept.map { case (k, v) => s"\"" + k + "\":" + s1(v) } :+
       (s"\"_other\":" + otherSum)).mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${s1(total)},"unit":"sec",""" +

@@ -172,13 +172,16 @@ object TpchFull {
     Tables.lineitem(spark, d).createOrReplaceTempView("g_lineitem")
     Tables.part(spark, d).createOrReplaceTempView("g_part")
     Tables.supplier(spark, d).createOrReplaceTempView("g_supplier")
+    // SQL-escape the interpolated prefix (quotes would otherwise break the
+    // literal; LIKE metacharacters are accepted as part of the pattern).
+    val safePrefix = namePrefix.replace("'", "''")
     spark.sql(
       s"""SELECT s_suppkey, s_name
          |FROM g_supplier
          |WHERE s_suppkey IN (
          |  SELECT li.l_suppkey
          |  FROM g_lineitem li
-         |  WHERE li.l_partkey IN (SELECT p_partkey FROM g_part WHERE p_name LIKE '$namePrefix%')
+         |  WHERE li.l_partkey IN (SELECT p_partkey FROM g_part WHERE p_name LIKE '$safePrefix%')
          |  GROUP BY li.l_suppkey, li.l_partkey
          |  HAVING SUM(CAST(CAST(CAST(li.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(38,0))) * 2 *
          |           (SELECT count(DISTINCT l2.l_suppkey) FROM g_lineitem l2
