@@ -67,6 +67,15 @@ object SparkEntry {
     "term_doc_freq" -> ((s, d) => TextOps.termDocFreq(s, d)),
     "percentile_quantity" -> ((s, d) => Analytics.quantityPercentiles(s, d)),
     "running_revenue" -> ((s, d) => Analytics.runningRevenue(s, d)),
+    // --- temporal / CDC-consumer materializations ---
+    "scd2_dimension" -> ((s, d) => Temporal.scd2Dimension(s, d)),
+    "timeseries_gapfill" -> ((s, d) => Temporal.gapFillDaily(s, d)),
+    "rolling_7d_revenue" -> ((s, d) => Temporal.rollingRevenue7d(s, d)),
+    "funnel_conversion" -> ((s, d) => Temporal.funnelConversion(s, d)),
+    "mv_incremental_apply" -> ((s, d) => Incremental.mvIncrementalApply(s, d)),
+    "bloom_semi_join" -> ((s, d) => Incremental.bloomPrunedSemiJoin(s, d)),
+    "bm25_scores" -> ((s, d) => Scoring.bm25Scores(s, d)),
+    "editdist_pairs" -> ((s, d) => Scoring.editDistPairs(s, d)),
     "full_outer_activity" -> ((s, d) => Analytics.userActivityFullOuter(s, d)),
     "lateral_top_orders" -> ((s, d) => Analytics.lateralTopOrders(s, d)),
     "q10_returned_revenue" -> ((s, d) => Analytics.returnedItemRevenue(s, d)),
@@ -591,6 +600,110 @@ object SparkEntry {
         |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c2
         |      FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "scd2_dimension" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, event_id, event_type, ms FROM e
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |)
+        |SELECT user_id, event_id, event_type, ms AS valid_from_ms,
+        |       lead(ms) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to_ms,
+        |       CAST(CASE WHEN lead(ms) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM c ORDER BY user_id, event_id""".stripMargin,
+    "timeseries_gapfill" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS n,
+        |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_c2
+        |  FROM events GROUP BY 1, 2
+        |), spans AS (
+        |  SELECT event_type, min(day_idx) AS mn, max(day_idx) AS mx FROM daily GROUP BY 1
+        |), grid AS (
+        |  SELECT event_type, unnest(generate_series(mn, mx)) AS day_idx FROM spans
+        |)
+        |SELECT g.event_type, g.day_idx,
+        |       coalesce(d.n, 0) AS n, coalesce(d.total_value_c2, 0) AS total_value_c2
+        |FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day_idx = d.day_idx
+        |ORDER BY g.event_type, g.day_idx""".stripMargin,
+    "rolling_7d_revenue" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx,
+        |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS day_c2
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, day_idx, day_c2,
+        |       CAST(SUM(day_c2) OVER (PARTITION BY event_type ORDER BY day_idx
+        |            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_7d_c2
+        |FROM daily ORDER BY event_type, day_idx""".stripMargin,
+    "funnel_conversion" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) AS t0,
+        |         min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS t1,
+        |         min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS t2,
+        |         min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t3
+        |  FROM events GROUP BY 1
+        |), f AS (
+        |  SELECT CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |         CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |         CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        |  FROM u
+        |)
+        |SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage, n0 AS n_users FROM f
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'view', n1 FROM f
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'click', n2 FROM f
+        |UNION ALL SELECT CAST(4 AS BIGINT), 'purchase', n3 FROM f
+        |ORDER BY stage_idx""".stripMargin,
+    "mv_incremental_apply" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_c2
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1999-01-01' OR o_orderstatus <> 'F'
+        |GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+    "bloom_semi_join" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS qty_c2
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "bm25_scores" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t, n_chars FROM documents),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_len FROM d),
+        |e AS (
+        |  SELECT doc_id, n_chars, term,
+        |         CAST((length(t) - length(replace(t, term, ''))) // length(term) AS BIGINT) AS tf
+        |  FROM d, (SELECT unnest(['spark', 'stream', 'window']) AS term)
+        |),
+        |f AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM e WHERE tf > 0 GROUP BY 1),
+        |s AS (
+        |  SELECT e.doc_id, e.term,
+        |         ln((g.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) * (e.tf * (1.2 + 1.0)) /
+        |           (e.tf + 1.2 * ((1.0 - 0.75) + 0.75 * e.n_chars / (CAST(g.sum_len AS DOUBLE) / g.n_docs))) AS sc
+        |  FROM e JOIN f USING (term) CROSS JOIN g WHERE e.tf > 0
+        |)
+        |SELECT doc_id,
+        |       CAST(floor((coalesce(s_spark, 0.0) + coalesce(s_stream, 0.0) + coalesce(s_window, 0.0))
+        |            * 1000000.0) AS BIGINT) AS score_e6
+        |FROM (
+        |  SELECT doc_id,
+        |         max(CASE WHEN term = 'spark' THEN sc END) AS s_spark,
+        |         max(CASE WHEN term = 'stream' THEN sc END) AS s_stream,
+        |         max(CASE WHEN term = 'window' THEN sc END) AS s_window
+        |  FROM s GROUP BY 1
+        |) ORDER BY doc_id""".stripMargin,
+    "editdist_pairs" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, n_chars // 32 AS bk, substr(lower(text), 1, 60) AS s FROM documents
+        |)
+        |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |       CAST(levenshtein(a.s, c.s) AS BIGINT) AS dist
+        |FROM b a JOIN b c ON a.lang = c.lang AND a.bk = c.bk AND a.doc_id < c.doc_id
+        |WHERE levenshtein(a.s, c.s) <= 40
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name, n_name,
         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)

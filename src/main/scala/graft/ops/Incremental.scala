@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental-maintenance and runtime-pruning operators: signed-delta
+  * materialized-view maintenance (the aggregate-side consumer of a CDC
+  * feed) and bloom-filter join pruning (runtime semi-join reduction).
+  */
+object Incremental {
+
+  /** Incremental materialized-view maintenance with retractions: merge a
+    * stored per-customer aggregate snapshot with a CDC delta batch instead
+    * of recomputing from scratch.
+    *
+    * The MV is (n_orders, total_c2) per o_custkey. The snapshot covers
+    * orders before `split`; the delta batch carries INSERT rows (+1, +c2)
+    * for new orders and REMOVE rows (-1, -c2) retracting the snapshot's
+    * 'F'-status orders (the reference's stream emits exactly these
+    * INSERT/REMOVE envelopes — `dynamo-stream-handler.ts:66-75`; this is
+    * the subscriber that folds them into an aggregate). Groups whose count
+    * reaches zero are dropped, so exact cancellation is exercised.
+    *
+    * Scale shape: the snapshot is already aggregated (|keys| rows); the
+    * delta is one scan producing signed unit rows; the merge is a single
+    * hash aggregation with map-side partial combine. Cost is O(delta +
+    * |keys|) — never O(full history), which is the entire point of
+    * maintaining an MV under CDC.
+    */
+  def mvIncrementalApply(spark: SparkSession, d: String,
+                         split: String = "1999-01-01"): DataFrame = {
+    val ord = Tables.orders(spark, d)
+      .withColumn("c2", Exact.c2(col("o_totalprice")))
+    val splitTs = to_timestamp(lit(split))
+    // Stored snapshot: pre-aggregated partials for the pre-split world.
+    val snapshot = ord.filter(col("o_orderdate") < splitTs)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("dn"), Exact.sumLong(col("c2")).as("dc2"))
+    // CDC delta batch: +1 per new order, -1 retracting each pre-split 'F'.
+    val inserts = ord.filter(col("o_orderdate") >= splitTs)
+      .select(col("o_custkey"), lit(1L).as("dn"), col("c2").as("dc2"))
+    val removes = ord.filter(col("o_orderdate") < splitTs && col("o_orderstatus") === "F")
+      .select(col("o_custkey"), lit(-1L).as("dn"), (-col("c2")).as("dc2"))
+    snapshot.select(col("o_custkey"), col("dn"), col("dc2"))
+      .unionAll(inserts)
+      .unionAll(removes)
+      .groupBy(col("o_custkey"))
+      .agg(Exact.sumLong(col("dn")).as("n_orders"), Exact.sumLong(col("dc2")).as("total_c2"))
+      .filter(col("n_orders") > 0)
+      .orderBy("o_custkey")
+  }
+
+  /** Bloom-pruned semi join: lineitems of urgent orders. Builds a bloom
+    * filter over the build side's keys (`DataFrameStatFunctions.bloomFilter`
+    * — a distributed aggregation producing one bounded sketch, the public
+    * API form of Spark's internal runtime bloom-filter rewrite), broadcasts
+    * it, and pre-filters the probe side BEFORE the shuffle; the exact semi
+    * join afterwards removes false positives, so the result is identical to
+    * the unpruned join. At 100 TB the win is shuffling ~sel·|lineitem|
+    * rows instead of all of them for a few MB of broadcast.
+    *
+    * The probe is a Scala UDF by necessity — `might_contain` is not in the
+    * public `functions` API — but it's one O(1) hash per row ahead of a
+    * shuffle it shrinks; the spec asserts both the pruning and the
+    * equality with the unpruned plan.
+    */
+  def bloomPrunedSemiJoin(spark: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(spark, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = urgent.stat.bloomFilter("o_orderkey", expectedNumItems = 1000000L, fpp = 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bc.value.mightContain(k))
+    val pruned = Tables.lineitem(spark, d).filter(mightContain(col("l_orderkey")))
+    pruned.join(urgent, pruned("l_orderkey") === urgent("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), Exact.sumLong(Exact.c2(col("l_quantity"))).as("qty_c2"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Unpruned reference plan for [[bloomPrunedSemiJoin]] (spec surface). */
+  private[graft] def plainSemiJoin(spark: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(spark, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val li = Tables.lineitem(spark, d)
+    li.join(urgent, li("l_orderkey") === urgent("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), Exact.sumLong(Exact.c2(col("l_quantity"))).as("qty_c2"))
+      .orderBy("l_returnflag")
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relevance scoring and fuzzy-matching operators over the documents
+  * corpus: BM25 ranking and blocked edit-distance near-dup pairs. Both are
+  * staples of training-data curation (quality-weighted sampling, fuzzy
+  * dedup of titles/short docs) that the hash/shingle dedup family doesn't
+  * cover.
+  */
+object Scoring {
+
+  /** BM25 relevance scores for a fixed query over the corpus.
+    *
+    * tf = substring occurrences in the lowercased text, df from one small
+    * aggregation, avgdl from one global aggregation; both side tables are
+    * broadcast, so the whole query is a single pass over the corpus with
+    * two tiny broadcasts — no per-term rescans. All arithmetic is written
+    * with the same literal association as the oracle SQL (doubles are
+    * IEEE-deterministic given the same operation order; the one ±1 ulp
+    * exposure is `ln`, which the floor(·1e6) export absorbs).
+    */
+  def bm25Scores(spark: SparkSession, d: String,
+                 terms: Seq[String] = Seq("spark", "stream", "window"),
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), lower(col("text")).as("t"), col("n_chars"))
+    val termTable = terms.toDF("term")
+    val e = docs.crossJoin(broadcast(termTable))
+      .withColumn("tf", expr("(length(t) - length(replace(t, term, ''))) div length(term)"))
+      .filter(col("tf") > 0)
+    val byTerm = e.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val global = docs.agg(count(lit(1)).as("n_docs"), Exact.sumLong(col("n_chars")).as("sum_len"))
+    // Same association as the oracle: ((n_docs - df) + 0.5) / (df + 0.5) + 1.0;
+    // k1+1 and 1-b are spelled as (k1 + 1.0) / (1.0 - b) on BOTH sides so the
+    // two engines round the composite literals identically.
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val avgdl = col("sum_len").cast("double") / col("n_docs")
+    val score = idf * (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * col("n_chars") / avgdl))
+    val perTerm = terms.map(t => max(when(col("term") === t, col("sc"))).as(s"s_$t"))
+    val pivoted = e.join(broadcast(byTerm), Seq("term"))
+      .crossJoin(broadcast(global))
+      .withColumn("sc", score)
+      .groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+    // Fixed-order summation (term list order) so both engines add the same
+    // doubles in the same sequence.
+    val total = terms.map(t => coalesce(col(s"s_$t"), lit(0.0))).reduce(_ + _)
+    pivoted
+      .select(col("doc_id"), floor(total * lit(1000000.0)).cast("long").as("score_e6"))
+      .orderBy("doc_id")
+  }
+
+  /** Blocked edit-distance near-dup pairs: block on (lang, n_chars div 32)
+    * — near-identical docs share both — and run exact Levenshtein on a
+    * bounded prefix within each block. One shuffle on the block key; the
+    * quadratic term is confined to a block (the standard blocking scheme
+    * for fuzzy dedup; MinHash/SimHash cover the unblocked regime). The
+    * prefix bound caps the O(len²) DP per pair.
+    */
+  def editDistPairs(spark: SparkSession, d: String,
+                    prefixLen: Int = 60, maxDist: Int = 40): DataFrame = {
+    val blocked = Tables.documents(spark, d).select(
+      col("doc_id"), col("lang"), expr("n_chars div 32").as("bk"),
+      substring(lower(col("text")), 1, prefixLen).as("s"))
+    val a = blocked.select(col("doc_id").as("doc_a"), col("lang"), col("bk"), col("s").as("sa"))
+    val c = blocked.select(col("doc_id").as("doc_b"), col("lang"), col("bk"), col("s").as("sb"))
+    a.join(c, Seq("lang", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Temporal / time-series operators over the event log: SCD2 dimension
+  * build, gap-filled resampling, time-range rolling windows, and funnel
+  * analysis. These are the warehouse-side consumers a CDC feed exists to
+  * serve (the reference stops at delivering the change stream —
+  * `lib/lambda/dynamo-stream-handler.ts:61-151` emits envelopes and leaves
+  * materialization to the subscriber; these operators are that subscriber).
+  *
+  * All time arithmetic is epoch-ms on the BIGINT nanos column (see
+  * [[Tables.events]] / [[Sessions.nanosToMsFloor]]).
+  */
+object Temporal {
+
+  /** Type-2 slowly-changing dimension build from a change log: per key,
+    * collapse consecutive repeats of the tracked attribute (`event_type`)
+    * into versioned rows with [valid_from, valid_to) ranges and a current
+    * flag — the standard "CDC stream → queryable dimension" materialization.
+    *
+    * Plan shape: one shuffle on `user_id`; the change-detect lag and the
+    * valid_to lead both run over that same partitioning (the lead operates
+    * on the *filtered* change rows, so version ranges span the collapsed
+    * repeats). At scale this is a single key-partitioned pass — no
+    * driver-side state, no per-key collect.
+    */
+  def scd2Dimension(spark: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(spark, d)
+      .withColumn("ms", Sessions.nanosToMsFloor)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to_ms", lead(col("ms"), 1).over(byUser))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        col("ms").as("valid_from_ms"),
+        col("valid_to_ms"),
+        when(col("valid_to_ms").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Daily per-type totals with interior gaps filled as explicit zero rows
+    * (resampling to a regular grid — what a downstream forecasting job
+    * needs). The grid is generated per type from its own [min, max] day span
+    * via `sequence` + `explode`, then left-joined back to the aggregated
+    * dailies. Both join inputs are post-aggregation (≈ days × types rows),
+    * so the join is broadcast-sized no matter how large the raw log is.
+    */
+  def gapFillDaily(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .withColumn("day_idx", expr("((ts - pmod(ts, 1000000)) div 1000000) div 86400000"))
+      .groupBy(col("event_type"), col("day_idx"))
+      .agg(count(lit(1)).as("n"),
+        Exact.sumLong(Exact.c2(col("value"))).as("total_value_c2"))
+    val grid = daily
+      .groupBy(col("event_type"))
+      .agg(min(col("day_idx")).as("mn"), max(col("day_idx")).as("mx"))
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("day_idx"))
+    grid.join(broadcast(daily), Seq("event_type", "day_idx"), "left")
+      .select(
+        col("event_type"),
+        col("day_idx"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total_value_c2"), lit(0L)).as("total_value_c2"))
+      .orderBy("event_type", "day_idx")
+  }
+
+  /** Trailing-7-day revenue per event type: a RANGE frame over the day
+    * index, so missing days genuinely shrink the window (a ROWS frame would
+    * silently stretch across gaps — `running_revenue` pins that other
+    * shape). Window sums accumulate DECIMAL(38,0) and export BIGINT per the
+    * oracle-parity rules.
+    */
+  def rollingRevenue7d(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+      .rangeBetween(-6, Window.currentRow)
+    Tables.events(spark, d)
+      .withColumn("day_idx", expr("((ts - pmod(ts, 1000000)) div 1000000) div 86400000"))
+      .groupBy(col("event_type"), col("day_idx"))
+      .agg(Exact.sumLong(Exact.c2(col("value"))).as("day_c2"))
+      .withColumn("rolling_7d_c2",
+        sum(col("day_c2").cast(DecimalType(38, 0))).over(w).cast("long"))
+      .orderBy("event_type", "day_idx")
+  }
+
+  /** Ordered-funnel conversion over signup → view → click → purchase:
+    * stage N counts users whose first stage-N event strictly follows their
+    * first stage-(N-1) event. One conditional-min aggregation per user
+    * (map-side combinable, single shuffle), then a 4-row unpivot of the
+    * global stage counts — no self-joins, no per-stage passes over the log.
+    */
+  def funnelConversion(spark: SparkSession, d: String): DataFrame = {
+    val stages = Seq("signup", "view", "click", "purchase")
+    def firstOf(t: String): Column =
+      min(when(col("event_type") === t, col("ms"))).as(s"t_$t")
+    val perUser = Tables.events(spark, d)
+      .withColumn("ms", Sessions.nanosToMsFloor)
+      .groupBy(col("user_id"))
+      .agg(firstOf(stages.head), stages.tail.map(firstOf): _*)
+    // reached(n) = reached(n-1) AND first(n) strictly after first(n-1);
+    // explicit otherwise(0) so a NULL comparison counts as not-reached.
+    val conds = stages.zipWithIndex.map { case (s, i) =>
+      val chain = (1 to i).foldLeft(col(s"t_${stages.head}").isNotNull) { (acc, j) =>
+        acc && (col(s"t_${stages(j)}") > col(s"t_${stages(j - 1)}"))
+      }
+      Exact.sumLong(when(chain, 1L).otherwise(0L)).as(s"n_$s")
+    }
+    val counts = perUser.agg(conds.head, conds.tail: _*)
+    val stageRows = stages.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1L).as("stage_idx"), lit(s).as("stage"), col(s"n_$s").as("n_users"))
+    }
+    counts
+      .select(explode(array(stageRows: _*)).as("r"))
+      .select(col("r.stage_idx"), col("r.stage"), col("r.n_users"))
+      .orderBy("stage_idx")
+  }
+}

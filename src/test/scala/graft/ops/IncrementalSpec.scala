@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class IncrementalSpec extends SparkSuite {
+
+  test("mvIncrementalApply equals a from-scratch recompute and drops fully-retracted groups") {
+    val merged = Incremental.mvIncrementalApply(spark, sf)
+    val direct = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1999-01-01")) ||
+        col("o_orderstatus") =!= "F")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.sumLong(Exact.c2(col("o_totalprice"))).as("total_c2"))
+      .orderBy("o_custkey")
+    assert(merged.collect().toSeq == direct.collect().toSeq)
+    // the delta batch genuinely retracts something
+    val retracted = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") < to_timestamp(lit("1999-01-01")) &&
+        col("o_orderstatus") === "F").count()
+    assert(retracted > 0)
+  }
+
+  test("bloomPrunedSemiJoin equals the unpruned plan and the bloom actually prunes") {
+    val pruned = Incremental.bloomPrunedSemiJoin(spark, sf).collect().toSeq
+    val plain = Incremental.plainSemiJoin(spark, sf).collect().toSeq
+    assert(pruned == plain)
+    assert(pruned.nonEmpty)
+    // probe-side reduction: the bloom passes far fewer rows than the scan
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val bloom = urgent.stat.bloomFilter("o_orderkey", 1000000L, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mc = udf((k: Long) => bc.value.mightContain(k))
+    val li = Tables.lineitem(spark, sf)
+    val passed = li.filter(mc(col("l_orderkey"))).count()
+    val total = li.count()
+    val exact = li.join(urgent, li("l_orderkey") === urgent("o_orderkey"), "left_semi").count()
+    assert(passed < total)
+    assert(passed >= exact) // bloom admits all true members (no false negatives)
+  }
+}

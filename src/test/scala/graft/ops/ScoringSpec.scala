@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class ScoringSpec extends SparkSuite {
+
+  test("bm25Scores: covers exactly the docs containing a query term, one known score checks out") {
+    val terms = Seq("spark", "stream", "window")
+    val out = Scoring.bm25Scores(spark, sf, terms).collect()
+    val expectedDocs = Tables.documents(spark, sf)
+      .filter(terms.map(t => lower(col("text")).contains(t)).reduce(_ || _))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).toSet == expectedDocs)
+    assert(out.nonEmpty)
+
+    // independent scalar recompute of one doc's score
+    val docsRows = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text")).as("t"), col("n_chars")).collect()
+    val nDocs = docsRows.length.toDouble
+    val avgdl = docsRows.map(_.getLong(2)).sum.toDouble / nDocs
+    def tf(t: String, term: String): Int = {
+      var i = 0; var n = 0
+      while ({ i = t.indexOf(term, i); i >= 0 }) { n += 1; i += term.length }
+      n
+    }
+    val dfs = terms.map(term => term -> docsRows.count(r => tf(r.getString(1), term) > 0)).toMap
+    val sample = docsRows.find(r => terms.exists(t => tf(r.getString(1), t) > 0)).get
+    val expected = terms.map { term =>
+      val f = tf(sample.getString(1), term)
+      if (f == 0) 0.0
+      else {
+        val df = dfs(term).toDouble
+        val idf = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+        idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * sample.getLong(2) / avgdl))
+      }
+    }.sum
+    val got = out.find(_.getLong(0) == sample.getLong(0)).get.getLong(1)
+    assert(math.abs(got - math.floor(expected * 1e6)) <= 1,
+      s"doc ${sample.getLong(0)}: got $got expected ~${math.floor(expected * 1e6)}")
+  }
+
+  test("editDistPairs: bounded, ordered, and consistent with a direct recompute inside one block") {
+    val out = Scoring.editDistPairs(spark, sf).collect()
+    assert(out.forall(r => r.getLong(0) < r.getLong(1) && r.getLong(2) >= 0 && r.getLong(2) <= 40))
+    // recompute the pair set for one block by brute force
+    val blocked = Tables.documents(spark, sf).select(
+      col("doc_id"), col("lang"), expr("n_chars div 32").as("bk"),
+      substring(lower(col("text")), 1, 60).as("s")).collect()
+    val oneBlock = blocked.groupBy(r => (r.getString(1), r.getLong(2)))
+      .values.find(_.length >= 2).get
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val want = (for {
+      x <- oneBlock; y <- oneBlock if x.getLong(0) < y.getLong(0)
+      d = lev(x.getString(3), y.getString(3)) if d <= 40
+    } yield (x.getLong(0), y.getLong(0), d.toLong)).toSet
+    val gotIds = oneBlock.map(_.getLong(0)).toSet
+    val got = out.filter(r => gotIds.contains(r.getLong(0)) && gotIds.contains(r.getLong(1)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+}

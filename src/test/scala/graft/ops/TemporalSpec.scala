@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSuite {
+
+  test("scd2Dimension: contiguous version chains, one current row per user, no repeat versions") {
+    val rows = Temporal.scd2Dimension(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, versions) =>
+      val sorted = versions.sortBy(_.getLong(1)) // by event_id
+      // exactly one open (current) version, and it is the last one
+      assert(sorted.count(_.getLong(5) == 1L) == 1)
+      assert(sorted.last.isNullAt(4) && sorted.last.getLong(5) == 1L)
+      sorted.sliding(2).foreach {
+        case Array(prev, next) =>
+          // ranges chain: valid_to of one version == valid_from of the next
+          assert(prev.getLong(4) == next.getLong(3))
+          // consecutive versions differ (repeats were collapsed)
+          assert(prev.getString(2) != next.getString(2))
+        case _ =>
+      }
+    }
+  }
+
+  test("gapFillDaily: per-type day grid is contiguous, fills are zero, totals are preserved") {
+    val out = Temporal.gapFillDaily(spark, sf).collect()
+    out.groupBy(_.getString(0)).foreach { case (_, days) =>
+      val idx = days.map(_.getLong(1)).sorted
+      assert(idx.zip(idx.min to idx.max).forall { case (a, b) => a == b })
+    }
+    val nTotal = out.map(_.getLong(2)).sum
+    val raw = Tables.events(spark, sf).count()
+    assert(nTotal == raw)
+    assert(out.filter(_.getLong(2) == 0L).forall(_.getLong(3) == 0L))
+  }
+
+  test("rollingRevenue7d matches a windowed recompute") {
+    val out = Temporal.rollingRevenue7d(spark, sf).collect()
+    val daily = out.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out.foreach { r =>
+      val expected = (r.getLong(1) - 6 to r.getLong(1))
+        .flatMap(day => daily.get((r.getString(0), day))).sum
+      assert(r.getLong(3) == expected, s"rolling mismatch at $r")
+    }
+  }
+
+  test("funnelConversion: stage counts are monotonically non-increasing and stage 1 is exact") {
+    val out = Temporal.funnelConversion(spark, sf).collect().sortBy(_.getLong(0))
+    assert(out.map(_.getString(1)).toSeq == Seq("signup", "view", "click", "purchase"))
+    val counts = out.map(_.getLong(2))
+    counts.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
+    val signups = Tables.events(spark, sf)
+      .filter(col("event_type") === "signup").select("user_id").distinct().count()
+    assert(counts.head == signups)
+  }
+}
