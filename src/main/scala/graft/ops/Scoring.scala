@@ -28,9 +28,16 @@ object Scoring {
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), lower(col("text")).as("t"), col("n_chars"))
     val termTable = terms.toDF("term")
-    val e = docs.crossJoin(broadcast(termTable))
-      .withColumn("tf", expr("(length(t) - length(replace(t, term, ''))) div length(term)"))
-      .filter(col("tf") > 0)
+    // The term-match rows feed BOTH the df aggregation and the scoring pivot;
+    // without materialization Catalyst re-expands the subtree and the corpus
+    // is scanned once per consumer. Persisted via Memo, the heavy text scan
+    // runs once and both consumers read the (much smaller) match rows.
+    val e = Memo(spark, s"bm25_matches|$d|${terms.mkString(",")}") {
+      docs.crossJoin(broadcast(termTable))
+        .withColumn("tf", expr("(length(t) - length(replace(t, term, ''))) div length(term)"))
+        .filter(col("tf") > 0)
+        .persist()
+    }
     val byTerm = e.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val global = docs.agg(count(lit(1)).as("n_docs"), Exact.sumLong(col("n_chars")).as("sum_len"))
     // Same association as the oracle: ((n_docs - df) + 0.5) / (df + 0.5) + 1.0;
@@ -63,9 +70,15 @@ object Scoring {
     */
   def editDistPairs(spark: SparkSession, d: String,
                     prefixLen: Int = 60, maxDist: Int = 40): DataFrame = {
-    val blocked = Tables.documents(spark, d).select(
-      col("doc_id"), col("lang"), expr("n_chars div 32").as("bk"),
-      substring(lower(col("text")), 1, prefixLen).as("s"))
+    // Both self-join branches read the same 4-column projection; persisting
+    // it turns two full text scans into one scan + a cached narrow frame
+    // (prefixes only, not the document bodies).
+    val blocked = Memo(spark, s"editdist_blocked|$d|$prefixLen") {
+      Tables.documents(spark, d).select(
+        col("doc_id"), col("lang"), expr("n_chars div 32").as("bk"),
+        substring(lower(col("text")), 1, prefixLen).as("s"))
+        .persist()
+    }
     val a = blocked.select(col("doc_id").as("doc_a"), col("lang"), col("bk"), col("s").as("sa"))
     val c = blocked.select(col("doc_id").as("doc_b"), col("lang"), col("bk"), col("s").as("sb"))
     a.join(c, Seq("lang", "bk"))
