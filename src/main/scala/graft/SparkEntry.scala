@@ -702,7 +702,7 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
         |       CAST(levenshtein(a.s, c.s) AS BIGINT) AS dist
         |FROM b a JOIN b c ON a.lang = c.lang AND a.bk = c.bk AND a.doc_id < c.doc_id
-        |WHERE levenshtein(a.s, c.s) <= 40
+        |WHERE levenshtein(a.s, c.s) <= 12
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name, n_name,

@@ -40,15 +40,13 @@ class ScoringSpec extends SparkSuite {
       s"doc ${sample.getLong(0)}: got $got expected ~${math.floor(expected * 1e6)}")
   }
 
-  test("editDistPairs: bounded, ordered, and consistent with a direct recompute inside one block") {
+  test("editDistPairs: bounded, ordered, and equal to an unbanded brute-force recompute") {
     val out = Scoring.editDistPairs(spark, sf).collect()
-    assert(out.forall(r => r.getLong(0) < r.getLong(1) && r.getLong(2) >= 0 && r.getLong(2) <= 40))
-    // recompute the pair set for one block by brute force
+    assert(out.forall(r => r.getLong(0) < r.getLong(1) && r.getLong(2) >= 0 && r.getLong(2) <= 12))
+    // recompute the full pair set by brute force (all blocks; sf0.001 is tiny)
     val blocked = Tables.documents(spark, sf).select(
       col("doc_id"), col("lang"), expr("n_chars div 32").as("bk"),
       substring(lower(col("text")), 1, 60).as("s")).collect()
-    val oneBlock = blocked.groupBy(r => (r.getString(1), r.getLong(2)))
-      .values.find(_.length >= 2).get
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(a.length + 1)(i => i)
       for (j <- 1 to b.length) {
@@ -63,12 +61,11 @@ class ScoringSpec extends SparkSuite {
       dp(a.length)
     }
     val want = (for {
-      x <- oneBlock; y <- oneBlock if x.getLong(0) < y.getLong(0)
-      d = lev(x.getString(3), y.getString(3)) if d <= 40
+      block <- blocked.groupBy(r => (r.getString(1), r.getLong(2))).values.toSeq
+      x <- block.toSeq; y <- block.toSeq if x.getLong(0) < y.getLong(0)
+      d = lev(x.getString(3), y.getString(3)) if d <= 12
     } yield (x.getLong(0), y.getLong(0), d.toLong)).toSet
-    val gotIds = oneBlock.map(_.getLong(0)).toSet
-    val got = out.filter(r => gotIds.contains(r.getLong(0)) && gotIds.contains(r.getLong(1)))
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want)
   }
 }
