@@ -182,3 +182,51 @@ object StreamJoin {
     purchases.toDF()
       .join(broadcast(users), Seq("userId"), "left_outer")
 }
+
+/** Streaming incremental materialized-view maintenance: the Structured
+  * Streaming counterpart of `graft.ops.Incremental.mvIncrementalApply`.
+  * A CDC feed arrives as SIGNED deltas (INSERT → +1/+amount, REMOVE →
+  * -1/-amount; a MODIFY is a retract+insert pair, exactly the old/new
+  * envelope the reference emits per change — `dynamo-stream-handler.ts:
+  * 66-75`) and folds into a per-key aggregate held in keyed state. Unlike a
+  * built-in streaming `groupBy().sum()`, a group whose count reaches zero
+  * emits a DELETED tombstone and drops its state — the downstream sink can
+  * mirror the MV exactly, deletions included.
+  *
+  * Scale: state is one (n, c2) pair per LIVE key, partitioned by key;
+  * fully-retracted keys free their state immediately, so state size tracks
+  * the MV's live cardinality, not stream history.
+  */
+object StreamingMv {
+
+  /** One signed CDC delta against the view. */
+  final case class Delta(key: String, dn: Long, dc2: Long)
+
+  final case class MvState(n: Long, c2: Long)
+
+  /** Current row of the maintained view; `deleted = true` is a tombstone. */
+  final case class MvRow(key: String, n: Long, c2: Long, deleted: Boolean)
+
+  def maintain(deltas: Dataset[Delta]): Dataset[MvRow] = {
+    val spark = deltas.sparkSession
+    import spark.implicits._
+    deltas
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Delta], state: GroupState[MvState]) =>
+          val prev = state.getOption.getOrElse(MvState(0L, 0L))
+          var n = prev.n
+          var c2 = prev.c2
+          rows.foreach { r => n += r.dn; c2 += r.dc2 }
+          if (n <= 0L) {
+            state.remove()
+            // tombstone only if the key was live before this batch
+            if (prev.n > 0L) Iterator.single(MvRow(key, 0L, 0L, deleted = true))
+            else Iterator.empty
+          } else {
+            state.update(MvState(n, c2))
+            Iterator.single(MvRow(key, n, c2, deleted = false))
+          }
+      }
+  }
+}
