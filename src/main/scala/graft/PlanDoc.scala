@@ -79,7 +79,33 @@ object PlanDoc {
     "grouping_sets_orders" -> ("Explicit GROUPING SETS: one Expand (3 projections per row) + " +
       "one aggregate — a single scan serves both marginals and the grand total."),
     "running_revenue" -> ("Window frames: the running ROWS-frame sum and lag share ONE window " +
-      "exchange+sort (same partitioning and ordering); money stays exact integer cents."))
+      "exchange+sort (same partitioning and ordering); money stays exact integer cents."),
+    "scd2_dimension" -> ("SCD2 build on ONE key shuffle: the change-collapse lag and the " +
+      "valid-range lead run over the same user partitioning with no second exchange between " +
+      "them; versions chain exactly (valid_to of one row = valid_from of the next)."),
+    "timeseries_gapfill" -> ("Per-type day grid via sequence+explode over the [min,max] span; " +
+      "both join inputs are post-aggregation (days x types), so the gap-fill left join " +
+      "broadcasts no matter how large the raw log — the redundant daily re-aggregation on the " +
+      "span side collapses via RemoveRedundantAggregates."),
+    "rolling_7d_revenue" -> ("RANGE frame on the day index: calendar gaps genuinely shrink the " +
+      "trailing window (a ROWS frame would stretch across them); one window exchange after a " +
+      "partial-combined daily aggregate, sums held as DECIMAL(38,0)."),
+    "funnel_conversion" -> ("Ordered 4-stage funnel from ONE conditional-min aggregation per " +
+      "user (map-side combinable, single shuffle) and a 4-row unpivot — no per-stage self-joins, " +
+      "no repeated passes over the log."),
+    "mv_incremental_apply" -> ("Signed-delta MV merge: a stored aggregate snapshot unions " +
+      "INSERT (+1) and REMOVE (-1) delta rows into one hash aggregate with map-side partials; " +
+      "cost is O(delta + live keys), never O(history), and exactly-cancelled groups drop."),
+    "bloom_semi_join" -> ("Runtime bloom pruning: the build side aggregates into one bounded " +
+      "sketch, broadcasts, and filters the probe BEFORE its shuffle; the exact semi join " +
+      "afterwards removes false positives, so the plan is identical-result but " +
+      "shuffle-proportional to selectivity."),
+    "bm25_scores" -> ("BM25 as one corpus scan: term-match rows materialize once (Memo+persist) " +
+      "and feed both the df aggregate and the scoring pivot; df and avgdl side tables " +
+      "broadcast; FP association order is pinned to the oracle's so floor(1e6) exports match."),
+    "editdist_pairs" -> ("Blocked fuzzy dedup: self-join on (lang, length-bucket) confines the " +
+      "quadratic term to a block; the threshold-banded Levenshtein (3-arg) does O(len*k) work " +
+      "with early exit instead of the full DP — 5x cheaper at sf0.1."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
