@@ -67,6 +67,7 @@ object SparkEntry {
     "term_doc_freq" -> ((s, d) => TextOps.termDocFreq(s, d)),
     "percentile_quantity" -> ((s, d) => Analytics.quantityPercentiles(s, d)),
     "running_revenue" -> ((s, d) => Analytics.runningRevenue(s, d)),
+    "ranking_windows" -> ((s, d) => Analytics.rankingWindows(s, d)),
     // --- temporal / CDC-consumer materializations ---
     "scd2_dimension" -> ((s, d) => Temporal.scd2Dimension(s, d)),
     "timeseries_gapfill" -> ((s, d) => Temporal.gapFillDaily(s, d)),
@@ -600,6 +601,16 @@ object SparkEntry {
         |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c2
         |      FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "ranking_windows" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       CAST(rank() OVER w AS BIGINT) AS rnk,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |       CAST(floor(percent_rank() OVER w * 1000000.0) AS BIGINT) AS pct_rank_e6,
+        |       CAST(floor(cume_dist() OVER w * 1000000.0) AS BIGINT) AS cume_e6
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "scd2_dimension" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,

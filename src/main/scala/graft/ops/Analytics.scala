@@ -404,6 +404,27 @@ object Analytics {
       .orderBy("o_orderkey")
   }
 
+  /** The ranking-window family — ntile / rank / dense_rank / percent_rank /
+    * cume_dist — all over ONE window spec (same partitioning + ordering →
+    * one exchange + one sort serves all five). The ordering includes the
+    * unique c_custkey so ntile bucket assignment is deterministic; the
+    * ratio functions are exact small rationals computed identically by both
+    * engines, exported floor(·1e6) per the parity rules.
+    */
+  def rankingWindows(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, d)
+      .select(
+        col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        floor(percent_rank().over(w) * lit(1000000.0)).cast("long").as("pct_rank_e6"),
+        floor(cume_dist().over(w) * lit(1000000.0)).cast("long").as("cume_e6"))
+      .orderBy("c_custkey")
+  }
+
   /** FULL OUTER join of two aggregated activity views: users seen in the
     * orders table, the events table, or either. Both sides pre-aggregate to
     * one row per key BEFORE the join (the full-outer then joins two

@@ -740,6 +740,39 @@ class OpsSpec extends SparkSuite {
     assert(got.nonEmpty && got == expected.filter(_._2.nonEmpty))
   }
 
+
+  test("ranking_windows: all five ranking functions share one Window node; semantics verified") {
+    val df = Analytics.rankingWindows(spark, sf)
+    val nWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.size
+    assert(nWindows == 1, s"expected 1 Window node, got $nWindows")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // independent recompute per segment
+    val src = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val bySeg = src.groupBy(_._2)
+    rows.foreach { r =>
+      val (ck, seg) = (r.getLong(0), r.getString(1))
+      val part = bySeg(seg).sortBy(t => (t._3, t._1))
+      val n = part.length
+      val i = part.indexWhere(_._1 == ck) // 0-based row index (unique order key)
+      // ntile: first (n % 4) buckets get an extra row
+      val base = n / 4; val extra = n % 4
+      val quartile =
+        if (i < (base + 1) * extra) i / (base + 1) + 1
+        else (i - (base + 1) * extra) / base + extra + 1
+      assert(r.getLong(2) == quartile, s"ntile mismatch at $ck")
+      assert(r.getLong(3) == i + 1) // unique ordering: rank == row_number
+      assert(r.getLong(4) == i + 1)
+      val pct = if (n == 1) 0.0 else i.toDouble / (n - 1)
+      assert(r.getLong(5) == math.floor(pct * 1e6).toLong)
+      assert(r.getLong(6) == math.floor((i + 1).toDouble / n * 1e6).toLong)
+    }
+  }
+
   test("running_revenue: both window functions share one Window node; frame semantics hold") {
     val df = Analytics.runningRevenue(spark, sf)
     // one logical Window node carries BOTH the frame sum and the lag — two
