@@ -113,7 +113,9 @@ object Bench {
         fits
       }
     }
-    val otherSum = s1(total - kept.map(_._2).sum)
+    // clamp: when everything fits, FP residue of the differently-ordered
+    // sums could otherwise print as a spurious "-0.0"
+    val otherSum = s1(math.max(0.0, total - kept.map(_._2).sum))
     val keptJson = (kept.map { case (k, v) => s"\"" + k + "\":" + s1(v) } :+
       (s"\"_other\":" + otherSum)).mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${s1(total)},"unit":"sec",""" +

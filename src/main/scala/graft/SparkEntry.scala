@@ -709,10 +709,12 @@ object SparkEntry {
     "editdist_pairs" ->
       """WITH b AS (
         |  SELECT doc_id, lang, n_chars // 32 AS bk, substr(lower(text), 1, 60) AS s FROM documents
+        |), ba AS (
+        |  SELECT * FROM b WHERE strlen(s) = length(s)
         |)
         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
         |       CAST(levenshtein(a.s, c.s) AS BIGINT) AS dist
-        |FROM b a JOIN b c ON a.lang = c.lang AND a.bk = c.bk AND a.doc_id < c.doc_id
+        |FROM ba a JOIN ba c ON a.lang = c.lang AND a.bk = c.bk AND a.doc_id < c.doc_id
         |WHERE levenshtein(a.s, c.s) <= 12
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q10_returned_revenue" ->

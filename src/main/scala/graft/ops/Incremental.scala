@@ -69,8 +69,12 @@ object Incremental {
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
     val bloom = urgent.stat.bloomFilter("o_orderkey", expectedNumItems = 1000000L, fpp = 0.01)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bc.value.mightContain(k))
+    // captured in the UDF closure, NOT sparkContext.broadcast: Spark already
+    // broadcasts the serialized task closure per stage, and the closure's
+    // lifetime ends with the plan — an explicit broadcast of the sketch
+    // would leak per invocation (nothing here can destroy() it after the
+    // caller's action runs).
+    val mightContain = udf((k: Long) => bloom.mightContain(k))
     val pruned = Tables.lineitem(spark, d).filter(mightContain(col("l_orderkey")))
     pruned.join(urgent, pruned("l_orderkey") === urgent("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag"))

@@ -74,10 +74,16 @@ object Scoring {
     // Both self-join branches read the same 4-column projection; persisting
     // it turns two full text scans into one scan + a cached narrow frame
     // (prefixes only, not the document bodies).
+    // ASCII guard: DuckDB's levenshtein is byte-based, Spark's is
+    // character-based — they agree only on single-byte text. The identical
+    // octet_length = length predicate on BOTH sides keeps the oracle exact
+    // whatever the corpus holds (today's corpus is all-ASCII; this makes
+    // that an invariant rather than luck).
     val blocked = Memo(spark, s"editdist_blocked|$d|$prefixLen") {
       Tables.documents(spark, d).select(
         col("doc_id"), col("lang"), expr("n_chars div 32").as("bk"),
         substring(lower(col("text")), 1, prefixLen).as("s"))
+        .filter(expr("octet_length(s) = length(s)"))
         .persist()
     }
     val a = blocked.select(col("doc_id").as("doc_a"), col("lang"), col("bk"), col("s").as("sa"))

@@ -99,4 +99,13 @@ object Sessions {
     */
   private[ops] def nanosToMsFloor: org.apache.spark.sql.Column =
     expr("(ts - pmod(ts, 1000000)) div 1000000")
+
+  /** Day index from the nanos column: ms div 86400000. The outer `div`
+    * TRUNCATES toward zero on both engines (Spark `div` == DuckDB `//`),
+    * so the two agree for all epochs; truncation == floor for the
+    * post-1970 event data. Shared so a future change to the nanos rule
+    * can't silently miss a hand-inlined copy.
+    */
+  private[ops] def nanosToDayIdx: org.apache.spark.sql.Column =
+    expr("((ts - pmod(ts, 1000000)) div 1000000) div 86400000")
 }

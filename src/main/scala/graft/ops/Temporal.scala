@@ -53,11 +53,16 @@ object Temporal {
     * so the join is broadcast-sized no matter how large the raw log is.
     */
   def gapFillDaily(spark: SparkSession, d: String): DataFrame = {
-    val daily = Tables.events(spark, d)
-      .withColumn("day_idx", expr("((ts - pmod(ts, 1000000)) div 1000000) div 86400000"))
-      .groupBy(col("event_type"), col("day_idx"))
-      .agg(count(lit(1)).as("n"),
-        Exact.sumLong(Exact.c2(col("value"))).as("total_value_c2"))
+    // `daily` feeds both the span derivation and the join probe; persisting
+    // it (Memo, single-query) keeps the raw log to ONE scan+aggregation.
+    val daily = Memo(spark, s"gapfill_daily|$d") {
+      Tables.events(spark, d)
+        .withColumn("day_idx", Sessions.nanosToDayIdx)
+        .groupBy(col("event_type"), col("day_idx"))
+        .agg(count(lit(1)).as("n"),
+          Exact.sumLong(Exact.c2(col("value"))).as("total_value_c2"))
+        .persist()
+    }
     val grid = daily
       .groupBy(col("event_type"))
       .agg(min(col("day_idx")).as("mn"), max(col("day_idx")).as("mx"))
@@ -81,7 +86,7 @@ object Temporal {
     val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
       .rangeBetween(-6, Window.currentRow)
     Tables.events(spark, d)
-      .withColumn("day_idx", expr("((ts - pmod(ts, 1000000)) div 1000000) div 86400000"))
+      .withColumn("day_idx", Sessions.nanosToDayIdx)
       .groupBy(col("event_type"), col("day_idx"))
       .agg(Exact.sumLong(Exact.c2(col("value"))).as("day_c2"))
       .withColumn("rolling_7d_c2",

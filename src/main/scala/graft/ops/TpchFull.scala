@@ -172,9 +172,10 @@ object TpchFull {
     Tables.lineitem(spark, d).createOrReplaceTempView("g_lineitem")
     Tables.part(spark, d).createOrReplaceTempView("g_part")
     Tables.supplier(spark, d).createOrReplaceTempView("g_supplier")
-    // SQL-escape the interpolated prefix (quotes would otherwise break the
-    // literal; LIKE metacharacters are accepted as part of the pattern).
-    val safePrefix = namePrefix.replace("'", "''")
+    // SQL-escape the interpolated prefix: backslash first (Spark string
+    // literals process \-escapes by default), then quote-doubling. LIKE
+    // metacharacters are accepted as part of the pattern.
+    val safePrefix = namePrefix.replace("\\", "\\\\").replace("'", "''")
     spark.sql(
       s"""SELECT s_suppkey, s_name
          |FROM g_supplier

@@ -31,8 +31,7 @@ class IncrementalSpec extends SparkSuite {
     val urgent = Tables.orders(spark, sf)
       .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
     val bloom = urgent.stat.bloomFilter("o_orderkey", 1000000L, 0.01)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mc = udf((k: Long) => bc.value.mightContain(k))
+    val mc = udf((k: Long) => bloom.mightContain(k))
     val li = Tables.lineitem(spark, sf)
     val passed = li.filter(mc(col("l_orderkey"))).count()
     val total = li.count()
