@@ -73,6 +73,8 @@ object SparkEntry {
     "timeseries_gapfill" -> ((s, d) => Temporal.gapFillDaily(s, d)),
     "rolling_7d_revenue" -> ((s, d) => Temporal.rollingRevenue7d(s, d)),
     "funnel_conversion" -> ((s, d) => Temporal.funnelConversion(s, d)),
+    "snapshot_diff" -> ((s, d) => Temporal.snapshotDiff(s, d)),
+    "batch_packing" -> ((s, d) => TextOps.batchPacking(s, d)),
     "mv_incremental_apply" -> ((s, d) => Incremental.mvIncrementalApply(s, d)),
     "bloom_semi_join" -> ((s, d) => Incremental.bloomPrunedSemiJoin(s, d)),
     "bm25_scores" -> ((s, d) => Scoring.bm25Scores(s, d)),
@@ -669,6 +671,38 @@ object SparkEntry {
         |UNION ALL SELECT CAST(3 AS BIGINT), 'click', n2 FROM f
         |UNION ALL SELECT CAST(4 AS BIGINT), 'purchase', n3 FROM f
         |ORDER BY stage_idx""".stripMargin,
+    "snapshot_diff" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+        |), a AS (
+        |  SELECT user_id, event_id AS old_event_id FROM (
+        |    SELECT user_id, event_id,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |    FROM e WHERE ms > 1705276800000 - 604800000 AND ms <= 1705276800000
+        |  ) WHERE rn = 1
+        |), b AS (
+        |  SELECT user_id, event_id AS new_event_id FROM (
+        |    SELECT user_id, event_id,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |    FROM e WHERE ms > 1706572800000 - 604800000 AND ms <= 1706572800000
+        |  ) WHERE rn = 1
+        |)
+        |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        |       CASE WHEN a.user_id IS NULL THEN 'INSERT'
+        |            WHEN b.user_id IS NULL THEN 'REMOVE'
+        |            ELSE 'MODIFY' END AS op,
+        |       a.old_event_id, b.new_event_id
+        |FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+        |WHERE a.user_id IS NULL OR b.user_id IS NULL OR a.old_event_id <> b.new_event_id
+        |ORDER BY user_id""".stripMargin,
+    "batch_packing" ->
+      """SELECT lang, doc_id, n_chars,
+        |       CAST(SUM(n_chars) OVER w AS BIGINT) AS cum_chars,
+        |       (CAST(SUM(n_chars) OVER w AS BIGINT) - n_chars) // 4000 AS batch_idx
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY lang, doc_id""".stripMargin,
     "mv_incremental_apply" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
         |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_c2

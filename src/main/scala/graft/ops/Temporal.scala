@@ -94,6 +94,43 @@ object Temporal {
       .orderBy("event_type", "day_idx")
   }
 
+  /** Snapshot differencing with TTL liveness — the CDC BOOTSTRAP direction:
+    * where the reference turns a change stream into envelopes, this derives
+    * the change set from two point-in-time states when no stream exists.
+    * A snapshot at time T is each user's latest event within [T - ttl, T]
+    * (7-day liveness window, the batch analogue of OP-16's expiry). The two
+    * snapshots FULL OUTER join on the key and classify: only-in-new →
+    * INSERT, only-in-old → REMOVE, different latest event → MODIFY;
+    * identical state rows drop (the same no-op suppression contract as
+    * OP-8). Each snapshot is one latest-by-key window; the join shuffles
+    * key-unique rows, so cost tracks live users, not event history.
+    */
+  def snapshotDiff(spark: SparkSession, d: String,
+                   t1Ms: Long = 1705276800000L, // 2024-01-15T00:00Z
+                   t2Ms: Long = 1706572800000L, // 2024-01-30T00:00Z
+                   ttlMs: Long = 7L * 86400000L): DataFrame = {
+    def snapshotAt(tMs: Long): DataFrame = {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      Tables.events(spark, d)
+        .withColumn("ms", Sessions.nanosToMsFloor)
+        .filter(col("ms") > tMs - ttlMs && col("ms") <= tMs)
+        .withColumn("rn", row_number().over(byUser))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"))
+    }
+    val a = snapshotAt(t1Ms).select(col("user_id"), col("event_id").as("old_event_id"))
+    val b = snapshotAt(t2Ms).select(col("user_id"), col("event_id").as("new_event_id"))
+    a.join(b, Seq("user_id"), "full_outer")
+      .withColumn("op",
+        when(col("old_event_id").isNull, "INSERT")
+          .when(col("new_event_id").isNull, "REMOVE")
+          .when(col("old_event_id") =!= col("new_event_id"), "MODIFY")
+          .otherwise("NOOP"))
+      .filter(col("op") =!= "NOOP")
+      .select(col("user_id"), col("op"), col("old_event_id"), col("new_event_id"))
+      .orderBy("user_id")
+  }
+
   /** Ordered-funnel conversion over signup → view → click → purchase:
     * stage N counts users whose first stage-N event strictly follows their
     * first stage-(N-1) event. One conditional-min aggregation per user

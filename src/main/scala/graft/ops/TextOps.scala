@@ -212,6 +212,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Budget-packed training batches: per language stratum, documents are
+    * packed in deterministic doc_id order into consecutive batches of
+    * roughly `budget` cost units each (cost = n_chars here; swap in the
+    * TextScan token count for a tokenizer-faithful budget). A document
+    * belongs to the batch in which its prefix sum STARTS — exactly a
+    * running-sum window + integer division, so batch assembly over a 100 TB
+    * corpus is one window shuffle per stratum with no sequential driver
+    * loop. The cumulative sum accumulates DECIMAL(38,0) per the overflow
+    * rule before the integer-domain division.
+    */
+  def batchPacking(spark: SparkSession, d: String, budget: Long = 4000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(spark, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("cum_chars",
+        sum(col("n_chars").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .over(w).cast("long"))
+      .withColumn("batch_idx", expr(s"(cum_chars - n_chars) div $budget"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** Gopher-style REPETITION rules (Rae et al. 2021 §A1.1's second family —
     * [[qualityFilter]] covers the composition rules, this covers repetition):
     * duplicate-word fraction and top-bigram fraction per document. Heavily

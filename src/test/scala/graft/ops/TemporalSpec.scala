@@ -46,6 +46,48 @@ class TemporalSpec extends SparkSuite {
     }
   }
 
+  test("snapshotDiff equals an independent two-snapshot recompute") {
+    val out = Temporal.snapshotDiff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), Sessions.nanosToMsFloor.as("ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def snap(t: Long): Map[Long, Long] = events
+      .filter(e => e._3 > t - 7L * 86400000L && e._3 <= t)
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).max }
+    val a = snap(1705276800000L); val b = snap(1706572800000L)
+    val want = (a.keySet ++ b.keySet).flatMap { u =>
+      (a.get(u), b.get(u)) match {
+        case (None, Some(n))                  => Some((u, "INSERT", None, Some(n)))
+        case (Some(o), None)                  => Some((u, "REMOVE", Some(o), None))
+        case (Some(o), Some(n)) if o != n     => Some((u, "MODIFY", Some(o), Some(n)))
+        case _                                => None
+      }
+    }
+    assert(out == want)
+    assert(out.exists(_._2 == "MODIFY")) // diff is non-trivial at this sf
+  }
+
+  test("batchPacking: prefix-sum assignment recomputes exactly; batches are contiguous") {
+    val rows = TextOps.batchPacking(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val ordered = docs.sortBy(_._2)
+      var cum = 0L
+      ordered.foreach { case (_, _, nChars, cumChars, batchIdx) =>
+        assert(batchIdx == cum / 4000L) // assigned where the prefix starts
+        cum += nChars
+        assert(cumChars == cum)
+      }
+      // batch ids are non-decreasing and start at 0
+      assert(ordered.head._5 == 0L)
+      ordered.map(_._5).sliding(2).foreach { case Array(x, y) => assert(x <= y); case _ => }
+    }
+  }
+
   test("funnelConversion: stage counts are monotonically non-increasing and stage 1 is exact") {
     val out = Temporal.funnelConversion(spark, sf).collect().sortBy(_.getLong(0))
     assert(out.map(_.getString(1)).toSeq == Seq("signup", "view", "click", "purchase"))
