@@ -105,7 +105,13 @@ object PlanDoc {
       "broadcast; FP association order is pinned to the oracle's so floor(1e6) exports match."),
     "editdist_pairs" -> ("Blocked fuzzy dedup: self-join on (lang, length-bucket) confines the " +
       "quadratic term to a block; the threshold-banded Levenshtein (3-arg) does O(len*k) work " +
-      "with early exit instead of the full DP — 5x cheaper at sf0.1."))
+      "with early exit instead of the full DP — 5x cheaper at sf0.1."),
+    "snapshot_diff" -> ("CDC bootstrap: two TTL-windowed latest-by-key snapshots (row_number " +
+      "windows on the same user key) FULL OUTER join as key-unique relations — the join " +
+      "shuffles live users, not event history; NOOP rows drop, mirroring OP-8 suppression."),
+    "batch_packing" -> ("Training-batch assembly as a windowed prefix sum: one window exchange " +
+      "per language stratum, DECIMAL(38,0) accumulation, integer-domain division for the batch " +
+      "id — no sequential driver loop anywhere."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
