@@ -40,6 +40,23 @@ class ScoringSpec extends SparkSuite {
       s"doc ${sample.getLong(0)}: got $got expected ~${math.floor(expected * 1e6)}")
   }
 
+  test("editDistPairs: non-ASCII prefixes are excluded on both sides (oracle parity guard)") {
+    // DuckDB levenshtein counts bytes, Spark counts characters; the operator
+    // filters non-ASCII prefixes so the two can never diverge. Pin it.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("editdist_ascii").toString
+    Seq(
+      (1L, "café au lait plus padding text here", "fr", "a", 35L),
+      (2L, "cafe au lait plus padding text here", "fr", "a", 35L),
+      (3L, "cafe au lait plus padding text herX", "fr", "a", 35L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Scoring.editDistPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 1 (non-ASCII) is excluded; 2-3 pair up with dist 1
+    assert(got == Set((2L, 3L)))
+  }
+
   test("editDistPairs: bounded, ordered, and equal to an unbanded brute-force recompute") {
     val out = Scoring.editDistPairs(spark, sf).collect()
     assert(out.forall(r => r.getLong(0) < r.getLong(1) && r.getLong(2) >= 0 && r.getLong(2) <= 12))
