@@ -25,6 +25,41 @@ object Layout {
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(path)
 
+  /** Morton (Z-order) value of two 32-bit keys: bits interleave, so rows
+    * close in EITHER dimension stay close in z-value order. Clustering files
+    * by z-value gives every file a bounded min/max box on BOTH columns —
+    * single-key range clustering prunes only its first key; z-order lets a
+    * predicate on either dimension skip row groups. The spread is the
+    * classic 5-step mask-shift (all codegen'd bit ops — no UDF).
+    */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      var x = c.cast("long").bitwiseAND(org.apache.spark.sql.functions.lit(0xFFFFFFFFL))
+      def step(shiftBits: Int, mask: Long) = {
+        x = x.bitwiseOR(org.apache.spark.sql.functions.shiftleft(x, shiftBits))
+          .bitwiseAND(org.apache.spark.sql.functions.lit(mask))
+      }
+      step(16, 0x0000FFFF0000FFFFL)
+      step(8, 0x00FF00FF00FF00FFL)
+      step(4, 0x0F0F0F0F0F0F0F0FL)
+      step(2, 0x3333333333333333L)
+      step(1, 0x5555555555555555L)
+      x
+    }
+    spread(a).bitwiseOR(org.apache.spark.sql.functions.shiftleft(spread(b), 1))
+  }
+
+  /** Z-order cluster + sort on write: like [[writeClustered]] but every
+    * output file owns a compact 2-D BOX of (k1, k2) instead of a 1-D range
+    * of k1 — zone maps then prune scans filtered on either key.
+    */
+  def writeZOrdered(df: DataFrame, k1: String, k2: String, path: String, nFiles: Int): Unit =
+    df.withColumn("__z", zValue(col(k1), col(k2)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
   /** Per-file (min, max) statistics of `keyCol` straight from the parquet
     * footers — the zone maps the reader's row-group skipping consults.
     * Diagnostic/assertion surface for layout quality; throws when a file has

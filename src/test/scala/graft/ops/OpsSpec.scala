@@ -559,6 +559,29 @@ class OpsSpec extends SparkSuite {
       s"zone-map skipping ineffective: scan emitted $rowsRead of $total rows")
   }
 
+  test("z-ordered layout: every file bounds a compact box on BOTH dimensions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // 64x64 grid: the worst case for 1-D clustering (second key spans the
+    // full domain in every file), the showcase for z-order (4x4 tiles)
+    val grid = (for (u <- 0L until 64L; v <- 0L until 64L) yield (u, v)).toDF("u", "v")
+    Layout.writeZOrdered(grid, "u", "v", dir, nFiles = 16)
+    val uRanges = Layout.keyRanges(spark, dir, "u")
+    val vRanges = Layout.keyRanges(spark, dir, "v")
+    assert(uRanges.length == 16 && vRanges.length == 16)
+    val uSpan = uRanges.map { case (_, mn, mx) => mx - mn }.sum / 16.0
+    val vSpan = vRanges.map { case (_, mn, mx) => mx - mn }.sum / 16.0
+    // ideal tiles span 15 per dim; allow boundary slack but both dims must
+    // prune (far below the 63 a 1-D layout leaves on its second key)
+    assert(uSpan <= 32.0, s"u span $uSpan — z-order not clustering dim 1")
+    assert(vSpan <= 32.0, s"v span $vSpan — z-order not clustering dim 2")
+    // contrast: 1-D clustering leaves the second dimension unpruned
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-zorder1d").toString
+    Layout.writeClustered(grid, "u", dir1, nFiles = 16)
+    val v1Span = Layout.keyRanges(spark, dir1, "v").map { case (_, mn, mx) => mx - mn }.sum / 16.0
+    assert(v1Span > 32.0, s"1-D layout unexpectedly clustered v (span $v1Span)")
+  }
+
   test("stratified sample: deterministic, rates land near their strata targets") {
     val s1 = TextOps.stratifiedSample(spark, sf).collect()
     val s2 = TextOps.stratifiedSample(spark, sf).collect()
