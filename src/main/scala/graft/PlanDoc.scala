@@ -113,6 +113,21 @@ object PlanDoc {
       "per language stratum, DECIMAL(38,0) accumulation, integer-domain division for the batch " +
       "id — no sequential driver loop anywhere."))
 
+  /** Strip run-nondeterministic tokens (JVM lambda addresses, object
+    * hashes, AQE plan/stage ids, expression ids) so a regenerated PLANS.md
+    * diffs only when a plan's SHAPE changes — without this every regen was
+    * a ~2000-line churn of renumbered ids burying real regressions.
+    */
+  private def normalize(plan: String): String = plan
+    .replaceAll("0x[0-9a-fA-F]+", "0xADDR")
+    .replaceAll("@[0-9a-f]{6,}", "@HASH")
+    .replaceAll("Lambda\\$\\d+", "Lambda\\$N")
+    .replaceAll("plan_id=\\d+", "plan_id=N")
+    .replaceAll("#\\d+L?", "#N")
+    .replaceAll("\\[codegen id : \\d+\\]", "[codegen id : N]")
+    .replaceAll("(?m)^Arguments: \\d+$", "Arguments: N") // AQE stage ordinals
+    .replaceAll("/tmp/graft-shredded-events\\d+", "/tmp/graft-shredded-eventsTMP")
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
@@ -130,7 +145,7 @@ object PlanDoc {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect() // finalize the adaptive plan so AQE decisions are visible
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-      sb ++= s"\n## $name\n\n$why\n\n```\n${plan.trim}\n```\n"
+      sb ++= s"\n## $name\n\n$why\n\n```\n${normalize(plan.trim)}\n```\n"
     }
     Files.write(Paths.get("docs/PLANS.md"), sb.toString.getBytes(StandardCharsets.UTF_8))
     println(s"wrote docs/PLANS.md (${headline.size} queries)")

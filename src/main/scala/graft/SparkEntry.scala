@@ -74,6 +74,7 @@ object SparkEntry {
     "rolling_7d_revenue" -> ((s, d) => Temporal.rollingRevenue7d(s, d)),
     "funnel_conversion" -> ((s, d) => Temporal.funnelConversion(s, d)),
     "snapshot_diff" -> ((s, d) => Temporal.snapshotDiff(s, d)),
+    "zorder_layout" -> ((s, d) => Layout.zOrderEvidence(s, d)), // layout evidence: rows-only
     "batch_packing" -> ((s, d) => TextOps.batchPacking(s, d)),
     "mv_incremental_apply" -> ((s, d) => Incremental.mvIncrementalApply(s, d)),
     "bloom_semi_join" -> ((s, d) => Incremental.bloomPrunedSemiJoin(s, d)),

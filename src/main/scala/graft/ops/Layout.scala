@@ -1,7 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, shiftleft}
 
 /** Data-layout control — the other half of predicate pushdown. A pushed
   * filter only pays off if the files' zone maps (parquet row-group min/max
@@ -25,19 +25,24 @@ object Layout {
       .sortWithinPartitions(keyCol)
       .write.mode("overwrite").parquet(path)
 
-  /** Morton (Z-order) value of two 32-bit keys: bits interleave, so rows
-    * close in EITHER dimension stay close in z-value order. Clustering files
-    * by z-value gives every file a bounded min/max box on BOTH columns —
+  /** Morton (Z-order) SORT KEY of two keys in [0, 2^32): bits interleave,
+    * so rows close in EITHER dimension stay close in z order. Clustering
+    * files by z gives every file a bounded min/max box on BOTH columns —
     * single-key range clustering prunes only its first key; z-order lets a
     * predicate on either dimension skip row groups. The spread is the
     * classic 5-step mask-shift (all codegen'd bit ops — no UDF).
+    *
+    * The returned value is for ORDERING only: the raw interleave of two
+    * full 32-bit keys occupies all 64 bits, so bit 63 (from k2's top bit)
+    * would land in the SIGN and split the curve at the signed boundary —
+    * the XOR with Long.MinValue restores unsigned order in the signed
+    * domain. Keys outside [0, 2^32) alias after the low-32 mask.
     */
-  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      var x = c.cast("long").bitwiseAND(org.apache.spark.sql.functions.lit(0xFFFFFFFFL))
+  def zValue(a: Column, b: Column): Column = {
+    def spread(c: Column): Column = {
+      var x = c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))
       def step(shiftBits: Int, mask: Long) = {
-        x = x.bitwiseOR(org.apache.spark.sql.functions.shiftleft(x, shiftBits))
-          .bitwiseAND(org.apache.spark.sql.functions.lit(mask))
+        x = x.bitwiseOR(shiftleft(x, shiftBits)).bitwiseAND(lit(mask))
       }
       step(16, 0x0000FFFF0000FFFFL)
       step(8, 0x00FF00FF00FF00FFL)
@@ -46,19 +51,50 @@ object Layout {
       step(1, 0x5555555555555555L)
       x
     }
-    spread(a).bitwiseOR(org.apache.spark.sql.functions.shiftleft(spread(b), 1))
+    spread(a).bitwiseOR(shiftleft(spread(b), 1)).bitwiseXOR(lit(Long.MinValue))
   }
 
   /** Z-order cluster + sort on write: like [[writeClustered]] but every
     * output file owns a compact 2-D BOX of (k1, k2) instead of a 1-D range
     * of k1 — zone maps then prune scans filtered on either key.
     */
-  def writeZOrdered(df: DataFrame, k1: String, k2: String, path: String, nFiles: Int): Unit =
+  def writeZOrdered(df: DataFrame, k1: String, k2: String, path: String, nFiles: Int): Unit = {
+    require(!df.columns.contains("__z"),
+      "input already has a __z column — rename it before z-ordering")
     df.withColumn("__z", zValue(col(k1), col(k2)))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** Driver-visible z-order evidence (rows-only query `zorder_layout`):
+    * writes events (user_id, day_idx) z-ordered once per session (Memo'd
+    * temp dir), then reads the parquet footers back and emits each file's
+    * (min, max, span) box on BOTH dimensions. The span columns are the
+    * self-checking invariant: a working z-order bounds every file on both
+    * keys, where 1-D clustering leaves the second span at the full domain
+    * (the OpsSpec pins the contrast; this exports it to the driver
+    * artifact). Footer reading is driver-side but bounded by nFiles.
+    */
+  def zOrderEvidence(spark: SparkSession, d: String, nFiles: Int = 8): DataFrame = {
+    val dir = Memo(spark, s"zorder_dir|$d|$nFiles") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      val ev = Tables.events(spark, d)
+        .select(col("user_id").as("u"), Sessions.nanosToDayIdx.as("v"))
+      writeZOrdered(ev, "u", "v", tmp, nFiles)
+      tmp
+    }
+    val uRanges = keyRanges(spark, dir, "u")
+    val vRanges = keyRanges(spark, dir, "v")
+    val rows = uRanges.zip(vRanges).zipWithIndex.map {
+      case (((_, umn, umx), (_, vmn, vmx)), i) =>
+        (i.toLong, umn, umx, umx - umn, vmn, vmx, vmx - vmn)
+    }
+    import spark.implicits._
+    rows.toDF("file_idx", "u_min", "u_max", "u_span", "v_min", "v_max", "v_span")
+      .orderBy("file_idx")
+  }
 
   /** Per-file (min, max) statistics of `keyCol` straight from the parquet
     * footers — the zone maps the reader's row-group skipping consults.

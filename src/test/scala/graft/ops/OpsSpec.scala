@@ -580,6 +580,15 @@ class OpsSpec extends SparkSuite {
     Layout.writeClustered(grid, "u", dir1, nFiles = 16)
     val v1Span = Layout.keyRanges(spark, dir1, "v").map { case (_, mn, mx) => mx - mn }.sum / 16.0
     assert(v1Span > 32.0, s"1-D layout unexpectedly clustered v (span $v1Span)")
+    // sign-boundary regression: a second key straddling 2^31 puts the raw
+    // interleave's top bit in the Long sign; the unsigned-order fix keeps
+    // the curve contiguous so files still bound v tightly
+    val hi = 1L << 31
+    val grid2 = (for (u <- 0L until 64L; v <- (hi - 32) until (hi + 32)) yield (u, v)).toDF("u", "v")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-zorder-sign").toString
+    Layout.writeZOrdered(grid2, "u", "v", dir2, nFiles = 16)
+    val v2Span = Layout.keyRanges(spark, dir2, "v").map { case (_, mn, mx) => mx - mn }.sum / 16.0
+    assert(v2Span <= 32.0, s"v span $v2Span across the 2^31 boundary — signed z split the curve")
   }
 
   test("stratified sample: deterministic, rates land near their strata targets") {
