@@ -76,6 +76,7 @@ object SparkEntry {
     "snapshot_diff" -> ((s, d) => Temporal.snapshotDiff(s, d)),
     "zorder_layout" -> ((s, d) => Layout.zOrderEvidence(s, d)), // layout evidence: rows-only
     "batch_packing" -> ((s, d) => TextOps.batchPacking(s, d)),
+    "priority_sample" -> ((s, d) => TextOps.prioritySample(s, d)),
     "mv_incremental_apply" -> ((s, d) => Incremental.mvIncrementalApply(s, d)),
     "bloom_semi_join" -> ((s, d) => Incremental.bloomPrunedSemiJoin(s, d)),
     "bm25_scores" -> ((s, d) => Scoring.bm25Scores(s, d)),
@@ -696,6 +697,18 @@ object SparkEntry {
         |FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
         |WHERE a.user_id IS NULL OR b.user_id IS NULL OR a.old_event_id <> b.new_event_id
         |ORDER BY user_id""".stripMargin,
+    "priority_sample" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         ((doc_id % 2147483648) * 2654435761) % 4294967296 + 1 AS u32
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, lang, n_chars, (n_chars * 4294967296) // u32 AS priority FROM u
+        |)
+        |SELECT doc_id, lang, n_chars, priority FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id) AS rn
+        |  FROM p
+        |) WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
     "batch_packing" ->
       """SELECT lang, doc_id, n_chars,
         |       CAST(SUM(n_chars) OVER w AS BIGINT) AS cum_chars,

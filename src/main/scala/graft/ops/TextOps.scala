@@ -212,6 +212,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Weight-biased deterministic sampling — priority sampling (Duffield,
+    * Lund, Thorup, JACM 2007): each row gets priority w/u for a uniform u,
+    * and the k highest priorities per stratum are kept — selection
+    * probability rises with weight (n_chars here: longer docs are likelier
+    * kept), yet the sample is reproducible byte-for-byte because u comes
+    * from the same exact-integer Knuth hash as [[trainTestSplit]], not an
+    * RNG. Everything stays in integer arithmetic (priority = w·2^32 div u),
+    * so the oracle matches EXACTLY — no floating-point selection boundary.
+    * One window shuffle per stratum; WindowGroupLimit prunes to per-partition
+    * top-k before the exchange.
+    */
+  def prioritySample(spark: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("priority").desc, col("doc_id"))
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("u32",
+        pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L), lit(4294967296L)) + lit(1L))
+      .withColumn("priority", expr("(n_chars * 4294967296) div u32"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("priority"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** Budget-packed training batches: per language stratum, documents are
     * packed in deterministic doc_id order into consecutive batches of
     * roughly `budget` cost units each (cost = n_chars here; swap in the

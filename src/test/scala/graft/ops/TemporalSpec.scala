@@ -88,6 +88,28 @@ class TemporalSpec extends SparkSuite {
     }
   }
 
+  test("prioritySample: byte-deterministic, equals brute-force top-k, biased toward weight") {
+    val s1 = TextOps.prioritySample(spark, sf).collect()
+    val s2 = TextOps.prioritySample(spark, sf).collect()
+    assert(s1.toSeq == s2.toSeq && s1.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = docs.groupBy(_._2).values.toSeq.flatMap { ds =>
+      ds.toSeq.map { case (id, lang, n) =>
+        val u = ((id % 2147483648L) * 2654435761L) % 4294967296L + 1L
+        (id, lang, n, n * 4294967296L / u)
+      }.sortBy { case (id, _, _, p) => (-p, id) }.take(20)
+    }.toSet
+    val got = s1.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    // weight bias: the sample's mean length exceeds the corpus mean
+    val sampleMean = s1.map(_.getLong(2)).sum.toDouble / s1.length
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean,
+      s"priority sample not weight-biased: $sampleMean <= $corpusMean")
+  }
+
   test("funnelConversion: stage counts are monotonically non-increasing and stage 1 is exact") {
     val out = Temporal.funnelConversion(spark, sf).collect().sortBy(_.getLong(0))
     assert(out.map(_.getString(1)).toSeq == Seq("signup", "view", "click", "purchase"))
