@@ -111,9 +111,15 @@ object Temporal {
                    ttlMs: Long = 7L * 86400000L): DataFrame = {
     def snapshotAt(tMs: Long): DataFrame = {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      // The liveness window is expressed directly on the RAW nanos column,
+      // not on the derived ms: floor(ts/1e6) > m  ⟺  ts > m*1e6 + 999999
+      // (exact, negatives included), and a plain ts range predicate reaches
+      // the parquet scan's PushedFilters — zone maps then skip every row
+      // group outside the 7-day window instead of scanning all history.
+      val lo = (tMs - ttlMs) * 1000000L + 999999L
+      val hi = tMs * 1000000L + 999999L
       Tables.events(spark, d)
-        .withColumn("ms", Sessions.nanosToMsFloor)
-        .filter(col("ms") > tMs - ttlMs && col("ms") <= tMs)
+        .filter(col("ts") > lo && col("ts") <= hi)
         .withColumn("rn", row_number().over(byUser))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_id"))

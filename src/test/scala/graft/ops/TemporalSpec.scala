@@ -68,6 +68,12 @@ class TemporalSpec extends SparkSuite {
     }
     assert(out == want)
     assert(out.exists(_._2 == "MODIFY")) // diff is non-trivial at this sf
+    // the liveness window must reach the scan as raw ts bounds (pushable to
+    // parquet zone maps) — not sit above it as a derived-ms filter
+    val scans = Temporal.snapshotDiff(spark, sf).queryExecution.executedPlan
+      .collectLeaves().map(_.toString).mkString
+    assert(scans.contains("GreaterThan(ts,") && scans.contains("LessThanOrEqual(ts,"),
+      s"ts bounds not pushed to the scan:\n${scans.take(500)}")
   }
 
   test("batchPacking: prefix-sum assignment recomputes exactly; batches are contiguous") {
