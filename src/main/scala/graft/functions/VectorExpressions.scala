@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftx.Bridge
 import org.apache.spark.sql.types._
 
@@ -91,6 +91,190 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Multi-table random-hyperplane LSH signatures as ONE codegen'd expression:
+  * for an embedding array, returns `nTables * (1 + probes)` bucket ids laid
+  * out `[table * (1+probes) + j]` — entry j=0 is table t's HOME bucket (bit
+  * i = sign of the dot product with hyperplane (t, i)); entries j=1..probes
+  * are the home bucket with the j-th LOWEST-MARGIN bit flipped (margin =
+  * |dot|, the distance to that hyperplane). Flipping the least-confident
+  * bits is multi-probe LSH (Lv et al., VLDB'07): a query's nearest
+  * boundary-crossing neighbors land in exactly those adjacent buckets, so
+  * each probe buys far more recall per candidate than an extra independent
+  * table would.
+  *
+  * Semantics are IDENTICAL to the typed-Dataset reference path
+  * ([[graft.ops.Similarity.lshSignaturesTyped]], kept as the parity-spec
+  * surface): element j contributes `(double) emb[j] * plane[j]` over
+  * `min(len(emb), dim)` elements, null elements contribute 0, `acc >= 0`
+  * sets the bit, and margin ties break to the lower bit index — so bucket
+  * ids (and therefore ANN recall) are bit-for-bit reproducible. Unlike the
+  * typed path it never deserializes the array into an `Array[Float]` and
+  * never leaves whole-stage codegen: the loop reads the columnar
+  * `ArrayData` in place and emits one `long[]`, which `posexplode` then
+  * unrolls to (table, probe, bucket) rows.
+  *
+  * The planes ride along as ONE boxed reference (`ctx.addReferenceObj`),
+  * not as literals — expressing them as nTables x bits 64-double array
+  * literals made Catalyst fold and Janino compile a ~5k-node projection
+  * (seconds of fixed overhead; the round-3 lesson recorded in lshIndex).
+  */
+case class HyperplaneBuckets(child: Expression, planes: Array[Array[Array[Double]]],
+    probes: Int = 0)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_buckets expects array<float|double> input, got ${other.simpleString}")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  // shape is uniform by construction (Similarity generates rectangular
+  // plane tables); validated here so a malformed caller fails at plan time
+  private val nTables: Int = planes.length
+  private val bits: Int = if (nTables == 0) 0 else planes(0).length
+  private val dim: Int = if (bits == 0) 0 else planes(0)(0).length
+  require(planes.forall(t => t.length == bits && t.forall(_.length == dim)),
+    "hyperplane_buckets: plane tables must be rectangular (same bits and dim)")
+  require(bits <= 63, s"hyperplane_buckets: $bits bits exceed one long bucket")
+  require(probes >= 0 && probes <= bits,
+    s"hyperplane_buckets: $probes probes need at least that many bits (have $bits)")
+
+  private val perTable: Int = 1 + probes
+
+  /** Planes flattened [t][i][j] -> t*bits*dim + i*dim + j: one contiguous
+    * primitive array for the codegen loop (no nested-array dereferences).
+    */
+  private lazy val flatPlanes: Array[Double] = {
+    val out = new Array[Double](nTables * bits * dim)
+    var t = 0
+    while (t < nTables) {
+      var i = 0
+      while (i < bits) {
+        System.arraycopy(planes(t)(i), 0, out, (t * bits + i) * dim, dim)
+        i += 1
+      }
+      t += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val nElem = a.numElements()
+    val fl = isFloat
+    val flat = flatPlanes
+    val out = new Array[Long](nTables * perTable)
+    val margins = new Array[Double](bits)
+    var t = 0
+    while (t < nTables) {
+      var home = 0L
+      var i = 0
+      while (i < bits) {
+        val off = (t * bits + i) * dim
+        var acc = 0.0
+        var j = 0
+        val n = math.min(nElem, dim)
+        while (j < n) {
+          val x = if (a.isNullAt(j)) 0.0 else if (fl) a.getFloat(j).toDouble else a.getDouble(j)
+          acc += x * flat(off + j)
+          j += 1
+        }
+        if (acc >= 0) home |= (1L << i)
+        margins(i) = if (acc < 0) -acc else acc
+        i += 1
+      }
+      out(t * perTable) = home
+      // probe buckets: flip the `probes` lowest-margin bits, one per entry;
+      // strict < keeps the LOWEST index on ties (the codegen path and the
+      // typed reference do the same, so signatures are reproducible)
+      var used = 0L
+      var q = 1
+      while (q <= probes) {
+        var best = -1
+        var bm = Double.MaxValue
+        var b = 0
+        while (b < bits) {
+          if (((used >> b) & 1L) == 0L && margins(b) < bm) { bm = margins(b); best = b }
+          b += 1
+        }
+        used |= (1L << best)
+        out(t * perTable + q) = home ^ (1L << best)
+        q += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("hyperplanes", flatPlanes, "double[]")
+    val getElem = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val buckets = ctx.freshName("buckets")
+      val margins = ctx.freshName("margins")
+      val nElem = ctx.freshName("nElem")
+      val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val off = ctx.freshName("off")
+      val acc = ctx.freshName("acc")
+      val home = ctx.freshName("home")
+      val x = ctx.freshName("x")
+      val used = ctx.freshName("used")
+      val q = ctx.freshName("q")
+      val b = ctx.freshName("b")
+      val best = ctx.freshName("best")
+      val bm = ctx.freshName("bm")
+      s"""
+         |long[] $buckets = new long[${nTables * perTable}];
+         |double[] $margins = new double[$bits];
+         |int $nElem = $a.numElements();
+         |int $n = java.lang.Math.min($nElem, $dim);
+         |int $off = 0;
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  long $home = 0L;
+         |  for (int $i = 0; $i < $bits; $i++) {
+         |    double $acc = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      double $x = $a.isNullAt($j) ? 0.0 : (double) $a.$getElem($j);
+         |      $acc += $x * $flatRef[$off + $j];
+         |    }
+         |    if ($acc >= 0) $home |= (1L << $i);
+         |    $margins[$i] = $acc < 0 ? -$acc : $acc;
+         |    $off += $dim;
+         |  }
+         |  $buckets[$t * $perTable] = $home;
+         |  long $used = 0L;
+         |  for (int $q = 1; $q <= $probes; $q++) {
+         |    int $best = -1;
+         |    double $bm = Double.MAX_VALUE;
+         |    for (int $b = 0; $b < $bits; $b++) {
+         |      if ((($used >> $b) & 1L) == 0L && $margins[$b] < $bm) { $bm = $margins[$b]; $best = $b; }
+         |    }
+         |    $used |= (1L << $best);
+         |    $buckets[$t * $perTable + $q] = $home ^ (1L << $best);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($buckets);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   private def column(e: Expression): Column = Bridge.column(e)
   private def expression(c: Column): Expression = Bridge.expression(c)
@@ -106,4 +290,12 @@ object VectorFunctions {
   /** Cosine similarity: dot / (|a| * |b|). */
   def cosine_sim(a: Column, b: Column): Column =
     dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+  /** Per-vector LSH bucket ids, `1 + probes` longs per hash table laid out
+    * `[table * (1+probes) + j]`: the home bucket, then `probes` multi-probe
+    * variants with the lowest-margin bits flipped (codegen'd).
+    */
+  def hyperplane_buckets(emb: Column, planes: Array[Array[Array[Double]]],
+      probes: Int = 0): Column =
+    column(HyperplaneBuckets(expression(emb), planes, probes))
 }

@@ -19,7 +19,7 @@ object Memo {
 
   /** The CHM mapping function only allocates a lazy cell; `f` itself is
     * evaluated OUTSIDE `computeIfAbsent`. Memoized builds may therefore call
-    * Memo recursively (annTopK → lshCandidatePairs → lshBuckets) without
+    * Memo recursively (annTopK → lshCoocSims → lshIndex) without
     * violating the ConcurrentHashMap contract that a mapping function must
     * not touch other mappings — a nested computeIfAbsent on a colliding bin
     * live-locks (JDK-8062841 shape).

@@ -39,6 +39,21 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("lshBuckets codegen expression == typed reference path, row for row") {
+    // the codegen'd HyperplaneBuckets expression replaced the typed flatMap;
+    // bucket ids (home AND multi-probe flips) are the recall contract, so
+    // the two paths must agree on the FULL index (every (vec_id, table,
+    // probe) cell, not a sample)
+    val expr = Similarity.lshBuckets(spark, sf, nTables = 16, bitsPerTable = 5, probes = 2)
+      .collect().map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
+    val typed = Similarity.lshSignaturesTyped(spark, sf, nTables = 16, bitsPerTable = 5, probes = 2)
+      .collect().map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
+    assert(expr.nonEmpty && expr.size == typed.size)
+    typed.foreach { case (k, b) =>
+      assert(expr(k) == b, s"bucket mismatch at (vec,table,probe)=$k: expr=${expr(k)} typed=$b")
+    }
+  }
+
   test("approx_event_stats_check exports its real error, within HLL++ bounds") {
     val rows = Sketches.approxEventStatsCheck(spark, sf).collect()
     assert(rows.nonEmpty)
