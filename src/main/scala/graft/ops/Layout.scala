@@ -79,11 +79,19 @@ object Layout {
     */
   def zOrderEvidence(spark: SparkSession, d: String, nFiles: Int = 8): DataFrame = {
     val dir = Memo(spark, s"zorder_dir|$d|$nFiles") {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zorder")
+      // scratch layout, not a deliverable: remove it when the JVM exits so
+      // repeated sessions don't accumulate parquet under /tmp
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        val paths = java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+        paths.sortBy(-_.getNameCount).foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+      }
       val ev = Tables.events(spark, d)
         .select(col("user_id").as("u"), Sessions.nanosToDayIdx.as("v"))
-      writeZOrdered(ev, "u", "v", tmp, nFiles)
-      tmp
+      writeZOrdered(ev, "u", "v", tmp.toString, nFiles)
+      tmp.toString
     }
     val uRanges = keyRanges(spark, dir, "u")
     val vRanges = keyRanges(spark, dir, "v")

@@ -18,8 +18,13 @@ object Scoring {
     * broadcast, so the whole query is a single pass over the corpus with
     * two tiny broadcasts — no per-term rescans. All arithmetic is written
     * with the same literal association as the oracle SQL (doubles are
-    * IEEE-deterministic given the same operation order; the one ±1 ulp
-    * exposure is `ln`, which the floor(·1e6) export absorbs).
+    * IEEE-deterministic given the same operation order). Residual risk: the
+    * one cross-engine exposure is `ln` — if JVM Math.log and DuckDB's log
+    * ever differ by 1 ulp on some input, the floor(·1e6) export FLIPS at an
+    * integer boundary rather than absorbing the difference (floor is a step
+    * function; no epsilon can remove the boundary, only move it). Both
+    * engines' logs agree on every value in the test corpora; a mismatch
+    * would surface as a single-row hash diff in the oracle gate.
     */
   def bm25Scores(spark: SparkSession, d: String,
                  terms: Seq[String] = Seq("spark", "stream", "window"),

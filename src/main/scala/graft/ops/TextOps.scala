@@ -222,6 +222,13 @@ object TextOps {
     * so the oracle matches EXACTLY — no floating-point selection boundary.
     * One window shuffle per stratum; WindowGroupLimit prunes to per-partition
     * top-k before the exchange.
+    *
+    * Domain preconditions (like zValue, documented not guarded — the
+    * documents table satisfies both by construction): doc_id >= 0, because
+    * Spark pmod is non-negative while DuckDB % takes the dividend's sign,
+    * so a negative id would hash differently across engines; and
+    * n_chars < 2^31, because n_chars * 2^32 must stay inside BIGINT —
+    * non-ANSI Spark would wrap silently where DuckDB raises.
     */
   def prioritySample(spark: SparkSession, d: String, k: Int = 20): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -194,8 +194,12 @@ object StreamJoin {
   * mirror the MV exactly, deletions included.
   *
   * Scale: state is one (n, c2) pair per LIVE key, partitioned by key;
-  * fully-retracted keys free their state immediately, so state size tracks
-  * the MV's live cardinality, not stream history.
+  * keys whose count returns exactly to zero free their state immediately,
+  * so state size tracks the MV's live cardinality plus any in-flight
+  * out-of-order keys — a key driven NEGATIVE (a retraction delivered before
+  * its insert) keeps its deficit in state until the matching insert nets it
+  * out, because dropping it would silently lose the retraction and leave
+  * the view permanently high once the insert lands.
   */
 object StreamingMv {
 
@@ -218,9 +222,17 @@ object StreamingMv {
           var n = prev.n
           var c2 = prev.c2
           rows.foreach { r => n += r.dn; c2 += r.dc2 }
-          if (n <= 0L) {
+          if (n == 0L) {
             state.remove()
             // tombstone only if the key was live before this batch
+            if (prev.n > 0L) Iterator.single(MvRow(key, 0L, 0L, deleted = true))
+            else Iterator.empty
+          } else if (n < 0L) {
+            // out-of-order CDC (retract before its insert): KEEP the
+            // deficit so the late insert nets to the true aggregate —
+            // clamping here would rebuild from zero and diverge with no
+            // signal. The view meanwhile shows the key as absent.
+            state.update(MvState(n, c2))
             if (prev.n > 0L) Iterator.single(MvRow(key, 0L, 0L, deleted = true))
             else Iterator.empty
           } else {

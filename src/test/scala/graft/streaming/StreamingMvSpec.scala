@@ -50,6 +50,19 @@ class StreamingMvSpec extends SparkSuite {
     q.processAllAvailable()
     val rows4 = spark.table("mv_out").collect().map(_.getString(0))
     assert(!rows4.contains("k9"))
+
+    // out-of-order CDC: k9's deficit was KEPT, so the late matching insert
+    // nets to zero (no spurious row), and only a genuinely new insert
+    // brings the key live — a clamped-to-zero state would instead emit
+    // (1, 5) here and the view would run permanently high
+    mem.addData(Delta("k9", 1L, 5L))
+    q.processAllAvailable()
+    assert(!spark.table("mv_out").collect().map(_.getString(0)).contains("k9"))
+    mem.addData(Delta("k9", 1L, 9L))
+    q.processAllAvailable()
+    val rows5 = spark.table("mv_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows5.contains(("k9", 1L, 9L, false)))
     q.stop()
   }
 }
