@@ -18,6 +18,22 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CdcQueries.itemChanged(spark, "/root/testdata/sf0.001")
 
+  /** The queries WITHOUT DuckDB oracle SQL — approximate (LSH/IVF/sketch)
+    * or engine-evidence ops whose functions DuckDB cannot express; each is
+    * covered by an accuracy/invariant spec instead, and the driver records
+    * the weaker rows-only check. Every [[queries]] key MUST appear in
+    * exactly one of this set or [[oracleSql]] — RegistrySpec enforces the
+    * partition (and that CLAUDE.md's self-check count equals
+    * `oracleSql.size`), so the classification cannot silently drift.
+    */
+  val rowsOnly: Set[String] = Set(
+    "zorder_layout",
+    "approx_event_stats", "approx_event_stats_check",
+    "dedup_minhash_lsh", "dedup_simhash", "simhash_pairs",
+    "ann_topk_lsh", "ann_topk_lsh_recall",
+    "ivf_topk", "ivf_topk_recall",
+    "dedup_embedding")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- CDC pipeline operators (SURVEY.md §2, OP-n) ---
     "cdc_item_changed" -> ((s, d) => CdcQueries.itemChanged(s, d)), // OP-6/7/8/9
@@ -125,6 +141,9 @@ object SparkEntry {
     // --- LLM-data-pipeline: similarity search ---
     // --- LLM-data-pipeline: multimodal binary columns ---
     "media_stats" -> ((s, d) => graft.multimodal.Multimodal.mediaStats(s, d)),
+    // real JDK PNG decode: the oracle recomputes dims + top-left pixel from
+    // doc_id arithmetic; Spark can only match by actually parsing the PNG
+    "image_meta" -> ((s, d) => graft.multimodal.Images.imageMeta(s, d)),
     "topk_similar" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "cosine_pairs" -> ((s, d) => Similarity.cosinePairs(s, d)),
     // ANN, production shape: the probe path alone, un-instrumented — what a
@@ -1123,6 +1142,13 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_payload_bytes,
         |  md5(text) AS payload_digest
         |FROM documents ORDER BY media_id""".stripMargin,
+    "image_meta" ->
+      """SELECT doc_id,
+        |  CAST(16 + doc_id % 32 AS BIGINT) AS width,
+        |  CAST(8 + doc_id % 16 AS BIGINT) AS height,
+        |  'png' AS format,
+        |  CAST((doc_id * 1103515245) % 16777216 AS BIGINT) AS pixel00
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "topk_similar" ->
       """WITH emb AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,

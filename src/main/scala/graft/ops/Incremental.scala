@@ -59,23 +59,25 @@ object Incremental {
     * the unpruned join. At 100 TB the win is shuffling ~sel·|lineitem|
     * rows instead of all of them for a few MB of broadcast.
     *
-    * The probe is a Scala UDF by necessity — `might_contain` is not in the
-    * public `functions` API — but it's one O(1) hash per row ahead of a
-    * shuffle it shrinks; the spec asserts both the pruning and the
-    * equality with the unpruned plan.
+    * The probe is the engine's own `BloomFilterMightContain` expression
+    * (via the graftx Bridge — `might_contain` is not in the public
+    * `functions` API), the exact node Spark's runtime row-level filtering
+    * injects: codegen'd, no per-row boxing, and the serialized sketch rides
+    * the plan as a binary literal (task-broadcast once per stage). The spec
+    * asserts both the pruning and the equality with the unpruned plan.
     */
   def bloomPrunedSemiJoin(spark: SparkSession, d: String): DataFrame = {
     val urgent = Tables.orders(spark, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
     val bloom = urgent.stat.bloomFilter("o_orderkey", expectedNumItems = 1000000L, fpp = 0.01)
-    // captured in the UDF closure, NOT sparkContext.broadcast: Spark already
-    // broadcasts the serialized task closure per stage, and the closure's
-    // lifetime ends with the plan — an explicit broadcast of the sketch
-    // would leak per invocation (nothing here can destroy() it after the
-    // caller's action runs).
-    val mightContain = udf((k: Long) => bloom.mightContain(k))
-    val pruned = Tables.lineitem(spark, d).filter(mightContain(col("l_orderkey")))
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val pruned = Tables.lineitem(spark, d)
+      .filter(org.apache.spark.sql.graftx.Bridge.bloomMightContain(bloomBytes, col("l_orderkey")))
     pruned.join(urgent, pruned("l_orderkey") === urgent("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), Exact.sumLong(Exact.c2(col("l_quantity"))).as("qty_c2"))

@@ -28,6 +28,10 @@ object Warm {
     Similarity.lshIndex(spark, d, Similarity.DefaultTables,
       Similarity.adaptiveBits(Similarity.corpusSize(spark, d)),
       Similarity.DefaultProbes).count()
+    // synthesized PNG input table (test fixture, not operator work): like
+    // the CDC synth frames, charging its creation to image_meta would time
+    // input generation, not the decode operator
+    graft.multimodal.Images.images(spark, d).count()
     ()
   }
 }

@@ -51,4 +51,22 @@ class MultimodalSpec extends SparkSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"decode should not shuffle:\n${plan.take(400)}")
   }
+
+  test("real PNG round-trip: synthesized bytes decode to the contract dims and pixels") {
+    // driver-side codec law first: a PNG we wrote re-reads pixel-exact
+    val id = 37L
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Images.pngBytes(id)))
+    assert(img.getWidth == Images.widthOf(id) && img.getHeight == Images.heightOf(id))
+    assert((img.getRGB(2, 3) & 0xffffff) == Images.pixelOf(id, 2, 3))
+    // the distributed operator decodes EVERY image and must reproduce the
+    // id-derived contract — this is what the DuckDB oracle recomputes
+    val rows = Images.imageMeta(spark, sf).collect()
+    assert(rows.length == graft.ops.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      assert(r.getLong(1) == Images.widthOf(d) && r.getLong(2) == Images.heightOf(d))
+      assert(r.getLong(4) == (Images.pixelOf(d, 0, 0).toLong & 0xffffffL))
+    }
+  }
 }

@@ -23,7 +23,13 @@ class IncrementalSpec extends SparkSuite {
   }
 
   test("bloomPrunedSemiJoin equals the unpruned plan and the bloom actually prunes") {
-    val pruned = Incremental.bloomPrunedSemiJoin(spark, sf).collect().toSeq
+    val prunedDf = Incremental.bloomPrunedSemiJoin(spark, sf)
+    // the probe is the native BloomFilterMightContain expression, not a
+    // boxed Scala UDF — pin it so a refactor can't silently reintroduce one
+    val planStr = prunedDf.queryExecution.executedPlan.toString
+    assert(planStr.contains("might_contain"), s"bloom probe missing from plan:\n$planStr")
+    assert(!planStr.contains("UDF"), s"boxed UDF reappeared in bloom plan:\n$planStr")
+    val pruned = prunedDf.collect().toSeq
     val plain = Incremental.plainSemiJoin(spark, sf).collect().toSeq
     assert(pruned == plain)
     assert(pruned.nonEmpty)
