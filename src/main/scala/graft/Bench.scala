@@ -90,8 +90,19 @@ object Bench {
       s"\"" + k + "\":" + mb1(s.memorySpillBytes + s.diskSpillBytes)
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
+    // streaming throughput evidence: one e2e CDC pipeline run (DSv2 source
+    // → record program → claim-check + bus sink), reported from the
+    // engine's own StreamingQueryProgress. Untimed relative to `total` —
+    // it is its own section, not a queries entry.
+    val streamingJson = try {
+      val st = graft.obs.StreamingBench.cdcE2e(spark, sfDir)
+      def r2(v: Double) = math.rint(v * 100) / 100.0
+      s""""streaming":{"input_rows":${st.inputRows},"bus_rows":${st.busRows},""" +
+        s""""batches":${st.batches},"wall_sec":${r2(st.wallSec)},""" +
+        s""""rows_per_sec":${r2(st.rowsPerSec)},"avg_batch_ms":${r2(st.avgBatchMs)}},"""
+    } catch { case _: Throwable => "" }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""shuffle_write_mb":$sh,"spill_mb":$sp,"sf":"$sfDir"}"""
+      s""""shuffle_write_mb":$sh,"spill_mb":$sp,$streamingJson"sf":"$sfDir"}"""
     val outPath = if (args.nonEmpty) args(0) else "BENCH.json"
     Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
     // The driver keeps only the LAST ~2000 chars of output, so the full
@@ -120,7 +131,7 @@ object Bench {
       (s"\"_other\":" + otherSum)).mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${s1(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"queries":$keptJson,""" +
-      s""""detail":"BENCH.json","sf":"$sfDir"}"""
+      s"""$streamingJson"detail":"BENCH.json","sf":"$sfDir"}"""
     spark.stop()
     // Final line of output, after the Spark shutdown noise.
     println(compact)

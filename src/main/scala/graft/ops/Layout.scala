@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, shiftleft}
+import org.apache.spark.sql.functions.{col, expr, lit, shiftleft}
 
 /** Data-layout control — the other half of predicate pushdown. A pushed
   * filter only pays off if the files' zone maps (parquet row-group min/max
@@ -54,31 +54,106 @@ object Layout {
     spread(a).bitwiseOR(shiftleft(spread(b), 1)).bitwiseXOR(lit(Long.MinValue))
   }
 
-  /** Z-order cluster + sort on write: like [[writeClustered]] but every
-    * output file owns a compact 2-D BOX of (k1, k2) instead of a 1-D range
-    * of k1 — zone maps then prune scans filtered on either key.
+  /** 3-D Morton spread: 21 low bits of `c`, each followed by two zero bits
+    * (stride 3) — the classic mask-shift ladder for three-way interleave,
+    * same all-codegen'd shape as the 2-D [[zValue]] spread.
     */
-  def writeZOrdered(df: DataFrame, k1: String, k2: String, path: String, nFiles: Int): Unit = {
+  private def spread3(c: Column): Column = {
+    var x = c.cast("long").bitwiseAND(lit(0x1FFFFFL))
+    def step(shiftBits: Int, mask: Long) = {
+      x = x.bitwiseOR(shiftleft(x, shiftBits)).bitwiseAND(lit(mask))
+    }
+    step(32, 0x1F00000000FFFFL)
+    step(16, 0x1F0000FF0000FFL)
+    step(8, 0x100F00F00F00F00FL)
+    step(4, 0x10C30C30C30C30C3L)
+    step(2, 0x1249249249249249L)
+    x
+  }
+
+  /** k-column Morton (Z-order) sort key, 64/k bits per key:
+    * k=2 → [[zValue]] (32 bits each), k=3 → 21-bit three-way interleave,
+    * k=4 → 16 bits each via two-level 2-D interleave (bit i of key j lands
+    * at position 4i + permutation(j) — any fixed bit permutation preserves
+    * the locality property, so the composed form is a true 4-D z curve).
+    * Same unsigned-order XOR as [[zValue]]: k=3 tops out at bit 62 where
+    * the flip is a harmless constant; for k=2/4 it keeps bit 63 out of the
+    * sign. Keys alias outside [0, 2^(64/k)).
+    *
+    * Not k>4: 64/k ≤ 12 bits per key aliases real id domains too coarsely
+    * to prune anything — at that width, range-cluster on the two hottest
+    * keys instead.
+    */
+  def zValueK(keys: Seq[Column]): Column = keys.length match {
+    case 2 => zValue(keys(0), keys(1))
+    case 3 =>
+      spread3(keys(0))
+        .bitwiseOR(shiftleft(spread3(keys(1)), 1))
+        .bitwiseOR(shiftleft(spread3(keys(2)), 2))
+        .bitwiseXOR(lit(Long.MinValue))
+    case 4 =>
+      // interleave (a,c) and (b,d) 2-D-wise on 16-bit halves, then
+      // interleave the two 32-bit results — stride composes to 4
+      def half(c: Column): Column = c.cast("long").bitwiseAND(lit(0xFFFFL))
+      zValue(
+        zValue(half(keys(0)), half(keys(2))).bitwiseXOR(lit(Long.MinValue)),
+        zValue(half(keys(1)), half(keys(3))).bitwiseXOR(lit(Long.MinValue)))
+    case n => throw new IllegalArgumentException(
+      s"zValueK supports 2-4 keys, got $n (beyond 4, 64/k-bit aliasing stops pruning)")
+  }
+
+  /** Z-order cluster + sort on write: like [[writeClustered]] but every
+    * output file owns a compact k-D BOX of the keys instead of a 1-D range
+    * of the first — zone maps then prune scans filtered on ANY of them.
+    */
+  def writeZOrdered(df: DataFrame, k1: String, k2: String, path: String, nFiles: Int): Unit =
+    writeZOrderedK(df, Seq(k1, k2), path, nFiles)
+
+  def writeZOrderedK(df: DataFrame, keys: Seq[String], path: String, nFiles: Int): Unit = {
     require(!df.columns.contains("__z"),
       "input already has a __z column — rename it before z-ordering")
-    df.withColumn("__z", zValue(col(k1), col(k2)))
+    df.withColumn("__z", zValueK(keys.map(col)))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Target-size compaction for analytic tables — the counterpart of the
+    * bus sink's `compactBus`, but layout-preserving: file count is sized
+    * from the SOURCE's actual bytes (total / targetBytes, the Delta/Iceberg
+    * OPTIMIZE recipe), and the rewrite re-clusters on `keyCol` so zone-map
+    * pruning survives the compaction instead of being shuffled away.
+    * Returns the file count written. At 100 TB this runs per partition of a
+    * date-partitioned table, not over the whole table at once.
+    */
+  def compactTo(spark: SparkSession, inPath: String, keyCol: String,
+      outPath: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(inPath)
+    val fs = dir.getFileSystem(conf)
+    val totalBytes = fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    require(totalBytes > 0, s"no parquet data under $inPath")
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    writeClustered(spark.read.parquet(inPath), keyCol, outPath, nFiles)
+    nFiles
+  }
+
   /** Driver-visible z-order evidence (rows-only query `zorder_layout`):
-    * writes events (user_id, day_idx) z-ordered once per session (Memo'd
-    * temp dir), then reads the parquet footers back and emits each file's
-    * (min, max, span) box on BOTH dimensions. The span columns are the
-    * self-checking invariant: a working z-order bounds every file on both
-    * keys, where 1-D clustering leaves the second span at the full domain
-    * (the OpsSpec pins the contrast; this exports it to the driver
-    * artifact). Footer reading is driver-side but bounded by nFiles.
+    * writes events (user_id, day_idx, hour-of-day) 3-D z-ordered once per
+    * session (Memo'd temp dir), then reads the parquet footers back and
+    * emits each file's (min, max, span) box on ALL THREE dimensions. The
+    * span columns are the self-checking invariant: a working z-order bounds
+    * every file on every key, where 1-D clustering leaves the later spans
+    * at the full domain (the OpsSpec pins the contrast; this exports it to
+    * the driver artifact). Footer reading is driver-side but bounded by
+    * nFiles.
     */
   def zOrderEvidence(spark: SparkSession, d: String, nFiles: Int = 8): DataFrame = {
-    val dir = Memo(spark, s"zorder_dir|$d|$nFiles") {
+    val dir = Memo(spark, s"zorder_dir3|$d|$nFiles") {
       val tmp = java.nio.file.Files.createTempDirectory("graft_zorder")
       // scratch layout, not a deliverable: remove it when the JVM exits so
       // repeated sessions don't accumulate parquet under /tmp
@@ -89,18 +164,21 @@ object Layout {
           try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
       }
       val ev = Tables.events(spark, d)
-        .select(col("user_id").as("u"), Sessions.nanosToDayIdx.as("v"))
-      writeZOrdered(ev, "u", "v", tmp.toString, nFiles)
+        .select(col("user_id").as("u"), Sessions.nanosToDayIdx.as("v"),
+          expr("pmod((((ts - pmod(ts, 1000000)) div 1000000) div 3600000), 24)").as("w"))
+      writeZOrderedK(ev, Seq("u", "v", "w"), tmp.toString, nFiles)
       tmp.toString
     }
     val uRanges = keyRanges(spark, dir, "u")
     val vRanges = keyRanges(spark, dir, "v")
-    val rows = uRanges.zip(vRanges).zipWithIndex.map {
-      case (((_, umn, umx), (_, vmn, vmx)), i) =>
-        (i.toLong, umn, umx, umx - umn, vmn, vmx, vmx - vmn)
+    val wRanges = keyRanges(spark, dir, "w")
+    val rows = uRanges.zip(vRanges).zip(wRanges).zipWithIndex.map {
+      case ((((_, umn, umx), (_, vmn, vmx)), (_, wmn, wmx)), i) =>
+        (i.toLong, umn, umx, umx - umn, vmn, vmx, vmx - vmn, wmn, wmx, wmx - wmn)
     }
     import spark.implicits._
-    rows.toDF("file_idx", "u_min", "u_max", "u_span", "v_min", "v_max", "v_span")
+    rows.toDF("file_idx", "u_min", "u_max", "u_span", "v_min", "v_max", "v_span",
+        "w_min", "w_max", "w_span")
       .orderBy("file_idx")
   }
 

@@ -606,6 +606,48 @@ class OpsSpec extends SparkSuite {
     assert(v2Span <= 32.0, s"v span $v2Span across the 2^31 boundary — signed z split the curve")
   }
 
+  test("3-D z-order: every file bounds a compact box on ALL THREE dimensions") {
+    import spark.implicits._
+    // 16^3 grid; 16 files — ideal tiles are 16x16x4-ish boxes, and a 1-D
+    // or 2-D layout would leave the remaining dimension(s) at full span
+    val grid = (for (u <- 0L until 16L; v <- 0L until 16L; w <- 0L until 16L)
+      yield (u, v, w)).toDF("u", "v", "w")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder3").toString
+    Layout.writeZOrderedK(grid, Seq("u", "v", "w"), dir, nFiles = 16)
+    for (k <- Seq("u", "v", "w")) {
+      val span = Layout.keyRanges(spark, dir, k).map { case (_, mn, mx) => mx - mn }.sum / 16.0
+      assert(span <= 8.0, s"$k span $span of domain 15 — 3-D z-order not clustering it")
+    }
+  }
+
+  test("compactTo sizes file count from source bytes and preserves clustering") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-compact-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
+    // small-files problem: 64 files of ~180 rows each
+    spark.range(12000).select(col("id").as("k"), sha2(col("id").cast("string"), 256).as("pad"))
+      .repartition(64).write.mode("overwrite").parquet(src)
+    val conf = spark.sessionState.newHadoopConf()
+    def files(p: String) = {
+      val d = new org.apache.hadoop.fs.Path(p)
+      d.getFileSystem(conf).listStatus(d).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    val totalBytes = files(src).map(_.getLen).sum
+    val target = totalBytes / 4
+    val n = Layout.compactTo(spark, src, "k", out, target)
+    assert(n == math.ceil(totalBytes.toDouble / target).toInt)
+    assert(files(out).size == n, s"wrote ${files(out).size} files, sized $n")
+    // rows preserved, layout clustered: file key ranges are disjoint
+    assert(spark.read.parquet(out).count() == 12000L)
+    val ranges = Layout.keyRanges(spark, out, "k").map { case (_, mn, mx) => (mn, mx) }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"compacted files overlap on k: $ranges")
+      case _ => ()
+    }
+  }
+
   test("stratified sample: deterministic, rates land near their strata targets") {
     val s1 = TextOps.stratifiedSample(spark, sf).collect()
     val s2 = TextOps.stratifiedSample(spark, sf).collect()

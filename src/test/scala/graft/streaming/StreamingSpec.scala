@@ -250,4 +250,13 @@ class StreamingSpec extends SparkSuite {
     q.stop()
     assert(rows == Set((1L, Some("GOLD")), (2L, None), (3L, Some("SILVER"))), rows.toString)
   }
+
+  test("StreamingBench e2e stats populate (the BENCH.json streaming section)") {
+    val st = graft.obs.StreamingBench.cdcE2e(spark, sf, nFiles = 4)
+    assert(st.inputRows > 0, "no synth input written")
+    // the record program suppresses no-op MODIFYs, so bus <= input but > 0
+    assert(st.busRows > 0 && st.busRows <= st.inputRows, st.toString)
+    assert(st.batches > 0 && st.wallSec > 0 && st.rowsPerSec > 0, st.toString)
+    assert(st.avgBatchMs > 0, s"durationMs not surfaced: $st")
+  }
 }
