@@ -97,9 +97,20 @@ object PlanDoc {
       "INSERT (+1) and REMOVE (-1) delta rows into one hash aggregate with map-side partials; " +
       "cost is O(delta + live keys), never O(history), and exactly-cancelled groups drop."),
     "bloom_semi_join" -> ("Runtime bloom pruning: the build side aggregates into one bounded " +
-      "sketch, broadcasts, and filters the probe BEFORE its shuffle; the exact semi join " +
-      "afterwards removes false positives, so the plan is identical-result but " +
-      "shuffle-proportional to selectivity."),
+      "sketch that rides the plan as a binary literal probed by the engine's native " +
+      "BloomFilterMightContain expression (codegen'd, no UDF boxing), filtering the probe " +
+      "BEFORE its shuffle; the exact semi join afterwards removes false positives, so the " +
+      "plan is identical-result but shuffle-proportional to selectivity."),
+    "ann_topk_lsh" -> ("Multi-probe LSH ANN: one codegen'd HyperplaneBuckets expression emits " +
+      "home + lowest-margin flipped buckets per table (the whole index build stays in " +
+      "whole-stage codegen); candidates are a (table, bucket) join of probe rows against " +
+      "home rows with embeddings riding the index — zero joins back to the corpus — and the " +
+      "top-k is ONE dense_rank window whose pre-shuffle prune is Spark's native " +
+      "WindowGroupLimit. Candidate volume ~n*tables*(1+probes)*bucket at ANY corpus size."),
+    "image_meta" -> ("Real PNG decode as a narrow partition-preserving map: BINARY column in, " +
+      "typed (width, height, format, pixel) out, one ImageIO reader per task — no shuffle, " +
+      "no driver involvement; the DuckDB oracle recomputes the id-derived contract values, " +
+      "so the hash match certifies the decode itself."),
     "bm25_scores" -> ("BM25 as one corpus scan: term-match rows materialize once (Memo+persist) " +
       "and feed both the df aggregate and the scoring pivot; df and avgdl side tables " +
       "broadcast; FP association order is pinned to the oracle's so floor(1e6) exports match."),
