@@ -144,6 +144,9 @@ object SparkEntry {
     // real JDK PNG decode: the oracle recomputes dims + top-left pixel from
     // doc_id arithmetic; Spark can only match by actually parsing the PNG
     "image_meta" -> ((s, d) => graft.multimodal.Images.imageMeta(s, d)),
+    // real JDK WAV decode: rate/channels/frames/first-sample re-derived by
+    // the decoder, recomputed arithmetically by the oracle
+    "audio_meta" -> ((s, d) => graft.multimodal.Audio.audioMeta(s, d)),
     "topk_similar" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "cosine_pairs" -> ((s, d) => Similarity.cosinePairs(s, d)),
     // ANN, production shape: the probe path alone, un-instrumented — what a
@@ -1142,6 +1145,14 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_payload_bytes,
         |  md5(text) AS payload_digest
         |FROM documents ORDER BY media_id""".stripMargin,
+    "audio_meta" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |       WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(400 + (doc_id % 50) * 16 AS BIGINT) AS n_frames,
+        |  CAST((doc_id * 31) % 65536 - 32768 AS BIGINT) AS sample0
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "image_meta" ->
       """SELECT doc_id,
         |  CAST(16 + doc_id % 32 AS BIGINT) AS width,

@@ -1,0 +1,95 @@
+package graft.multimodal
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Memo, Tables}
+
+/** REAL audio columns end-to-end, JDK-only (the audio sibling of
+  * [[Images]]): deterministic 16-bit PCM WAV files are written with
+  * `javax.sound.sampled` (RIFF/WAVE encode-decode ships in the JDK), stored
+  * as opaque BINARY, and decoded back by [[audioMeta]] — sample rate,
+  * channel count, frame count, and the first PCM sample all come from the
+  * REAL decoder walking the RIFF chunks, while the oracle recomputes the
+  * same values from doc_id arithmetic. A hash match certifies the decode
+  * round-trip, exactly like `image_meta`.
+  */
+object Audio {
+
+  final case class AudioRecord(doc_id: Long, wav: Array[Byte])
+
+  /** Format contracts — shared by synthesis, the oracle SQL, and the spec. */
+  private val Rates = Array(8000, 16000, 22050, 44100)
+  def rateOf(id: Long): Int = Rates((id % 4).toInt)
+  def channelsOf(id: Long): Int = 1 + (id % 2).toInt
+  def framesOf(id: Long): Int = 400 + (id % 50).toInt * 16
+
+  /** Deterministic PCM fill, recomputable in ANSI SQL for sample index i:
+    * `((id*31 + i*7) % 65536) - 32768`.
+    */
+  def sampleOf(id: Long, i: Int): Int =
+    (((id * 31L + i.toLong * 7L) % 65536L) - 32768L).toInt
+
+  def wavBytes(id: Long): Array[Byte] = {
+    val channels = channelsOf(id)
+    val frames = framesOf(id)
+    val n = frames * channels
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = sampleOf(id, i)
+      data(2 * i) = (v & 0xff).toByte            // 16-bit PCM, little-endian
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rateOf(id).toFloat, 16, channels, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** The binary audio table, session-memoized + persisted (ingest-time
+    * fixture cost, shared by decode + spec — same policy as [[Images]]).
+    */
+  def audio(spark: SparkSession, d: String): Dataset[AudioRecord] =
+    Memo(spark, s"audio|$d") {
+      import spark.implicits._
+      Tables.documents(spark, d)
+        .select(col("doc_id")).as[Long]
+        .map(id => AudioRecord(id, wavBytes(id)))
+        .persist()
+    }
+
+  /** Decode operator: WAV bytes → (rate, channels, frames, first sample).
+    * Batch-shaped `mapPartitions`, narrow, no shuffle; BIGINT outputs for
+    * oracle parity.
+    */
+  def audioMeta(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    audio(spark, d)
+      .mapPartitions { it =>
+        // per-partition init point (real impl: acquire codec handle once)
+        it.map { r =>
+          val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.wav))
+          try {
+            val f = ais.getFormat
+            // AudioInputStream reads whole FRAMES (4 bytes when stereo) —
+            // a 2-byte read returns nothing; take channel 0 of frame 0
+            val first = new Array[Byte](f.getFrameSize)
+            require(ais.read(first) == f.getFrameSize,
+              s"empty PCM stream for doc ${r.doc_id}")
+            val sample0 = ((first(1) << 8) | (first(0) & 0xff)).toLong
+            (r.doc_id, f.getSampleRate.toLong, f.getChannels.toLong,
+              ais.getFrameLength, sample0)
+          } finally ais.close()
+        }
+      }
+      .toDF("doc_id", "sample_rate", "channels", "n_frames", "sample0")
+      .orderBy("doc_id")
+  }
+}

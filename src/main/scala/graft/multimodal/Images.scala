@@ -70,6 +70,31 @@ object Images {
         .persist()
     }
 
+  /** REAL resize: decode → Java2D scale → re-encode, all JDK. The
+    * distributed form maps it over the binary column partition-by-partition
+    * like [[imageMeta]] ([[Multimodal.resize]] remains the stub-container
+    * variant exercising the same pipeline shape).
+    */
+  def resizePng(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val src = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(src != null, "undecodable PNG input to resize")
+    val dst = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+      g.drawImage(src, 0, 0, w, h, null)
+    } finally g.dispose()
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(dst, "png", bos)
+    bos.toByteArray
+  }
+
+  def resized(spark: SparkSession, d: String, w: Int, h: Int): Dataset[ImageRecord] = {
+    import spark.implicits._
+    images(spark, d).mapPartitions(it => it.map(r => ImageRecord(r.doc_id, resizePng(r.png, w, h))))
+  }
+
   /** Decode operator: PNG bytes → (width, height, format, top-left pixel).
     * Batch-shaped `mapPartitions`: the `ImageReader` lookup happens once
     * per partition (where a heavier codec/model handle would be opened),

@@ -32,6 +32,7 @@ object Warm {
     // the CDC synth frames, charging its creation to image_meta would time
     // input generation, not the decode operator
     graft.multimodal.Images.images(spark, d).count()
+    graft.multimodal.Audio.audio(spark, d).count()
     ()
   }
 }

@@ -52,6 +52,36 @@ class MultimodalSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"decode should not shuffle:\n${plan.take(400)}")
   }
 
+  test("real WAV round-trip: synthesized bytes decode to the contract format and samples") {
+    // driver-side codec law: the WAV we wrote re-reads format- and
+    // sample-exact through the JDK RIFF decoder
+    val id = 41L
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(Audio.wavBytes(id)))
+    assert(ais.getFormat.getSampleRate.toInt == Audio.rateOf(id))
+    assert(ais.getFormat.getChannels == Audio.channelsOf(id))
+    assert(ais.getFrameLength == Audio.framesOf(id).toLong)
+    // the distributed operator must reproduce the id-derived contract
+    val rows = Audio.audioMeta(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      assert(r.getLong(1) == Audio.rateOf(d).toLong, s"rate mismatch at $d")
+      assert(r.getLong(2) == Audio.channelsOf(d).toLong)
+      assert(r.getLong(3) == Audio.framesOf(d).toLong)
+      assert(r.getLong(4) == Audio.sampleOf(d, 0).toLong, s"sample0 mismatch at $d")
+    }
+  }
+
+  test("real PNG resize: Java2D rescale re-encodes to the target dims, decodable") {
+    val out = Images.resized(spark, sf, 24, 12).collect()
+    assert(out.nonEmpty)
+    out.take(20).foreach { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.png))
+      assert(img != null && img.getWidth == 24 && img.getHeight == 12)
+    }
+  }
+
   test("real PNG round-trip: synthesized bytes decode to the contract dims and pixels") {
     // driver-side codec law first: a PNG we wrote re-reads pixel-exact
     val id = 37L
