@@ -94,6 +94,7 @@ object SparkEntry {
     "batch_packing" -> ((s, d) => TextOps.batchPacking(s, d)),
     "priority_sample" -> ((s, d) => TextOps.prioritySample(s, d)),
     "mv_incremental_apply" -> ((s, d) => Incremental.mvIncrementalApply(s, d)),
+    "mv_join_delta" -> ((s, d) => Incremental.mvJoinDelta(s, d)),
     "bloom_semi_join" -> ((s, d) => Incremental.bloomPrunedSemiJoin(s, d)),
     "bm25_scores" -> ((s, d) => Scoring.bm25Scores(s, d)),
     "editdist_pairs" -> ((s, d) => Scoring.editDistPairs(s, d)),
@@ -745,6 +746,12 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1999-01-01' OR o_orderstatus <> 'F'
         |GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+    "mv_join_delta" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_c2
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1999-01-01' OR o.o_orderstatus <> 'F'
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "bloom_semi_join" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS qty_c2

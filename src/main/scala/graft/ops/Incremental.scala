@@ -50,6 +50,54 @@ object Incremental {
       .orderBy("o_custkey")
   }
 
+  /** Incremental JOIN-view maintenance — the join-side counterpart of
+    * [[mvIncrementalApply]]: V = orders ⋈ customer maintained under deltas
+    * on BOTH inputs by the textbook IVM algebra
+    *
+    *   ΔV = ΔA⁺⋈B_old ∪ A_old⋈ΔB ∪ ΔA⁺⋈ΔB ∪ (−1)·ΔA⁻⋈B_full
+    *
+    * where ΔA⁺ = post-split orders, ΔA⁻ = retracted pre-split 'F' orders
+    * (the CDC REMOVE envelopes), and ΔB = late-arriving customer rows
+    * (c_custkey ≡ 0 mod 10). The retraction term joins the FULL dimension:
+    * a cancelled row must cancel regardless of whether its partner arrived
+    * in the snapshot or the delta. Every term carries a sign; the final
+    * aggregate folds signs, so the result equals the from-scratch join on
+    * the post-delta state — the oracle checks exactly that, certifying the
+    * algebra, not a shortcut.
+    *
+    * Scale shape: in production V_old is the STORED view (read back, not
+    * recomputed — here it is recomputed only to feed the union, since this
+    * query owns no storage); every delta term joins a SMALL delta against
+    * one big side, so maintenance cost is O(|ΔA|·fanout + |ΔB|·fanout +
+    * |V|) per batch — never a re-join of the full inputs.
+    */
+  def mvJoinDelta(spark: SparkSession, d: String,
+                  split: String = "1999-01-01"): DataFrame = {
+    val splitTs = to_timestamp(lit(split))
+    val ord = Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderstatus"), Exact.c2(col("o_totalprice")).as("c2"))
+    val cust = Tables.customer(spark, d).select(col("c_custkey"), col("c_mktsegment"))
+    val aOld = ord.filter(col("o_orderdate") < splitTs)
+    val aIns = ord.filter(col("o_orderdate") >= splitTs)
+    val aRem = ord.filter(col("o_orderdate") < splitTs && col("o_orderstatus") === "F")
+    val bOld = cust.filter(col("c_custkey") % 10 =!= 0)
+    val bNew = cust.filter(col("c_custkey") % 10 === 0)
+    def term(a: DataFrame, b: DataFrame, sign: Int): DataFrame =
+      a.join(b, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), lit(sign.toLong).as("sign"), col("c2"))
+    term(aOld, bOld, 1)        // V_old (stored in production)
+      .unionAll(term(aIns, bOld, 1))  // ΔA⁺ ⋈ B_old
+      .unionAll(term(aOld, bNew, 1))  // A_old ⋈ ΔB
+      .unionAll(term(aIns, bNew, 1))  // ΔA⁺ ⋈ ΔB
+      .unionAll(term(aRem, cust, -1)) // retractions cancel against B_full
+      .groupBy(col("c_mktsegment"))
+      .agg(Exact.sumLong(col("sign")).as("n_rows"),
+        Exact.sumLong(col("sign") * col("c2")).as("revenue_c2"))
+      .filter(col("n_rows") > 0)
+      .orderBy("c_mktsegment")
+  }
+
   /** Bloom-pruned semi join: lineitems of urgent orders. Builds a bloom
     * filter over the build side's keys (`DataFrameStatFunctions.bloomFilter`
     * — a distributed aggregation producing one bounded sketch, the public

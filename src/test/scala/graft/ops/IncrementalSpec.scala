@@ -22,6 +22,27 @@ class IncrementalSpec extends SparkSuite {
     assert(retracted > 0)
   }
 
+  test("mvJoinDelta: the IVM algebra equals a from-scratch join on the post-delta state") {
+    val delta = Incremental.mvJoinDelta(spark, sf).collect().toSeq
+    // independent recompute: join the post-delta state directly
+    val ord = Tables.orders(spark, sf)
+    val scratch = ord
+      .filter(col("o_orderdate") >= to_timestamp(lit("1999-01-01")) ||
+        col("o_orderstatus") =!= "F")
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        Exact.sumLong(Exact.c2(col("o_totalprice"))).as("revenue_c2"))
+      .orderBy("c_mktsegment")
+      .collect().toSeq
+    assert(delta.nonEmpty && delta == scratch)
+    // the retraction term is load-bearing: dropping it must change counts
+    val total = delta.map(_.getLong(1)).sum
+    val unretracted = ord
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey")).count()
+    assert(total < unretracted, "retractions did not cancel anything")
+  }
+
   test("bloomPrunedSemiJoin equals the unpruned plan and the bloom actually prunes") {
     val prunedDf = Incremental.bloomPrunedSemiJoin(spark, sf)
     // the probe is the native BloomFilterMightContain expression, not a
