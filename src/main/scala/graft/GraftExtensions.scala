@@ -45,8 +45,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "graft_text_scan(text) takes 1 argument")
         TextScan(children.head)
       }))
+    // z-order sort keys for SQL-side CLUSTER BY / ORDER BY layout control:
+    // SELECT * FROM t DISTRIBUTE BY graft_zvalue(u, v) SORT BY graft_zvalue(u, v).
+    // Built from catalyst nodes (a Column-DSL tree stays unresolved inside a
+    // function builder); the mask ladders are shared with Layout, and the
+    // extensions spec pins SQL output == Scala API output.
+    ext.injectFunction((
+      FunctionIdentifier("graft_zvalue"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_zvalue"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 || children.length == 3,
+          "graft_zvalue(k1, k2[, k3]) takes 2 or 3 keys")
+        GraftExtensions.zValueExpr(children)
+      }))
     // regex-count queries silently upgrade to the one-pass scanner
     // (semantics-preserving subset only — see the rule's scaladoc)
     ext.injectOptimizerRule(_ => graft.plans.FuseTextScanRule)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, BitwiseXor, Cast, Literal, ShiftLeft}
+  import org.apache.spark.sql.types.LongType
+
+  import graft.ops.Layout
+
+  /** Catalyst form of [[graft.ops.Layout.zValueK]] for the SQL function —
+    * identical bit ladders (constants shared via Layout), resolved
+    * expression tree so the analyzer and codegen see plain bit ops.
+    */
+  private[graft] def zValueExpr(keys: Seq[Expression]): Expression = {
+    def l(v: Long): Expression = Literal(v, LongType)
+    def spread(init: Long, steps: Seq[(Int, Long)], c: Expression): Expression =
+      steps.foldLeft[Expression](BitwiseAnd(Cast(c, LongType), l(init))) {
+        case (x, (sh, mask)) =>
+          BitwiseAnd(BitwiseOr(x, ShiftLeft(x, Literal(sh))), l(mask))
+      }
+    val z = keys match {
+      case Seq(a, b) =>
+        BitwiseOr(spread(Layout.Spread2Init, Layout.Spread2Steps, a),
+          ShiftLeft(spread(Layout.Spread2Init, Layout.Spread2Steps, b), Literal(1)))
+      case Seq(a, b, c) =>
+        BitwiseOr(
+          BitwiseOr(spread(Layout.Spread3Init, Layout.Spread3Steps, a),
+            ShiftLeft(spread(Layout.Spread3Init, Layout.Spread3Steps, b), Literal(1))),
+          ShiftLeft(spread(Layout.Spread3Init, Layout.Spread3Steps, c), Literal(2)))
+      case other => throw new IllegalArgumentException(
+        s"graft_zvalue takes 2 or 3 keys, got ${other.length}")
+    }
+    BitwiseXor(z, l(Long.MinValue))
   }
 }

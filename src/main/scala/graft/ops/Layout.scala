@@ -38,19 +38,25 @@ object Layout {
     * the XOR with Long.MinValue restores unsigned order in the signed
     * domain. Keys outside [0, 2^32) alias after the low-32 mask.
     */
+  /** The mask-shift ladders, shared with the SQL-function registration in
+    * [[graft.GraftExtensions]] (which builds the same tree from catalyst
+    * nodes) — one source of truth for the bit constants; the extensions
+    * spec pins SQL == Scala API output.
+    */
+  private[graft] val Spread2Init = 0xFFFFFFFFL
+  private[graft] val Spread2Steps: Seq[(Int, Long)] = Seq(
+    16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL, 4 -> 0x0F0F0F0F0F0F0F0FL,
+    2 -> 0x3333333333333333L, 1 -> 0x5555555555555555L)
+  private[graft] val Spread3Init = 0x1FFFFFL
+  private[graft] val Spread3Steps: Seq[(Int, Long)] = Seq(
+    32 -> 0x1F00000000FFFFL, 16 -> 0x1F0000FF0000FFL, 8 -> 0x100F00F00F00F00FL,
+    4 -> 0x10C30C30C30C30C3L, 2 -> 0x1249249249249249L)
+
   def zValue(a: Column, b: Column): Column = {
-    def spread(c: Column): Column = {
-      var x = c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))
-      def step(shiftBits: Int, mask: Long) = {
-        x = x.bitwiseOR(shiftleft(x, shiftBits)).bitwiseAND(lit(mask))
+    def spread(c: Column): Column =
+      Spread2Steps.foldLeft(c.cast("long").bitwiseAND(lit(Spread2Init))) {
+        case (x, (sh, mask)) => x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(mask))
       }
-      step(16, 0x0000FFFF0000FFFFL)
-      step(8, 0x00FF00FF00FF00FFL)
-      step(4, 0x0F0F0F0F0F0F0F0FL)
-      step(2, 0x3333333333333333L)
-      step(1, 0x5555555555555555L)
-      x
-    }
     spread(a).bitwiseOR(shiftleft(spread(b), 1)).bitwiseXOR(lit(Long.MinValue))
   }
 
@@ -58,18 +64,10 @@ object Layout {
     * (stride 3) — the classic mask-shift ladder for three-way interleave,
     * same all-codegen'd shape as the 2-D [[zValue]] spread.
     */
-  private def spread3(c: Column): Column = {
-    var x = c.cast("long").bitwiseAND(lit(0x1FFFFFL))
-    def step(shiftBits: Int, mask: Long) = {
-      x = x.bitwiseOR(shiftleft(x, shiftBits)).bitwiseAND(lit(mask))
+  private def spread3(c: Column): Column =
+    Spread3Steps.foldLeft(c.cast("long").bitwiseAND(lit(Spread3Init))) {
+      case (x, (sh, mask)) => x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(mask))
     }
-    step(32, 0x1F00000000FFFFL)
-    step(16, 0x1F0000FF0000FFL)
-    step(8, 0x100F00F00F00F00FL)
-    step(4, 0x10C30C30C30C30C3L)
-    step(2, 0x1249249249249249L)
-    x
-  }
 
   /** k-column Morton (Z-order) sort key, 64/k bits per key:
     * k=2 → [[zValue]] (32 bits each), k=3 → 21-bit three-way interleave,

@@ -66,4 +66,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[(Long, Long)].head()
     assert(r == ((5L, 3L)), r.toString)
   }
+
+  test("graft_zvalue callable from SQL; matches the Scala API for 2 and 3 keys") {
+    import spark.implicits._
+    val df = Seq((3L, 5L, 7L), (100L, 200L, 300L), (0L, 0L, 0L)).toDF("u", "v", "w")
+    df.createOrReplaceTempView("zv_in")
+    val sql2 = spark.sql("SELECT graft_zvalue(u, v) FROM zv_in").as[Long].collect().toSeq
+    val api2 = df.select(graft.ops.Layout.zValue(org.apache.spark.sql.functions.col("u"),
+      org.apache.spark.sql.functions.col("v"))).as[Long].collect().toSeq
+    assert(sql2 == api2)
+    val sql3 = spark.sql("SELECT graft_zvalue(u, v, w) FROM zv_in").as[Long].collect().toSeq
+    val api3 = df.select(graft.ops.Layout.zValueK(Seq("u", "v", "w").map(
+      org.apache.spark.sql.functions.col))).as[Long].collect().toSeq
+    assert(sql3 == api3)
+    // SQL-side layout control composes: DISTRIBUTE BY the z key parses and runs
+    val n = spark.sql(
+      "SELECT u FROM zv_in DISTRIBUTE BY graft_zvalue(u, v, w) SORT BY graft_zvalue(u, v, w)")
+      .count()
+    assert(n == 3L)
+  }
 }
