@@ -44,13 +44,7 @@ object StreamingBench {
     */
   def cdcE2e(spark: SparkSession, d: String, nFiles: Int = 8): StreamStats = {
     import spark.implicits._
-    val base = Files.createTempDirectory("graft_streambench")
-    sys.addShutdownHook {
-      import scala.jdk.CollectionConverters._
-      val paths = Files.walk(base).iterator().asScala.toSeq
-      paths.sortBy(-_.getNameCount).foreach(p =>
-        try Files.deleteIfExists(p) catch { case _: Exception => () })
-    }
+    val base = graft.ops.Scratch.dir("graft_streambench")
     val in = s"$base/in"
     val lines = CdcSynth.records(spark, d).map { r =>
       val p = r.dynamodb.get

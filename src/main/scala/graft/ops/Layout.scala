@@ -152,15 +152,8 @@ object Layout {
     */
   def zOrderEvidence(spark: SparkSession, d: String, nFiles: Int = 8): DataFrame = {
     val dir = Memo(spark, s"zorder_dir3|$d|$nFiles") {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_zorder")
-      // scratch layout, not a deliverable: remove it when the JVM exits so
-      // repeated sessions don't accumulate parquet under /tmp
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        val paths = java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-        paths.sortBy(-_.getNameCount).foreach(p =>
-          try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
-      }
+      // scratch layout, not a deliverable — removed on JVM exit
+      val tmp = Scratch.dir("graft_zorder")
       val ev = Tables.events(spark, d)
         .select(col("user_id").as("u"), Sessions.nanosToDayIdx.as("v"),
           expr("pmod((((ts - pmod(ts, 1000000)) div 1000000) div 3600000), 24)").as("w"))

@@ -24,8 +24,7 @@ object VariantOps {
     */
   def shreddedEvents(spark: SparkSession, d: String): DataFrame =
     Memo(spark, s"shredded-events|$d") {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-shredded-events").toString
+      val dir = Scratch.dir("graft-shredded-events").toString
       VariantStorage.writeShredded(
         Tables.events(spark, d)
           .select(col("event_id"), col("event_type"),

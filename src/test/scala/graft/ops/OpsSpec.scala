@@ -620,6 +620,33 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("zValueK aligned-box prefix property: every point in a 2^m-aligned box z-sorts between its corners") {
+    import spark.implicits._
+    // The law zone-map pruning rests on: for a box aligned at multiples of
+    // 2^m with side 2^m, z(minCorner) <= z(p) <= z(maxCorner) for every p
+    // inside — i.e. aligned boxes are CONTIGUOUS z ranges. Checked for both
+    // arities over a deterministic set of boxes and all points inside.
+    val m = 3
+    val side = 1L << m
+    for (origin <- Seq((0L, 0L, 0L), (8L, 16L, 24L), (128L, 8L, 0L), (1L << 20, 1L << 12, 8L))) {
+      val (ox, oy, oz) = origin
+      val pts = (for (i <- 0L until side; j <- 0L until side; k <- 0L until side)
+        yield (ox + i, oy + j, oz + k)).toDF("u", "v", "w")
+      for (arity <- Seq(2, 3)) {
+        val keys = Seq("u", "v", "w").take(arity).map(col)
+        val z = pts.select(Layout.zValueK(keys).as("z")).agg(min("z"), max("z"))
+          .as[(Long, Long)].head()
+        val zMin = pts.filter(col("u") === ox && col("v") === oy && col("w") === oz)
+          .select(Layout.zValueK(keys)).as[Long].head()
+        val zMax = pts.filter(col("u") === (ox + side - 1) && col("v") === (oy + side - 1) &&
+            col("w") === (oz + side - 1))
+          .select(Layout.zValueK(keys)).as[Long].head()
+        assert(z._1 == zMin && z._2 == zMax,
+          s"arity $arity box at $origin: z range $z, corners ($zMin, $zMax)")
+      }
+    }
+  }
+
   test("compactTo sizes file count from source bytes and preserves clustering") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft-compact-src").toString
