@@ -52,7 +52,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // extensions spec pins SQL output == Scala API output.
     ext.injectFunction((
       FunctionIdentifier("graft_zvalue"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_zvalue"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_zvalue"),
       (children: Seq[Expression]) => {
         require(children.length == 2 || children.length == 3,
           "graft_zvalue(k1, k2[, k3]) takes 2 or 3 keys")

@@ -131,9 +131,14 @@ object Layout {
     val conf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(inPath)
     val fs = dir.getFileSystem(conf)
-    val totalBytes = fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // recursive: the input may be a partitioned table root (dt=.../part-*),
+    // which spark.read.parquet reads but a flat listStatus would miss
+    val it = fs.listFiles(dir, true)
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) totalBytes += st.getLen
+    }
     require(totalBytes > 0, s"no parquet data under $inPath")
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     writeClustered(spark.read.parquet(inPath), keyCol, outPath, nFiles)
@@ -155,8 +160,12 @@ object Layout {
       // scratch layout, not a deliverable — removed on JVM exit
       val tmp = Scratch.dir("graft_zorder")
       val ev = Tables.events(spark, d)
+        .withColumn("ms", expr("(ts - pmod(ts, 1000000)) div 1000000"))
         .select(col("user_id").as("u"), Sessions.nanosToDayIdx.as("v"),
-          expr("pmod((((ts - pmod(ts, 1000000)) div 1000000) div 3600000), 24)").as("w"))
+          // floor (not truncating) division at BOTH steps — the CLAUDE.md
+          // negative-timestamp invariant; ms div 3600000 alone truncates
+          // toward zero for pre-1970 rows
+          expr("pmod((ms - pmod(ms, 3600000)) div 3600000, 24)").as("w"))
       writeZOrderedK(ev, Seq("u", "v", "w"), tmp.toString, nFiles)
       tmp.toString
     }

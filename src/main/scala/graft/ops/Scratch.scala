@@ -12,9 +12,16 @@ object Scratch {
     val tmp = Files.createTempDirectory(prefix)
     sys.addShutdownHook {
       import scala.jdk.CollectionConverters._
-      val paths = Files.walk(tmp).iterator().asScala.toSeq
-      paths.sortBy(-_.getNameCount).foreach(p =>
-        try Files.deleteIfExists(p) catch { case _: Exception => () })
+      // the walk itself can fail (dir already removed by another hook or an
+      // external cleaner) — never let this hook die with a stack trace
+      try {
+        val paths = Files.walk(tmp).iterator().asScala.toSeq
+        paths.sortBy(-_.getNameCount).foreach(p =>
+          try Files.deleteIfExists(p) catch { case _: Exception => () })
+        // files landing after the walk snapshot leave the dir non-empty;
+        // one more attempt on the (now likely empty) root
+        Files.deleteIfExists(tmp)
+      } catch { case _: Exception => () }
     }
     tmp
   }
