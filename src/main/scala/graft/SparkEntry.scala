@@ -135,6 +135,7 @@ object SparkEntry {
     // --- LLM-data-pipeline: dedup family ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "eval_contamination" -> ((s, d) => Dedup.evalContamination(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)), // approx: rows-only
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)), // rows-only
@@ -1023,6 +1024,26 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  CAST(min(doc_id) AS BIGINT) AS canonical_id, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+    "eval_contamination" ->
+      """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 3), i ->
+        |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+        |    FROM docs WHERE len(w) >= 5
+        |  )
+        |),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        |train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM train GROUP BY 1),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM train WHERE shingle IN (SELECT shingle FROM ev) GROUP BY 1
+        |)
+        |SELECT h.doc_id, h.n_hits, s.n_sh,
+        |  CAST((h.n_hits * 1000000) // s.n_sh AS BIGINT) AS containment_e6
+        |FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+        |ORDER BY h.doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |sh AS (

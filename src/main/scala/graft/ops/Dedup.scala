@@ -94,6 +94,35 @@ object Dedup {
     out.result()
   }
 
+  /** Eval-set CONTAMINATION audit — the pre-training hygiene step (GPT-3
+    * appendix C shape): flag every training document sharing at least one
+    * word 5-gram with the held-out eval slice, with the containment ratio
+    * |train ∩ eval shingles| / |train shingles|. Eval slice = doc_id ≡ 0
+    * (mod `evalMod`) — a stand-in for the real eval corpus a pipeline would
+    * broadcast in.
+    *
+    * Scale shape: reuses the session shingle index ([[cachedShingles]],
+    * built once, shared with the Jaccard/MinHash family); the eval shingle
+    * set is tiny (|eval| ≪ |train| by construction — that is what makes
+    * contamination checks cheap at 100 TB) and broadcast to a semi join, so
+    * the train side streams through one narrow stage plus one per-doc
+    * aggregation. Containment exported as floor(hits·1e6 / n_sh) BIGINT —
+    * integer division, exact on both engines.
+    */
+  def evalContamination(spark: SparkSession, d: String, evalMod: Int = 97): DataFrame = {
+    val sh = cachedShingles(spark, d)
+    val isEval = col("doc_id") % evalMod === 0
+    val evalSh = sh.filter(isEval).select(col("shingle")).distinct()
+    val train = sh.filter(!isEval)
+    val sizes = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hits = train.join(broadcast(evalSh), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    hits.join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_hits"), col("n_sh"),
+        expr("(n_hits * 1000000) div n_sh").as("containment_e6"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via inverted shingle index:
     * shingle → docs, self-join on shingle, |∩| per pair, then
     * J = |∩| / (|A| + |B| - |∩|). No quadratic pair space: only docs sharing

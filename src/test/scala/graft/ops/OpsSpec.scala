@@ -20,6 +20,32 @@ class OpsSpec extends SparkSuite {
     assert(recall >= 0.9, s"LSH recall $recall too low (found ${lsh.size}, exact ${exact.size})")
   }
 
+  test("eval contamination: hits recompute from raw texts; eval slice excluded") {
+    import spark.implicits._
+    val rows = Dedup.evalContamination(spark, sf).collect()
+    assert(rows.nonEmpty, "corpus with near-dups should show contamination")
+    assert(rows.forall(_.getLong(0) % 97 != 0), "eval docs must not be flagged")
+    // independent recompute from raw texts for every flagged doc
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val evalSh = texts.collect { case (id, t) if id % 97 == 0 =>
+      Dedup.shingleHashes(t, 5).toSet
+    }.fold(Set.empty[Long])(_ ++ _)
+    rows.foreach { r =>
+      val mine = Dedup.shingleHashes(texts(r.getLong(0)), 5).toSet
+      val hits = mine.count(evalSh.contains).toLong
+      assert(r.getLong(1) == hits && r.getLong(2) == mine.size.toLong,
+        s"doc ${r.getLong(0)}: exported (${r.getLong(1)},${r.getLong(2)}) != ($hits,${mine.size})")
+      assert(r.getLong(3) == hits * 1000000L / mine.size)
+    }
+    // and no contaminated doc was missed
+    val flagged = rows.map(_.getLong(0)).toSet
+    texts.foreach { case (id, t) =>
+      if (id % 97 != 0 && Dedup.shingleHashes(t, 5).exists(evalSh.contains))
+        assert(flagged.contains(id), s"doc $id shares an eval shingle but was not flagged")
+    }
+  }
+
   test("minhash LSH pairs carry exact-jaccard evidence (invariant column)") {
     import spark.implicits._
     val rows = Dedup.minhashLsh(spark, sf, threshold = 0.5)
