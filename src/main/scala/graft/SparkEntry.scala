@@ -97,6 +97,7 @@ object SparkEntry {
     "mv_join_delta" -> ((s, d) => Incremental.mvJoinDelta(s, d)),
     "bloom_semi_join" -> ((s, d) => Incremental.bloomPrunedSemiJoin(s, d)),
     "bm25_scores" -> ((s, d) => Scoring.bm25Scores(s, d)),
+    "unigram_logprob" -> ((s, d) => Scoring.unigramLogprob(s, d)),
     "editdist_pairs" -> ((s, d) => Scoring.editDistPairs(s, d)),
     "full_outer_activity" -> ((s, d) => Analytics.userActivityFullOuter(s, d)),
     "lateral_top_orders" -> ((s, d) => Analytics.lateralTopOrders(s, d)),
@@ -759,6 +760,17 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "unigram_logprob" ->
+      """WITH docs AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS tok FROM docs),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok),
+        |lm AS (SELECT tok, CAST(floor(ln(CAST(c AS DOUBLE) / t) * 1000000.0) AS BIGINT) AS lp
+        |       FROM cnt, tot)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(tf * lp) AS BIGINT) AS logprob_sum_e6
+        |FROM tf JOIN lm USING (tok) GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "bm25_scores" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t, n_chars FROM documents),
         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_len FROM d),

@@ -66,6 +66,43 @@ object Scoring {
       .orderBy("doc_id")
   }
 
+  /** Corpus-derived unigram language-model score — the "perplexity-lite"
+    * quality filter (the CCNet recipe scores documents under an LM and
+    * drops the tail; a unigram model is its self-contained form): train
+    * token→log-probability on the corpus itself, then score each document
+    * by the sum of its tokens' log-probs.
+    *
+    * Oracle-parity design: per-token `floor(ln(c/total)·1e6)` is computed
+    * ONCE per distinct token (BIGINT), and document scores are integer
+    * sums `Σ tf·lp` — so the doc aggregation is order-independent (a raw
+    * double sum over tokens would hash-diverge on aggregation order). The
+    * exported columns are the sum and n_tokens, not their ratio — division
+    * of negatives rounds differently across engines. Same residual `ln`
+    * boundary exposure as [[bm25Scores]].
+    *
+    * Scale shape: one token explode → (doc, tok) tf aggregate (map-side
+    * combined), one broadcast-or-shuffle join against the (vocab-sized) LM
+    * table, one per-doc aggregate. The LM table is bounded by vocabulary,
+    * not corpus size.
+    */
+  def unigramLogprob(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), " ")).as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val cnt = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = tok.agg(count(lit(1)).as("t"))
+    val lm = cnt.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        floor(log(col("c").cast("double") / col("t")) * lit(1000000.0))
+          .cast("long").as("lp"))
+    tf.join(lm, "tok")
+      .groupBy(col("doc_id"))
+      .agg(Exact.sumLong(col("tf")).as("n_tokens"),
+        Exact.sumLong(col("tf") * col("lp")).as("logprob_sum_e6"))
+      .orderBy("doc_id")
+  }
+
   /** Blocked edit-distance near-dup pairs: block on (lang, n_chars div 32)
     * — near-identical docs share both — and run THRESHOLD-BANDED Levenshtein
     * on a bounded prefix within each block (the 3-arg `levenshtein` bands

@@ -5,6 +5,29 @@ import org.apache.spark.sql.functions._
 
 class ScoringSpec extends SparkSuite {
 
+  test("unigramLogprob: every doc scored; scores recompute from a driver-side LM") {
+    import spark.implicits._
+    val out = Scoring.unigramLogprob(spark, sf).collect()
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out.length == texts.size, "every document gets a score")
+    // independent LM: token counts over the same split(trim(lower)) stream
+    def toks(t: String): Array[String] = t.toLowerCase.trim.split(" ", -1)
+    val all = texts.values.flatMap(toks).toSeq
+    val total = all.size.toDouble
+    val lp = all.groupBy(identity).map { case (tok, xs) =>
+      tok -> math.floor(math.log(xs.size / total) * 1e6).toLong
+    }
+    out.take(25).foreach { r =>
+      val ts = toks(texts(r.getLong(0)))
+      assert(r.getLong(1) == ts.length.toLong)
+      val sum = ts.map(lp).sum
+      assert(r.getLong(2) == sum, s"doc ${r.getLong(0)}: ${r.getLong(2)} != $sum")
+    }
+    // scores are negative log-probs: a well-formed LM never scores positive
+    assert(out.forall(_.getLong(2) < 0L))
+  }
+
   test("bm25Scores: covers exactly the docs containing a query term, one known score checks out") {
     val terms = Seq("spark", "stream", "window")
     val out = Scoring.bm25Scores(spark, sf, terms).collect()
