@@ -133,6 +133,7 @@ object SparkEntry {
     "corpus_curation" -> ((s, d) => TextOps.curateCorpus(s, d)),
     "train_test_split" -> ((s, d) => TextOps.trainTestSplit(s, d)),
     "stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
+    "mixture_rebalance" -> ((s, d) => TextOps.mixtureRebalance(s, d)),
     // --- LLM-data-pipeline: dedup family ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -1132,6 +1133,17 @@ object SparkEntry {
         |  CASE WHEN ((cluster_id % 2147483648) * 2654435761) % 4294967296 % 100 < 90
         |       THEN 'train' ELSE 'test' END AS split
         |FROM labeled ORDER BY doc_id""".stripMargin,
+    "mixture_rebalance" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total,
+        |            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM documents),
+        |bl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM documents GROUP BY 1),
+        |r AS (SELECT lang,
+        |        least(10000, (total * 10000) // (n_langs * n_lang)) AS rate_bp
+        |      FROM bl, t)
+        |SELECT doc_id, d.lang, CAST(rate_bp AS BIGINT) AS rate_bp
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296) % 10000 < rate_bp
+        |ORDER BY doc_id""".stripMargin,
     "stratified_sample" ->
       """SELECT doc_id, lang, bucket FROM (
         |  SELECT doc_id, lang,

@@ -212,6 +212,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Mixture REBALANCING — [[stratifiedSample]] with rates derived FROM THE
+    * DATA instead of caller-fixed: downsample every over-represented
+    * language toward a uniform target share (total / n_langs), keeping
+    * under-represented ones whole. The training-mixture control step of an
+    * LLM pipeline (the static form of mixture reweighting): rates are
+    * exact-integer basis points `min(10000, total·10000 div (n_langs ·
+    * n_lang))`, membership is the same Knuth hash at 1/10000 granularity —
+    * no RNG, no floating-point rate boundary, reproducible across engines
+    * and cluster sizes.
+    *
+    * Scale shape: the rate table is one tiny aggregate broadcast back; the
+    * corpus side stays one scan + hash + filter.
+    */
+  def mixtureRebalance(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("lang"))
+    val byLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val tot = docs.agg(count(lit(1)).as("total"),
+      countDistinct(col("lang")).as("n_langs"))
+    val rates = byLang.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        least(lit(10000L), expr("(total * 10000) div (n_langs * n_lang)")).as("rate_bp"))
+    docs.join(broadcast(rates), "lang")
+      .withColumn("bucket_bp",
+        pmod(pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
+          lit(4294967296L)), lit(10000L)))
+      .filter(col("bucket_bp") < col("rate_bp"))
+      .select(col("doc_id"), col("lang"), col("rate_bp"))
+      .orderBy("doc_id")
+  }
+
   /** Weight-biased deterministic sampling — priority sampling (Duffield,
     * Lund, Thorup, JACM 2007): each row gets priority w/u for a uniform u,
     * and the k highest priorities per stratum are kept — selection

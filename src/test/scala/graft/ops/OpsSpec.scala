@@ -701,6 +701,32 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("mixture rebalance: over-represented langs downsample toward uniform, small ones keep all") {
+    import spark.implicits._
+    val out = TextOps.mixtureRebalance(spark, sf).collect()
+    assert(out.nonEmpty)
+    val before = Tables.documents(spark, sf).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val total = before.values.sum
+    val targetShare = total.toDouble / before.size
+    val after = out.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    before.foreach { case (lang, n) =>
+      val rate = math.min(10000L, total * 10000L / (before.size * n))
+      // exported rate matches the recompute for every kept row of the lang
+      out.filter(_.getString(1) == lang).foreach(r => assert(r.getLong(2) == rate))
+      if (rate == 10000L) {
+        assert(after.getOrElse(lang, 0L) == n, s"$lang under target must keep ALL rows")
+      } else {
+        // kept count lands near the uniform target (hash granularity slack)
+        val kept = after.getOrElse(lang, 0L).toDouble
+        assert(kept > targetShare * 0.5 && kept < targetShare * 1.6,
+          s"$lang kept $kept, target ~$targetShare")
+      }
+    }
+    // deterministic
+    assert(out.toSeq == TextOps.mixtureRebalance(spark, sf).collect().toSeq)
+  }
+
   test("stratified sample: deterministic, rates land near their strata targets") {
     val s1 = TextOps.stratifiedSample(spark, sf).collect()
     val s2 = TextOps.stratifiedSample(spark, sf).collect()
