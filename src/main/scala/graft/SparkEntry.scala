@@ -134,6 +134,7 @@ object SparkEntry {
     "train_test_split" -> ((s, d) => TextOps.trainTestSplit(s, d)),
     "stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "mixture_rebalance" -> ((s, d) => TextOps.mixtureRebalance(s, d)),
+    "doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
     // --- LLM-data-pipeline: dedup family ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -1133,6 +1134,16 @@ object SparkEntry {
         |  CASE WHEN ((cluster_id % 2147483648) * 2654435761) % 4294967296 % 100 < 90
         |       THEN 'train' ELSE 'test' END AS split
         |FROM labeled ORDER BY doc_id""".stripMargin,
+    "doc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, n_chars,
+        |  CASE WHEN n_chars <= 500 THEN 1 ELSE (n_chars - 51) // 450 + 1 END AS n_chunks
+        |  FROM documents),
+        |e AS (SELECT doc_id, text, n_chars, unnest(range(0, n_chunks)) AS i FROM d)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i * 450 AS BIGINT) AS start_off,
+        |  CAST(least(i * 450 + 500, n_chars) AS BIGINT) AS end_off,
+        |  substring(text, CAST(i * 450 + 1 AS INTEGER), 500) AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     "mixture_rebalance" ->
       """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total,
         |            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM documents),

@@ -212,6 +212,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Context-window CHUNKING: split each document into fixed-size character
+    * windows with overlap — the pre-tokenization segmentation step of a
+    * training pipeline (RAG ingestion uses the same shape). One row per
+    * (doc, chunk) with offsets and the chunk text; boundaries are pure
+    * integer arithmetic on `n_chars` (stride = size − overlap; a doc not
+    * longer than `size` is one chunk), so the chunk table is reproducible
+    * and oracle-checkable, and `substring` is character-based in BOTH
+    * engines. Row explosion is a narrow `sequence`/`explode` — no shuffle
+    * until the caller aggregates.
+    */
+  def docChunks(spark: SparkSession, d: String,
+      size: Int = 500, overlap: Int = 50): DataFrame = {
+    require(size > overlap && overlap >= 0, "need size > overlap >= 0")
+    val stride = size - overlap
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .withColumn("n_chunks",
+        when(col("n_chars") <= size, lit(1L))
+          .otherwise(expr(s"(n_chars - ${overlap + 1}) div $stride + 1")))
+      .withColumn("chunk_idx", explode(expr("sequence(0, n_chunks - 1)")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * stride).cast("long").as("start_off"),
+        least(col("chunk_idx") * stride + size, col("n_chars")).cast("long").as("end_off"),
+        expr(s"substring(text, chunk_idx * $stride + 1, $size)").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Mixture REBALANCING — [[stratifiedSample]] with rates derived FROM THE
     * DATA instead of caller-fixed: downsample every over-represented
     * language toward a uniform target share (total / n_langs), keeping

@@ -701,6 +701,31 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("doc chunking: windows cover every char, overlap is exact, text reassembles") {
+    import spark.implicits._
+    val out = TextOps.docChunks(spark, sf, size = 500, overlap = 50)
+      .collect().groupBy(_.getLong(0))
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet == texts.keySet, "every doc chunked")
+    out.foreach { case (id, chunks) =>
+      val sorted = chunks.sortBy(_.getLong(1))
+      val text = texts(id)
+      // offsets: stride 450, last window reaches the end, none starts past it
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getLong(1) == i.toLong && c.getLong(2) == i * 450L)
+        assert(c.getString(4) == text.substring(c.getLong(2).toInt, c.getLong(3).toInt))
+      }
+      assert(sorted.last.getLong(3) == text.length.toLong, s"doc $id last chunk short")
+      // reassembly: chunk i minus its 50-char overlap with chunk i-1
+      val rebuilt = sorted.map { c =>
+        val s = c.getString(4)
+        if (c.getLong(1) == 0L) s else s.substring(math.min(50, s.length))
+      }.mkString
+      assert(rebuilt == text, s"doc $id reassembly mismatch")
+    }
+  }
+
   test("mixture rebalance: over-represented langs downsample toward uniform, small ones keep all") {
     import spark.implicits._
     val out = TextOps.mixtureRebalance(spark, sf).collect()
