@@ -61,6 +61,7 @@ object Audio {
       import spark.implicits._
       Tables.documents(spark, d)
         .select(col("doc_id")).as[Long]
+        .repartition(spark.sparkContext.defaultParallelism) // see Images.images
         .map(id => AudioRecord(id, wavBytes(id)))
         .persist()
     }
@@ -73,9 +74,26 @@ object Audio {
     import spark.implicits._
     audio(spark, d)
       .mapPartitions { it =>
-        // per-partition init point (real impl: acquire codec handle once)
+        // per-partition codec handle, for real: AudioSystem.getAudioInputStream
+        // re-scans every installed provider per CALL (the non-matching ones
+        // signal by exception — measurable at one WAV per row); resolve the
+        // RIFF reader once and reuse it for the whole partition
+        import scala.jdk.CollectionConverters._
+        val readers = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toVector
+        var cached: javax.sound.sampled.spi.AudioFileReader = null
+        def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+          if (cached != null) cached.getAudioInputStream(new ByteArrayInputStream(bytes))
+          else readers.iterator.flatMap { rd =>
+            try {
+              val s = rd.getAudioInputStream(new ByteArrayInputStream(bytes))
+              cached = rd
+              Iterator.single(s)
+            } catch { case _: Exception => Iterator.empty }
+          }.nextOption().getOrElse(AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes)))
+        }
         it.map { r =>
-          val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.wav))
+          val ais = open(r.wav)
           try {
             val f = ais.getFormat
             // AudioInputStream reads whole FRAMES (4 bytes when stereo) —

@@ -66,6 +66,10 @@ object Images {
       import spark.implicits._
       Tables.documents(spark, d)
         .select(col("doc_id")).as[Long]
+        // spread the fixture across the session's cores: the documents scan
+        // is a handful of input splits, and a cached dataset keeps its
+        // partitioning — without this the downstream DECODE runs ~serial
+        .repartition(spark.sparkContext.defaultParallelism)
         .map(id => ImageRecord(id, pngBytes(id)))
         .persist()
     }
@@ -104,7 +108,10 @@ object Images {
     import spark.implicits._
     images(spark, d)
       .mapPartitions { it =>
-        // per-partition init point (real impl: acquire codec handle once)
+        // per-partition init: ImageIO's default per-read DISK-backed stream
+        // cache costs a temp file per image — in-memory caching for the
+        // tiny per-row buffers (thread-local setting, task-safe)
+        ImageIO.setUseCache(false)
         it.map { r =>
           val img = ImageIO.read(new ByteArrayInputStream(r.png))
           require(img != null, s"undecodable PNG for doc ${r.doc_id}")
