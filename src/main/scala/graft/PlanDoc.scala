@@ -111,6 +111,18 @@ object PlanDoc {
       "typed (width, height, format, pixel) out, one ImageIO reader per task — no shuffle, " +
       "no driver involvement; the DuckDB oracle recomputes the id-derived contract values, " +
       "so the hash match certifies the decode itself."),
+    "eval_contamination" -> ("Contamination audit at broadcast cost: the eval slice's 5-gram " +
+      "shingle set is small by construction and broadcast to a left-semi join against the " +
+      "shared session shingle index, so the training side streams one narrow stage plus one " +
+      "per-doc aggregate — the shape that keeps pre-training hygiene cheap at 100 TB."),
+    "unigram_logprob" -> ("Corpus-LM scoring with an order-independent export: ln evaluated " +
+      "once per DISTINCT token into a scaled BIGINT table (vocabulary-bounded), document " +
+      "scores are integer sums of tf x lp — no double-summation order exposure; one token " +
+      "explode, one map-side-combined tf aggregate, one join, one per-doc aggregate."),
+    "mv_join_delta" -> ("Incremental JOIN-view maintenance: four delta terms (dA x B, A x dB, " +
+      "dA x dB, signed retractions x full B) union into one signed aggregate; every term " +
+      "joins a SMALL delta against one big side, so maintenance is O(delta x fanout), never " +
+      "a re-join of full inputs — the oracle recomputes the post-delta state from scratch."),
     "bm25_scores" -> ("BM25 as one corpus scan: term-match rows materialize once (Memo+persist) " +
       "and feed both the df aggregate and the scoring pivot; df and avgdl side tables " +
       "broadcast; FP association order is pinned to the oracle's so floor(1e6) exports match."),
