@@ -112,7 +112,9 @@ object Bench {
     // everything else rolled into "_other". The full map lives in BENCH.json.
     def s1(v: Double) = math.rint(v * 100) / 100.0
     val byCost = results.map { case (k, (v, _)) => (k, v) }.sortBy(-_._2)
-    val budget = 1500 // chars for the queries map; tail is 2000 minus sbt epilogue
+    // chars for the queries map; tail is 2000 minus sbt epilogue, and the
+    // streaming section (~150 chars) now rides the same line
+    val budget = 1300
     // Stop at the FIRST entry that doesn't fit (a prefix of byCost), so
     // "_other" — computed as the remainder of the total — stays consistent.
     val kept = {
