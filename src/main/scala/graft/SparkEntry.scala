@@ -135,6 +135,7 @@ object SparkEntry {
     "stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "mixture_rebalance" -> ((s, d) => TextOps.mixtureRebalance(s, d)),
     "doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
+    "training_set_build" -> ((s, d) => TextOps.trainingSetBuild(s, d)),
     // --- LLM-data-pipeline: dedup family ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -1134,6 +1135,96 @@ object SparkEntry {
         |  CASE WHEN ((cluster_id % 2147483648) * 2654435761) % 4294967296 % 100 < 90
         |       THEN 'train' ELSE 'test' END AS split
         |FROM labeled ORDER BY doc_id""".stripMargin,
+    "training_set_build" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 3), i ->
+        |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+        |    FROM docs WHERE len(w) >= 5
+        |  )
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |sh2 AS (
+        |  SELECT s.doc_id, s.shingle FROM sh s
+        |  JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 256) f
+        |    ON s.shingle = f.shingle
+        |),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+        |  FROM sh2 x JOIN sh2 y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT a, b FROM inter
+        |  JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+        |),
+        |losers AS (SELECT DISTINCT b AS doc_id FROM pairs),
+        |e2 AS (
+        |  SELECT a AS node, b AS nbr FROM pairs
+        |  UNION SELECT b, a FROM pairs
+        |  UNION SELECT a, a FROM pairs
+        |  UNION SELECT b, b FROM pairs
+        |),
+        |reach2 AS (
+        |  SELECT node, nbr AS anc FROM e2
+        |  UNION
+        |  SELECT r.node, e.nbr FROM reach2 r JOIN e2 e ON r.anc = e.node
+        |),
+        |clus AS (SELECT node AS doc_id, CAST(min(anc) AS BIGINT) AS cid FROM reach2 GROUP BY 1),
+        |labeled AS (
+        |  SELECT d.doc_id, coalesce(c.cid, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
+        |),
+        |train AS (
+        |  SELECT doc_id FROM labeled
+        |  WHERE (((cluster_id % 2147483648) * 2654435761) % 4294967296) % 100 < 90
+        |),
+        |canon AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |),
+        |quality AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
+        |      CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> length(x))), 0) AS BIGINT) AS n_word_chars,
+        |      CAST(len(regexp_extract_all(text, '\bthe\b|\ba\b')) AS BIGINT) AS n_stop,
+        |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct
+        |    FROM documents
+        |  ) WHERE n_words BETWEEN 50 AND 100000
+        |    AND CAST(n_word_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) BETWEEN 3.0 AND 10.0
+        |    AND CAST(n_punct AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) < 0.1
+        |    AND n_stop >= 2
+        |),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM sh WHERE doc_id % 97 <> 0 AND shingle IN (SELECT shingle FROM ev) GROUP BY 1
+        |),
+        |contaminated AS (
+        |  SELECT h.doc_id FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+        |  WHERE (h.n_hits * 1000000) // s.n_sh >= 100000
+        |),
+        |kept AS (
+        |  SELECT q.doc_id FROM quality q
+        |  JOIN canon c ON q.doc_id = c.doc_id
+        |  JOIN train t ON q.doc_id = t.doc_id
+        |  LEFT JOIN losers l ON q.doc_id = l.doc_id
+        |  LEFT JOIN contaminated x ON q.doc_id = x.doc_id
+        |  WHERE l.doc_id IS NULL AND x.doc_id IS NULL AND q.doc_id % 97 <> 0
+        |),
+        |chunked AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |    CASE WHEN d.n_chars <= 500 THEN 1 ELSE (d.n_chars - 51) // 450 + 1 END AS n_chunks
+        |  FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+        |),
+        |e3 AS (SELECT doc_id, n_chars, unnest(range(0, n_chunks)) AS i FROM chunked)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i * 450 AS BIGINT) AS start_off,
+        |  CAST(least(i * 450 + 500, n_chars) AS BIGINT) AS end_off
+        |FROM e3 ORDER BY doc_id, chunk_idx""".stripMargin,
     "doc_chunks" ->
       """WITH d AS (SELECT doc_id, text, n_chars,
         |  CASE WHEN n_chars <= 500 THEN 1 ELSE (n_chars - 51) // 450 + 1 END AS n_chunks

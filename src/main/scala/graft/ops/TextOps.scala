@@ -239,6 +239,34 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** The COMPOSED end-to-end training-set build — what a pipeline user
+    * actually ships: quality filter → exact dedup → near-dup removal
+    * ([[curateCorpus]]) → eval-slice exclusion + contamination removal
+    * (docs with ≥10% eval 5-gram containment drop) → cluster-keyed
+    * train split ([[trainTestSplit]] — near-dups land on one side) →
+    * context-window chunking ([[docChunks]]). Every stage is an
+    * independently-oracled operator, and the composition is oracled END TO
+    * END, so the driver gate certifies the whole pipeline's row set, not
+    * just its parts. All joins are on the single long doc key; the chunk
+    * explosion happens only for surviving documents.
+    */
+  def trainingSetBuild(spark: SparkSession, d: String, evalMod: Int = 97,
+      contaminationE6: Long = 100000L, trainPct: Int = 90): DataFrame = {
+    val curated = curateCorpus(spark, d)
+    val contaminated = Dedup.evalContamination(spark, d, evalMod)
+      .filter(col("containment_e6") >= contaminationE6).select("doc_id")
+    val train = trainTestSplit(spark, d, trainPct)
+      .filter(col("split") === "train").select("doc_id")
+    val kept = curated
+      .filter(col("doc_id") % evalMod =!= 0) // the eval slice itself never trains
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(train, Seq("doc_id"), "left_semi")
+    docChunks(spark, d)
+      .join(kept, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("chunk_idx"), col("start_off"), col("end_off"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Mixture REBALANCING — [[stratifiedSample]] with rates derived FROM THE
     * DATA instead of caller-fixed: downsample every over-represented
     * language toward a uniform target share (total / n_langs), keeping

@@ -701,6 +701,25 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("training set build: equals the manual composition of its stage outputs") {
+    import spark.implicits._
+    val built = TextOps.trainingSetBuild(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // recompose independently from the stage operators' own outputs
+    val curated = TextOps.curateCorpus(spark, sf).as[Long].collect().toSet
+    val contaminated = Dedup.evalContamination(spark, sf)
+      .filter(col("containment_e6") >= 100000L).select("doc_id").as[Long].collect().toSet
+    val train = TextOps.trainTestSplit(spark, sf).filter(col("split") === "train")
+      .select("doc_id").as[Long].collect().toSet
+    val kept = curated.filter(id => id % 97 != 0 && !contaminated(id) && train(id))
+    val expected = TextOps.docChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(t => kept(t._1)).sortBy(t => (t._1, t._2)).toSeq
+    assert(built.nonEmpty && built == expected)
+    // the composition genuinely filters: strictly fewer docs than curation alone
+    assert(built.map(_._1).distinct.size < curated.size)
+  }
+
   test("doc chunking: windows cover every char, overlap is exact, text reassembles") {
     import spark.implicits._
     val out = TextOps.docChunks(spark, sf, size = 500, overlap = 50)
