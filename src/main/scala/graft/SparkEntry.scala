@@ -153,6 +153,8 @@ object SparkEntry {
     // real JDK WAV decode: rate/channels/frames/first-sample re-derived by
     // the decoder, recomputed arithmetically by the oracle
     "audio_meta" -> ((s, d) => graft.multimodal.Audio.audioMeta(s, d)),
+    // full-raster decode evidence: channel sums over EVERY pixel
+    "image_channel_stats" -> ((s, d) => graft.multimodal.Images.imageChannelStats(s, d)),
     "topk_similar" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "cosine_pairs" -> ((s, d) => Similarity.cosinePairs(s, d)),
     // ANN, production shape: the probe path alone, un-instrumented — what a
@@ -1307,6 +1309,21 @@ object SparkEntry {
         |  CAST(400 + (doc_id % 50) * 16 AS BIGINT) AS n_frames,
         |  CAST((doc_id * 31) % 65536 - 32768 AS BIGINT) AS sample0
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "image_channel_stats" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 32 AS w, 8 + doc_id % 16 AS h FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d
+        |),
+        |v AS (
+        |  SELECT doc_id, w * h AS n_px,
+        |    ((doc_id * 1103515245) + (i % w) * 65537 + (i // w) * 257) % 16777216 AS p
+        |  FROM px
+        |)
+        |SELECT doc_id, CAST(n_px AS BIGINT) AS n_px,
+        |  CAST(SUM(p // 65536) AS BIGINT) AS sum_r,
+        |  CAST(SUM((p // 256) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM(p % 256) AS BIGINT) AS sum_b
+        |FROM v GROUP BY doc_id, n_px ORDER BY doc_id""".stripMargin,
     "image_meta" ->
       """SELECT doc_id,
         |  CAST(16 + doc_id % 32 AS BIGINT) AS width,

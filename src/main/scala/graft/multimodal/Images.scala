@@ -74,6 +74,39 @@ object Images {
         .persist()
     }
 
+  /** Per-image channel statistics over EVERY decoded pixel: n_px and the
+    * R/G/B channel sums as BIGINTs. Where [[imageMeta]] certifies the
+    * container metadata plus one pixel, this certifies the ENTIRE raster:
+    * the oracle recomputes the sums from the id-derived pixel formula, so a
+    * hash match proves the full IDAT stream inflated correctly. Same
+    * narrow batch-shaped decode lane.
+    */
+  def imageChannelStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    images(spark, d)
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { r =>
+          val img = ImageIO.read(new ByteArrayInputStream(r.png))
+          require(img != null, s"undecodable PNG for doc ${r.doc_id}")
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (r.doc_id, img.getWidth.toLong * img.getHeight, sr, sg, sb)
+        }
+      }
+      .toDF("doc_id", "n_px", "sum_r", "sum_g", "sum_b")
+      .orderBy("doc_id")
+  }
+
   /** REAL resize: decode → Java2D scale → re-encode, all JDK. The
     * distributed form maps it over the binary column partition-by-partition
     * like [[imageMeta]] ([[Multimodal.resize]] remains the stub-container

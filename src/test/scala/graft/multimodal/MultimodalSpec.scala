@@ -73,6 +73,22 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("image channel stats certify the full raster against the pixel formula") {
+    val rows = Images.imageChannelStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.take(10).foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = (Images.widthOf(id), Images.heightOf(id))
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = Images.pixelOf(id, x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      }
+      assert(r.getLong(1) == w.toLong * h && r.getLong(2) == sr &&
+        r.getLong(3) == sg && r.getLong(4) == sb, s"raster mismatch at doc $id")
+    }
+  }
+
   test("real PNG resize: Java2D rescale re-encodes to the target dims, decodable") {
     val out = Images.resized(spark, sf, 24, 12).collect()
     assert(out.nonEmpty)
