@@ -155,6 +155,8 @@ object SparkEntry {
     "audio_meta" -> ((s, d) => graft.multimodal.Audio.audioMeta(s, d)),
     // full-raster decode evidence: channel sums over EVERY pixel
     "image_channel_stats" -> ((s, d) => graft.multimodal.Images.imageChannelStats(s, d)),
+    // full-payload decode evidence: sum over EVERY PCM sample
+    "audio_sample_stats" -> ((s, d) => graft.multimodal.Audio.audioSampleStats(s, d)),
     "topk_similar" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "cosine_pairs" -> ((s, d) => Similarity.cosinePairs(s, d)),
     // ANN, production shape: the probe path alone, un-instrumented — what a
@@ -1309,6 +1311,15 @@ object SparkEntry {
         |  CAST(400 + (doc_id % 50) * 16 AS BIGINT) AS n_frames,
         |  CAST((doc_id * 31) % 65536 - 32768 AS BIGINT) AS sample0
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "audio_sample_stats" ->
+      """WITH d AS (SELECT doc_id,
+        |    (1 + doc_id % 2) * (400 + (doc_id % 50) * 16) AS n FROM documents),
+        |sm AS (
+        |  SELECT doc_id, n, unnest(range(0, n)) AS i FROM d
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(SUM((doc_id * 31 + i * 7) % 65536 - 32768) AS BIGINT) AS sample_sum
+        |FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     "image_channel_stats" ->
       """WITH d AS (SELECT doc_id, 16 + doc_id % 32 AS w, 8 + doc_id % 16 AS h FROM documents),
         |px AS (

@@ -66,6 +66,41 @@ object Audio {
         .persist()
     }
 
+  /** Per-file PCM statistics over EVERY decoded sample: count and sum as
+    * BIGINTs. Where [[audioMeta]] certifies the RIFF header plus one
+    * sample, this reads the whole PCM payload through the decoder while
+    * the oracle recomputes the sum from the id-derived sample formula — a
+    * hash match proves every data byte decoded correctly.
+    */
+  def audioSampleStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    audio(spark, d)
+      .mapPartitions { it =>
+        it.map { r =>
+          val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.wav))
+          try {
+            val buf = new Array[Byte](4096)
+            var n = 0L
+            var sum = 0L
+            var read = ais.read(buf)
+            while (read > 0) {
+              var i = 0
+              // reads return whole frames, so `read` is always even
+              while (i + 1 < read) {
+                sum += ((buf(i + 1) << 8) | (buf(i) & 0xff)).toLong
+                n += 1
+                i += 2
+              }
+              read = ais.read(buf)
+            }
+            (r.doc_id, n, sum)
+          } finally ais.close()
+        }
+      }
+      .toDF("doc_id", "n_samples", "sample_sum")
+      .orderBy("doc_id")
+  }
+
   /** Decode operator: WAV bytes → (rate, channels, frames, first sample).
     * Batch-shaped `mapPartitions`, narrow, no shuffle; BIGINT outputs for
     * oracle parity.

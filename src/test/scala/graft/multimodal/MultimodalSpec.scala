@@ -89,6 +89,17 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("audio sample stats certify the full PCM payload against the sample formula") {
+    val rows = Audio.audioSampleStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.take(10).foreach { r =>
+      val id = r.getLong(0)
+      val n = Audio.framesOf(id) * Audio.channelsOf(id)
+      val sum = (0 until n).map(i => Audio.sampleOf(id, i).toLong).sum
+      assert(r.getLong(1) == n.toLong && r.getLong(2) == sum, s"payload mismatch at doc $id")
+    }
+  }
+
   test("real PNG resize: Java2D rescale re-encodes to the target dims, decodable") {
     val out = Images.resized(spark, sf, 24, 12).collect()
     assert(out.nonEmpty)
