@@ -72,12 +72,33 @@ object Audio {
     * the oracle recomputes the sum from the id-derived sample formula — a
     * hash match proves every data byte decoded correctly.
     */
+  /** Per-partition RIFF reader resolution (see [[audioMeta]]'s comment on
+    * AudioSystem's per-call provider scanning): returns an opener that
+    * caches the first provider that accepts our WAVs.
+    */
+  private def partitionOpener(): Array[Byte] => AudioInputStream = {
+    import scala.jdk.CollectionConverters._
+    val readers = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toVector
+    var cached: javax.sound.sampled.spi.AudioFileReader = null
+    (bytes: Array[Byte]) =>
+      if (cached != null) cached.getAudioInputStream(new ByteArrayInputStream(bytes))
+      else readers.iterator.flatMap { rd =>
+        try {
+          val s = rd.getAudioInputStream(new ByteArrayInputStream(bytes))
+          cached = rd
+          Iterator.single(s)
+        } catch { case _: Exception => Iterator.empty }
+      }.nextOption().getOrElse(AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes)))
+  }
+
   def audioSampleStats(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     audio(spark, d)
       .mapPartitions { it =>
+        val open = partitionOpener()
         it.map { r =>
-          val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.wav))
+          val ais = open(r.wav)
           try {
             val buf = new Array[Byte](4096)
             var n = 0L
@@ -113,20 +134,7 @@ object Audio {
         // re-scans every installed provider per CALL (the non-matching ones
         // signal by exception — measurable at one WAV per row); resolve the
         // RIFF reader once and reuse it for the whole partition
-        import scala.jdk.CollectionConverters._
-        val readers = java.util.ServiceLoader
-          .load(classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toVector
-        var cached: javax.sound.sampled.spi.AudioFileReader = null
-        def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
-          if (cached != null) cached.getAudioInputStream(new ByteArrayInputStream(bytes))
-          else readers.iterator.flatMap { rd =>
-            try {
-              val s = rd.getAudioInputStream(new ByteArrayInputStream(bytes))
-              cached = rd
-              Iterator.single(s)
-            } catch { case _: Exception => Iterator.empty }
-          }.nextOption().getOrElse(AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes)))
-        }
+        val open = partitionOpener()
         it.map { r =>
           val ais = open(r.wav)
           try {
