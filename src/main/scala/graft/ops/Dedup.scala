@@ -245,15 +245,20 @@ object Dedup {
     // the output and the exact-jaccard evidence join below — unpersisted,
     // the whole band-join + distinct pipeline would execute once per branch
     val cand = Memo(spark, s"minhashcand|$d|$bands|$rowsPer|$threshold|$maxBucket") {
+      // filter early, dedup late (the ANN probe discipline): est_jaccard is
+      // identical across a pair's band co-occurrences (same signatures), so
+      // estimate per co-occurrence and dedup only the few survivors — the
+      // previous distinct-first form shuffled BOTH 64-int signature arrays
+      // through the pair-space exchange just to save re-running a 64-element
+      // zip_with on duplicates
       l.join(r, Seq("band", "bucket"))
         .filter(col("a") < col("b"))
-        .select(col("a"), col("b"), col("sig_a"), col("sig_b"))
-        .distinct()
         .withColumn("est_jaccard",
           expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), t -> t))") //
             .cast("double") / lit(k.toDouble))
         .filter(col("est_jaccard") >= threshold)
         .select(col("a"), col("b"), col("est_jaccard"))
+        .distinct()
         .persist()
     }
     // Self-checking invariant column for the driver artifact: the EXACT
