@@ -66,12 +66,6 @@ object Audio {
         .persist()
     }
 
-  /** Per-file PCM statistics over EVERY decoded sample: count and sum as
-    * BIGINTs. Where [[audioMeta]] certifies the RIFF header plus one
-    * sample, this reads the whole PCM payload through the decoder while
-    * the oracle recomputes the sum from the id-derived sample formula — a
-    * hash match proves every data byte decoded correctly.
-    */
   /** Per-partition RIFF reader resolution (see [[audioMeta]]'s comment on
     * AudioSystem's per-call provider scanning): returns an opener that
     * caches the first provider that accepts our WAVs.
@@ -92,6 +86,12 @@ object Audio {
       }.nextOption().getOrElse(AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes)))
   }
 
+  /** Per-file PCM statistics over EVERY decoded sample: count and sum as
+    * BIGINTs. Where [[audioMeta]] certifies the RIFF header plus one
+    * sample, this reads the whole PCM payload through the decoder while
+    * the oracle recomputes the sum from the id-derived sample formula — a
+    * hash match proves every data byte decoded correctly.
+    */
   def audioSampleStats(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     audio(spark, d)

@@ -141,9 +141,9 @@ object Images {
     import spark.implicits._
     images(spark, d)
       .mapPartitions { it =>
-        // per-partition init: ImageIO's default per-read DISK-backed stream
-        // cache costs a temp file per image — in-memory caching for the
-        // tiny per-row buffers (thread-local setting, task-safe)
+        // ImageIO's default per-read DISK-backed stream cache costs a temp
+        // file per image; the flag is JVM(AppContext)-global, which is fine
+        // ONLY because every caller wants false — never toggle it per-task
         ImageIO.setUseCache(false)
         it.map { r =>
           val img = ImageIO.read(new ByteArrayInputStream(r.png))

@@ -102,12 +102,15 @@ object Dedup {
     * broadcast in.
     *
     * Scale shape: reuses the session shingle index ([[cachedShingles]],
-    * built once, shared with the Jaccard/MinHash family); the eval shingle
-    * set is tiny (|eval| ≪ |train| by construction — that is what makes
-    * contamination checks cheap at 100 TB) and broadcast to a semi join, so
-    * the train side streams through one narrow stage plus one per-doc
-    * aggregation. Containment exported as floor(hits·1e6 / n_sh) BIGINT —
-    * integer division, exact on both engines.
+    * built once, shared with the Jaccard/MinHash family). In production the
+    * eval corpus is a FIXED-SIZE external set, so its shingles broadcast
+    * and the train side streams one narrow semi-join stage — that is what
+    * makes contamination checks cheap at 100 TB. The mod-derived stand-in
+    * here grows with the corpus instead, so the join is left unhinted: the
+    * planner broadcasts while the set is small and falls back to a shuffle
+    * semi join past the threshold rather than failing an oversized
+    * BroadcastExchange. Containment exported as floor(hits·1e6 / n_sh)
+    * BIGINT — integer division, exact on both engines.
     */
   def evalContamination(spark: SparkSession, d: String, evalMod: Int = 97): DataFrame = {
     val sh = cachedShingles(spark, d)
@@ -115,7 +118,7 @@ object Dedup {
     val evalSh = sh.filter(isEval).select(col("shingle")).distinct()
     val train = sh.filter(!isEval)
     val sizes = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val hits = train.join(broadcast(evalSh), Seq("shingle"), "left_semi")
+    val hits = train.join(evalSh, Seq("shingle"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
     hits.join(sizes, "doc_id")
       .select(col("doc_id"), col("n_hits"), col("n_sh"),

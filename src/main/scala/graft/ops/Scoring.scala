@@ -90,8 +90,10 @@ object Scoring {
       .select(col("doc_id"),
         explode(split(trim(lower(col("text"))), " ")).as("tok"))
     val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val cnt = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val tot = tok.agg(count(lit(1)).as("t"))
+    // corpus counts DERIVE from tf — the token explode runs once, not once
+    // per aggregation (tf is the only consumer of the raw token stream)
+    val cnt = tf.groupBy(col("tok")).agg(sum(col("tf")).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("t"))
     val lm = cnt.crossJoin(broadcast(tot))
       .select(col("tok"),
         floor(log(col("c").cast("double") / col("t")) * lit(1000000.0))

@@ -175,9 +175,9 @@ object TextOps {
     * [[stratifiedSample]]) — a drifted copy would silently diverge from the
     * oracle's formulation of the same arithmetic.
     */
-  private[ops] def knuthBucket(id: Column): Column =
+  private[ops] def knuthBucket(id: Column, modulus: Long = 100L): Column =
     pmod(pmod(pmod(id, lit(2147483648L)) * lit(2654435761L),
-      lit(4294967296L)), lit(100L))
+      lit(4294967296L)), lit(modulus))
 
   def trainTestSplit(spark: SparkSession, d: String, trainPct: Int = 90): DataFrame = {
     val clusters = Dedup.dupClusters(spark, d)
@@ -223,10 +223,17 @@ object TextOps {
     * until the caller aggregates.
     */
   def docChunks(spark: SparkSession, d: String,
-      size: Int = 500, overlap: Int = 50): DataFrame = {
+      size: Int = 500, overlap: Int = 50): DataFrame =
+    chunkDocs(Tables.documents(spark, d), size, overlap)
+
+  /** [[docChunks]] over an arbitrary documents frame — lets a composed
+    * pipeline chunk only its SURVIVING docs instead of exploding the whole
+    * corpus and filtering after (a semi join cannot push below a Generate).
+    */
+  def chunkDocs(docs: DataFrame, size: Int = 500, overlap: Int = 50): DataFrame = {
     require(size > overlap && overlap >= 0, "need size > overlap >= 0")
     val stride = size - overlap
-    Tables.documents(spark, d)
+    docs
       .select(col("doc_id"), col("text"), col("n_chars"))
       .withColumn("n_chunks",
         when(col("n_chars") <= size, lit(1L))
@@ -261,8 +268,10 @@ object TextOps {
       .filter(col("doc_id") % evalMod =!= 0) // the eval slice itself never trains
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(train, Seq("doc_id"), "left_semi")
-    docChunks(spark, d)
-      .join(kept, Seq("doc_id"), "left_semi")
+    // filter BEFORE the chunk explosion — a semi join cannot push below the
+    // Generate, so chunking first would explode the whole corpus only to
+    // discard the dropped docs' chunks
+    chunkDocs(Tables.documents(spark, d).join(kept, Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), col("chunk_idx"), col("start_off"), col("end_off"))
       .orderBy("doc_id", "chunk_idx")
   }
@@ -289,9 +298,7 @@ object TextOps {
       .select(col("lang"),
         least(lit(10000L), expr("(total * 10000) div (n_langs * n_lang)")).as("rate_bp"))
     docs.join(broadcast(rates), "lang")
-      .withColumn("bucket_bp",
-        pmod(pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
-          lit(4294967296L)), lit(10000L)))
+      .withColumn("bucket_bp", knuthBucket(col("doc_id"), 10000L))
       .filter(col("bucket_bp") < col("rate_bp"))
       .select(col("doc_id"), col("lang"), col("rate_bp"))
       .orderBy("doc_id")
