@@ -2,6 +2,9 @@ package graft
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times every SparkEntry query at the SF
@@ -89,19 +92,46 @@ object Bench {
     val sp = results.map { case (k, (_, s)) =>
       s"\"" + k + "\":" + mb1(s.memorySpillBytes + s.diskSpillBytes)
     }.mkString("{", ",", "}")
+    // Self-diagnosis (round-7 verdict): the r7 artifact reported 301.8s that
+    // a same-box re-run could not reproduce (77.3s) — machine contention
+    // during the driver's run, indistinguishable from a plan regression
+    // because the artifact carried only wall seconds. Per-query executor CPU
+    // seconds + task GC ms make the two cases separable from the file alone:
+    // wall >> cpu_s with flat gc_ms = the cores were busy with someone else;
+    // wall ~ cpu_s = the query really does that much work; gc_ms spikes = heap
+    // pressure inside this JVM.
+    def r2d(v: Double) = math.rint(v * 100) / 100.0
+    val cp = results.map { case (k, (_, s)) =>
+      s"\"" + k + "\":" + r2d(s.executorCpuNs / 1e9)
+    }.mkString("{", ",", "}")
+    val gcq = results.map { case (k, (_, s)) =>
+      s"\"" + k + "\":" + s.jvmGcMs
+    }.mkString("{", ",", "}")
+    val jvmGcMs = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     val total = results.map(_._2._1).sum
+    val cpuTotal = r2d(results.map(_._2._2.executorCpuNs / 1e9).sum)
     // streaming throughput evidence: one e2e CDC pipeline run (DSv2 source
     // → record program → claim-check + bus sink), reported from the
     // engine's own StreamingQueryProgress. Untimed relative to `total` —
     // it is its own section, not a queries entry.
+    // NonFatal only, with an explicit error marker: a swallowed OOM used to
+    // silently drop the "streaming" key, making a regression look like the
+    // section was never run (round-7 advice). Fatal errors now propagate.
     val streamingJson = try {
       val st = graft.obs.StreamingBench.cdcE2e(spark, sfDir)
       def r2(v: Double) = math.rint(v * 100) / 100.0
       s""""streaming":{"input_rows":${st.inputRows},"bus_rows":${st.busRows},""" +
         s""""batches":${st.batches},"wall_sec":${r2(st.wallSec)},""" +
         s""""rows_per_sec":${r2(st.rowsPerSec)},"avg_batch_ms":${r2(st.avgBatchMs)}},"""
-    } catch { case _: Throwable => "" }
+    } catch {
+      case NonFatal(e) =>
+        val msg = (Option(e.getMessage).getOrElse(e.getClass.getName))
+          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+        s""""streaming":{"err":"$msg"},"""
+    }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cpu_s":$cp,"gc_ms":$gcq,"jvm_gc_ms_total":$jvmGcMs,""" +
       s""""shuffle_write_mb":$sh,"spill_mb":$sp,$streamingJson"sf":"$sfDir"}"""
     val outPath = if (args.nonEmpty) args(0) else "BENCH.json"
     Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
@@ -132,6 +162,7 @@ object Bench {
     val keptJson = (kept.map { case (k, v) => s"\"" + k + "\":" + s1(v) } :+
       (s"\"_other\":" + otherSum)).mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${s1(total)},"unit":"sec",""" +
+      s""""cpu_total_s":$cpuTotal,"jvm_gc_ms_total":$jvmGcMs,""" +
       s""""n_queries":${results.size},"queries":$keptJson,""" +
       s"""$streamingJson"detail":"BENCH.json","sf":"$sfDir"}"""
     spark.stop()

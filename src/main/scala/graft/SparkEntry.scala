@@ -320,7 +320,8 @@ object SparkEntry {
         |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "anti_join_no_orders" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
     "semi_join_finished" ->
       """SELECT c_custkey, c_mktsegment FROM customer
@@ -378,10 +379,12 @@ object SparkEntry {
         |SELECT c_mktsegment FROM customer WHERE c_nationkey = 2
         |ORDER BY c_mktsegment""".stripMargin,
     "except_segments" ->
-      """SELECT c_mktsegment FROM customer WHERE c_nationkey = 1
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment
+        |FROM customer WHERE c_acctbal < 0
         |EXCEPT
-        |SELECT c_mktsegment FROM customer WHERE c_nationkey = 2
-        |ORDER BY c_mktsegment""".stripMargin,
+        |SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment
+        |FROM customer WHERE c_acctbal < -900
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "asof_join_signup" ->
       """SELECT p.user_id, p.event_id, s.event_id AS signup_event_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -804,13 +807,20 @@ object SparkEntry {
         |  FROM s GROUP BY 1
         |) ORDER BY doc_id""".stripMargin,
     "editdist_pairs" ->
-      """WITH b AS (
-        |  SELECT doc_id, lang, n_chars // 32 AS bk, substr(lower(text), 1, 60) AS s FROM documents
+      """WITH w AS (
+        |  SELECT greatest(1, least(32,
+        |    ((max(n_chars) - min(n_chars) + 1) * count(DISTINCT lang) * 16) // count(*))) AS bucket_w
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, lang, bucket_w, n_chars // bucket_w AS bk,
+        |         substr(lower(text), 1, 60) AS s
+        |  FROM documents, w
         |), ba AS (
         |  SELECT * FROM b WHERE strlen(s) = length(s)
         |)
         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-        |       CAST(levenshtein(a.s, c.s) AS BIGINT) AS dist
+        |       CAST(levenshtein(a.s, c.s) AS BIGINT) AS dist,
+        |       CAST(a.bucket_w AS BIGINT) AS bucket_w
         |FROM ba a JOIN ba c ON a.lang = c.lang AND a.bk = c.bk AND a.doc_id < c.doc_id
         |WHERE levenshtein(a.s, c.s) <= 12
         |ORDER BY doc_a, doc_b""".stripMargin,
@@ -1309,7 +1319,8 @@ object SparkEntry {
         |       WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
         |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
         |  CAST(400 + (doc_id % 50) * 16 AS BIGINT) AS n_frames,
-        |  CAST((doc_id * 31) % 65536 - 32768 AS BIGINT) AS sample0
+        |  CAST((doc_id * 31) % 65536 - 32768 AS BIGINT) AS sample0,
+        |  CAST(NULL AS VARCHAR) AS decode_error
         |FROM documents ORDER BY doc_id""".stripMargin,
     "audio_sample_stats" ->
       """WITH d AS (SELECT doc_id,
@@ -1318,7 +1329,8 @@ object SparkEntry {
         |  SELECT doc_id, n, unnest(range(0, n)) AS i FROM d
         |)
         |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
-        |  CAST(SUM((doc_id * 31 + i * 7) % 65536 - 32768) AS BIGINT) AS sample_sum
+        |  CAST(SUM((doc_id * 31 + i * 7) % 65536 - 32768) AS BIGINT) AS sample_sum,
+        |  CAST(NULL AS VARCHAR) AS decode_error
         |FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     "image_channel_stats" ->
       """WITH d AS (SELECT doc_id, 16 + doc_id % 32 AS w, 8 + doc_id % 16 AS h FROM documents),
@@ -1333,14 +1345,16 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_px AS BIGINT) AS n_px,
         |  CAST(SUM(p // 65536) AS BIGINT) AS sum_r,
         |  CAST(SUM((p // 256) % 256) AS BIGINT) AS sum_g,
-        |  CAST(SUM(p % 256) AS BIGINT) AS sum_b
+        |  CAST(SUM(p % 256) AS BIGINT) AS sum_b,
+        |  CAST(NULL AS VARCHAR) AS decode_error
         |FROM v GROUP BY doc_id, n_px ORDER BY doc_id""".stripMargin,
     "image_meta" ->
       """SELECT doc_id,
         |  CAST(16 + doc_id % 32 AS BIGINT) AS width,
         |  CAST(8 + doc_id % 16 AS BIGINT) AS height,
         |  'png' AS format,
-        |  CAST((doc_id * 1103515245) % 16777216 AS BIGINT) AS pixel00
+        |  CAST((doc_id * 1103515245) % 16777216 AS BIGINT) AS pixel00,
+        |  CAST(NULL AS VARCHAR) AS decode_error
         |FROM documents ORDER BY doc_id""".stripMargin,
     "topk_similar" ->
       """WITH emb AS (

@@ -151,6 +151,25 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Array[Double
 
   private val perTable: Int = 1 + probes
 
+  // Content equality over the plane tensor: the case-class default compares
+  // Array by reference, so two structurally identical instances would never
+  // be semantically equal — defeating Catalyst canonicalization / CSE and
+  // letting duplicate plan nodes each serialize their own copy of the
+  // planes. deepEquals/deepHashCode restore value semantics (round-7 advice).
+  override def equals(other: Any): Boolean = other match {
+    case h: HyperplaneBuckets =>
+      child == h.child && probes == h.probes &&
+        java.util.Arrays.deepEquals(
+          planes.asInstanceOf[Array[AnyRef]], h.planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int = {
+    var h = child.hashCode()
+    h = 31 * h + probes
+    31 * h + java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
+  }
+
   /** Planes flattened [t][i][j] -> t*bits*dim + i*dim + j: one contiguous
     * primitive array for the codegen loop (no nested-array dereferences).
     */

@@ -92,65 +92,85 @@ object Audio {
     * the oracle recomputes the sum from the id-derived sample formula — a
     * hash match proves every data byte decoded correctly.
     */
-  def audioSampleStats(spark: SparkSession, d: String): DataFrame = {
+  def audioSampleStatsDs(ds: Dataset[AudioRecord]): DataFrame = {
+    val spark = ds.sparkSession
     import spark.implicits._
-    audio(spark, d)
-      .mapPartitions { it =>
+    ds.mapPartitions { it =>
         val open = partitionOpener()
         it.map { r =>
-          val ais = open(r.wav)
-          try {
-            val buf = new Array[Byte](4096)
-            var n = 0L
-            var sum = 0L
-            var read = ais.read(buf)
-            while (read > 0) {
-              var i = 0
-              // reads return whole frames, so `read` is always even
-              while (i + 1 < read) {
-                sum += ((buf(i + 1) << 8) | (buf(i) & 0xff)).toLong
-                n += 1
-                i += 2
+          DeadLetter.attempt {
+            val ais = open(r.wav)
+            try {
+              val buf = new Array[Byte](4096)
+              var n = 0L
+              var sum = 0L
+              var read = ais.read(buf)
+              while (read > 0) {
+                var i = 0
+                // reads return whole frames, so `read` is always even
+                while (i + 1 < read) {
+                  sum += ((buf(i + 1) << 8) | (buf(i) & 0xff)).toLong
+                  n += 1
+                  i += 2
+                }
+                read = ais.read(buf)
               }
-              read = ais.read(buf)
-            }
-            (r.doc_id, n, sum)
-          } finally ais.close()
+              (n, sum)
+            } finally ais.close()
+          } match {
+            case Right((n, sum)) =>
+              (r.doc_id, Option(n), Option(sum), Option.empty[String])
+            case Left(err) =>
+              (r.doc_id, Option.empty[Long], Option.empty[Long], Option(err))
+          }
         }
       }
-      .toDF("doc_id", "n_samples", "sample_sum")
+      .toDF("doc_id", "n_samples", "sample_sum", "decode_error")
       .orderBy("doc_id")
   }
+
+  def audioSampleStats(spark: SparkSession, d: String): DataFrame =
+    audioSampleStatsDs(audio(spark, d))
 
   /** Decode operator: WAV bytes → (rate, channels, frames, first sample).
     * Batch-shaped `mapPartitions`, narrow, no shuffle; BIGINT outputs for
     * oracle parity.
     */
-  def audioMeta(spark: SparkSession, d: String): DataFrame = {
+  def audioMetaDs(ds: Dataset[AudioRecord]): DataFrame = {
+    val spark = ds.sparkSession
     import spark.implicits._
-    audio(spark, d)
-      .mapPartitions { it =>
+    ds.mapPartitions { it =>
         // per-partition codec handle, for real: AudioSystem.getAudioInputStream
         // re-scans every installed provider per CALL (the non-matching ones
         // signal by exception — measurable at one WAV per row); resolve the
         // RIFF reader once and reuse it for the whole partition
         val open = partitionOpener()
         it.map { r =>
-          val ais = open(r.wav)
-          try {
-            val f = ais.getFormat
-            // AudioInputStream reads whole FRAMES (4 bytes when stereo) —
-            // a 2-byte read returns nothing; take channel 0 of frame 0
-            val first = new Array[Byte](f.getFrameSize)
-            require(ais.read(first) == f.getFrameSize,
-              s"empty PCM stream for doc ${r.doc_id}")
-            val sample0 = ((first(1) << 8) | (first(0) & 0xff)).toLong
-            (r.doc_id, f.getSampleRate.toLong, f.getChannels.toLong,
-              ais.getFrameLength, sample0)
-          } finally ais.close()
+          DeadLetter.attempt {
+            val ais = open(r.wav)
+            try {
+              val f = ais.getFormat
+              // AudioInputStream reads whole FRAMES (4 bytes when stereo) —
+              // a 2-byte read returns nothing; take channel 0 of frame 0
+              val first = new Array[Byte](f.getFrameSize)
+              if (ais.read(first) != f.getFrameSize)
+                throw new java.io.EOFException("empty PCM stream")
+              val sample0 = ((first(1) << 8) | (first(0) & 0xff)).toLong
+              (f.getSampleRate.toLong, f.getChannels.toLong, ais.getFrameLength, sample0)
+            } finally ais.close()
+          } match {
+            case Right((rate, ch, frames, s0)) =>
+              (r.doc_id, Option(rate), Option(ch), Option(frames), Option(s0),
+                Option.empty[String])
+            case Left(err) =>
+              (r.doc_id, Option.empty[Long], Option.empty[Long], Option.empty[Long],
+                Option.empty[Long], Option(err))
+          }
         }
       }
-      .toDF("doc_id", "sample_rate", "channels", "n_frames", "sample0")
+      .toDF("doc_id", "sample_rate", "channels", "n_frames", "sample0", "decode_error")
       .orderBy("doc_id")
   }
+
+  def audioMeta(spark: SparkSession, d: String): DataFrame = audioMetaDs(audio(spark, d))
 }

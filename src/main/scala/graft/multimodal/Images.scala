@@ -74,38 +74,58 @@ object Images {
         .persist()
     }
 
+  /** Safe per-row decode: Right(image) or Left(reason). ImageIO signals
+    * failure BOTH ways — `null` when no registered reader claims the format,
+    * an `IIOException` when a reader claims it but the stream is corrupt —
+    * so both collapse into Left and feed the [[DeadLetter]] lane.
+    */
+  def decodeImage(bytes: Array[Byte]): Either[String, java.awt.image.BufferedImage] =
+    DeadLetter.attempt(ImageIO.read(new ByteArrayInputStream(bytes))).flatMap {
+      case null => Left("no registered ImageReader accepted the stream")
+      case img  => Right(img)
+    }
+
   /** Per-image channel statistics over EVERY decoded pixel: n_px and the
     * R/G/B channel sums as BIGINTs. Where [[imageMeta]] certifies the
     * container metadata plus one pixel, this certifies the ENTIRE raster:
     * the oracle recomputes the sums from the id-derived pixel formula, so a
     * hash match proves the full IDAT stream inflated correctly. Same
-    * narrow batch-shaped decode lane.
+    * narrow batch-shaped decode lane, same dead-letter contract as
+    * [[imageMetaDs]].
     */
-  def imageChannelStats(spark: SparkSession, d: String): DataFrame = {
+  def imageChannelStatsDs(ds: Dataset[ImageRecord]): DataFrame = {
+    val spark = ds.sparkSession
     import spark.implicits._
-    images(spark, d)
-      .mapPartitions { it =>
+    ds.mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map { r =>
-          val img = ImageIO.read(new ByteArrayInputStream(r.png))
-          require(img != null, s"undecodable PNG for doc ${r.doc_id}")
-          var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val p = img.getRGB(x, y)
-              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-              x += 1
-            }
-            y += 1
+          decodeImage(r.png) match {
+            case Right(img) =>
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              (r.doc_id, Option(img.getWidth.toLong * img.getHeight),
+                Option(sr), Option(sg), Option(sb), Option.empty[String])
+            case Left(err) =>
+              (r.doc_id, Option.empty[Long], Option.empty[Long], Option.empty[Long],
+                Option.empty[Long], Option(err))
           }
-          (r.doc_id, img.getWidth.toLong * img.getHeight, sr, sg, sb)
         }
       }
-      .toDF("doc_id", "n_px", "sum_r", "sum_g", "sum_b")
+      .toDF("doc_id", "n_px", "sum_r", "sum_g", "sum_b", "decode_error")
       .orderBy("doc_id")
   }
+
+  def imageChannelStats(spark: SparkSession, d: String): DataFrame =
+    imageChannelStatsDs(images(spark, d))
 
   /** REAL resize: decode → Java2D scale → re-encode, all JDK. The
     * distributed form maps it over the binary column partition-by-partition
@@ -135,24 +155,34 @@ object Images {
   /** Decode operator: PNG bytes → (width, height, format, top-left pixel).
     * Batch-shaped `mapPartitions`: the `ImageReader` lookup happens once
     * per partition (where a heavier codec/model handle would be opened),
-    * rows stream through. Output columns are BIGINT for oracle parity.
+    * rows stream through. Output columns are BIGINT for oracle parity; meta
+    * columns are nullable and `decode_error` carries the [[DeadLetter]]
+    * reason for undecodable blobs (NULL on success) — one corrupt row must
+    * not abort the task.
     */
-  def imageMeta(spark: SparkSession, d: String): DataFrame = {
+  def imageMetaDs(ds: Dataset[ImageRecord]): DataFrame = {
+    val spark = ds.sparkSession
     import spark.implicits._
-    images(spark, d)
-      .mapPartitions { it =>
+    ds.mapPartitions { it =>
         // ImageIO's default per-read DISK-backed stream cache costs a temp
         // file per image; the flag is JVM(AppContext)-global, which is fine
         // ONLY because every caller wants false — never toggle it per-task
         ImageIO.setUseCache(false)
         it.map { r =>
-          val img = ImageIO.read(new ByteArrayInputStream(r.png))
-          require(img != null, s"undecodable PNG for doc ${r.doc_id}")
-          (r.doc_id, img.getWidth.toLong, img.getHeight.toLong,
-            "png", (img.getRGB(0, 0) & 0xffffff).toLong)
+          decodeImage(r.png) match {
+            case Right(img) =>
+              (r.doc_id, Option(img.getWidth.toLong), Option(img.getHeight.toLong),
+                Option("png"), Option((img.getRGB(0, 0) & 0xffffff).toLong),
+                Option.empty[String])
+            case Left(err) =>
+              (r.doc_id, Option.empty[Long], Option.empty[Long], Option.empty[String],
+                Option.empty[Long], Option(err))
+          }
         }
       }
-      .toDF("doc_id", "width", "height", "format", "pixel00")
+      .toDF("doc_id", "width", "height", "format", "pixel00", "decode_error")
       .orderBy("doc_id")
   }
+
+  def imageMeta(spark: SparkSession, d: String): DataFrame = imageMetaDs(images(spark, d))
 }

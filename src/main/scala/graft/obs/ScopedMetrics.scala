@@ -32,7 +32,8 @@ object ScopedMetrics {
       shuffleReadBytes: Long,
       memorySpillBytes: Long,
       diskSpillBytes: Long,
-      executorCpuNs: Long) {
+      executorCpuNs: Long,
+      jvmGcMs: Long = 0L) {
     def shuffleWriteMb: Double = shuffleWriteBytes / 1048576.0
     def spilled: Boolean = memorySpillBytes > 0 || diskSpillBytes > 0
   }
@@ -44,6 +45,7 @@ object ScopedMetrics {
     val memSpill = new AtomicLong()
     val diskSpill = new AtomicLong()
     val cpu = new AtomicLong()
+    val gc = new AtomicLong()
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
@@ -53,10 +55,11 @@ object ScopedMetrics {
         memSpill.addAndGet(m.memoryBytesSpilled)
         diskSpill.addAndGet(m.diskBytesSpilled)
         cpu.addAndGet(m.executorCpuTime)
+        gc.addAndGet(m.jvmGCTime)
       }
     }
     def snapshot: Snapshot = Snapshot(tasks.get(), sw.get(), sr.get(),
-      memSpill.get(), diskSpill.get(), cpu.get())
+      memSpill.get(), diskSpill.get(), cpu.get(), gc.get())
   }
 
   /** Run `body` and return its result plus the task metrics it caused. */

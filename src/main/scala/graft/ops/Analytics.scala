@@ -120,7 +120,13 @@ object Analytics {
 
   /** Anti join: customers that never ordered. */
   def customersWithoutOrders(spark: SparkSession, d: String): DataFrame = {
-    val ord = Tables.orders(spark, d).select(col("o_custkey"))
+    // Scoped to URGENT orders: in the generated data every customer has at
+    // least one order, so the unfiltered anti join is vacuously empty and
+    // certifies nothing (round-7 verdict). "No urgent order" is nonempty at
+    // every SF while keeping the LeftAnti plan shape.
+    val ord = Tables.orders(spark, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
     Tables.customer(spark, d)
       .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
@@ -216,10 +222,17 @@ object Analytics {
   }
 
   def segmentExcept(spark: SparkSession, d: String): DataFrame = {
+    // (nation, segment) pairs with a mildly-negative-balance customer but no
+    // deeply-negative one. The earlier nation-1-vs-nation-2 segment EXCEPT
+    // was vacuously empty (all five segments occur in every nation at every
+    // SF — round-7 verdict); this filtered-set difference is nonempty at
+    // sf0.001/0.01/0.1 while keeping the Except(distinct) plan shape.
     val c = Tables.customer(spark, d)
-    c.filter(col("c_nationkey") === 1).select(col("c_mktsegment"))
-      .except(c.filter(col("c_nationkey") === 2).select(col("c_mktsegment")))
-      .orderBy("c_mktsegment")
+    val pairs = (f: Column) =>
+      c.filter(f).select(col("c_nationkey").cast("long").as("c_nationkey"), col("c_mktsegment"))
+    pairs(col("c_acctbal") < 0)
+      .except(pairs(col("c_acctbal") < -900))
+      .orderBy("c_nationkey", "c_mktsegment")
   }
 
   /** TPC-H Q17-style correlated scalar subquery, via the SQL entry point —

@@ -105,16 +105,28 @@ object Scoring {
       .orderBy("doc_id")
   }
 
-  /** Blocked edit-distance near-dup pairs: block on (lang, n_chars div 32)
+  /** Blocked edit-distance near-dup pairs: block on (lang, n_chars div w)
     * — near-identical docs share both — and run THRESHOLD-BANDED Levenshtein
     * on a bounded prefix within each block (the 3-arg `levenshtein` bands
     * the DP to O(len·maxDist) with early exit — at sf0.1 this cut the query
     * from 12.7s to ~2s vs the unbanded form). One shuffle on the block key;
     * the quadratic term is confined to a block (the standard blocking scheme
     * for fuzzy dedup; MinHash/SimHash cover the unblocked regime).
+    *
+    * The block width w is CORPUS-DERIVED, not fixed (the round-7 fixed
+    * `div 32` made block population — and so the quadratic per-block term —
+    * grow linearly with corpus size: 5.4× time at 10× data). Width
+    * `clamp(1, 32, range(n_chars) · n_langs · targetBlock div n_docs)`
+    * keeps the EXPECTED block population near `targetBlock` as the corpus
+    * grows: 10× docs → ~1/10 width → ~10× blocks of the same size, so total
+    * work scales ~linearly until the width floors at 1 (past that regime,
+    * length-blocking has no resolution left and MinHash/SimHash are the
+    * right tool). The chosen width is exported as `bucket_w` so the DuckDB
+    * oracle re-derives the identical blocking from the same statistics.
     */
   def editDistPairs(spark: SparkSession, d: String,
-                    prefixLen: Int = 60, maxDist: Int = 12): DataFrame = {
+                    prefixLen: Int = 60, maxDist: Int = 12,
+                    targetBlock: Int = 16): DataFrame = {
     // Both self-join branches read the same 4-column projection; persisting
     // it turns two full text scans into one scan + a cached narrow frame
     // (prefixes only, not the document bodies).
@@ -123,21 +135,31 @@ object Scoring {
     // octet_length = length predicate on BOTH sides keeps the oracle exact
     // whatever the corpus holds (today's corpus is all-ASCII; this makes
     // that an invariant rather than luck).
-    val blocked = Memo(spark, s"editdist_blocked|$d|$prefixLen") {
-      Tables.documents(spark, d).select(
-        col("doc_id"), col("lang"), expr("n_chars div 32").as("bk"),
-        substring(lower(col("text")), 1, prefixLen).as("s"))
+    val blocked = Memo(spark, s"editdist_blocked|$d|$prefixLen|$targetBlock") {
+      val docs = Tables.documents(spark, d)
+      // one tiny aggregate row broadcast back — the corpus side stays one
+      // scan; all arithmetic integer so the oracle reproduces w exactly
+      val stats = docs
+        .agg(count(lit(1)).as("n_docs"), min("n_chars").as("min_c"),
+          max("n_chars").as("max_c"), countDistinct("lang").as("n_langs"))
+        .select(greatest(lit(1L), least(lit(32L),
+          expr(s"((max_c - min_c + 1) * n_langs * $targetBlock) div n_docs"))).as("bucket_w"))
+      docs.crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("lang"), col("bucket_w"),
+          expr("n_chars div bucket_w").as("bk"),
+          substring(lower(col("text")), 1, prefixLen).as("s"))
         .filter(expr("octet_length(s) = length(s)"))
         .persist()
     }
-    val a = blocked.select(col("doc_id").as("doc_a"), col("lang"), col("bk"), col("s").as("sa"))
+    val a = blocked.select(col("doc_id").as("doc_a"), col("lang"), col("bk"),
+      col("bucket_w"), col("s").as("sa"))
     val c = blocked.select(col("doc_id").as("doc_b"), col("lang"), col("bk"), col("s").as("sb"))
     // banded levenshtein returns -1 when the distance exceeds the threshold
     a.join(c, Seq("lang", "bk"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("dist", levenshtein(col("sa"), col("sb"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
-      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .select(col("doc_a"), col("doc_b"), col("dist"), col("bucket_w"))
       .orderBy("doc_a", "doc_b")
   }
 }

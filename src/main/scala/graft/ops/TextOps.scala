@@ -239,10 +239,15 @@ object TextOps {
         when(col("n_chars") <= size, lit(1L))
           .otherwise(expr(s"(n_chars - ${overlap + 1}) div $stride + 1")))
       .withColumn("chunk_idx", explode(expr("sequence(0, n_chunks - 1)")))
-      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        (col("chunk_idx") * stride).cast("long").as("start_off"),
-        least(col("chunk_idx") * stride + size, col("n_chars")).cast("long").as("end_off"),
-        expr(s"substring(text, chunk_idx * $stride + 1, $size)").as("chunk_text"))
+      // chunk_idx goes long BEFORE the stride multiply: for n_chars near
+      // 2^31 the 32-bit product overflows before any later cast (r7 advice)
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_off"),
+        least(col("chunk_idx") * stride + size, col("n_chars").cast("long")).as("end_off"),
+        // the multiply runs in BIGINT; the final position is < n_chars + 1
+        // (String length caps at Int.MaxValue) so the narrowing cast is safe
+        expr(s"substring(text, CAST(chunk_idx * $stride + 1 AS INT), $size)").as("chunk_text"))
       .orderBy("doc_id", "chunk_idx")
   }
 

@@ -109,6 +109,40 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("codec dead-letter lane: corrupt blobs yield decode_error, good rows survive") {
+    import spark.implicits._
+    // one valid row, one truncated container, one pure-garbage blob — the
+    // task must finish and attribute per-row failures (OP-3 semantics for
+    // the codec lane; a `require` here used to abort the whole task)
+    val imgDs = Seq(
+      Images.ImageRecord(1L, Images.pngBytes(1L)),
+      Images.ImageRecord(2L, Images.pngBytes(7L).take(20)), // cut before IDAT
+      Images.ImageRecord(3L, Array[Byte](1, 2, 3, 4))       // not a PNG at all
+    ).toDS()
+    val im = Images.imageMetaDs(imgDs).collect().sortBy(_.getLong(0))
+    assert(im.length == 3)
+    assert(!im(0).isNullAt(1) && im(0).isNullAt(5))
+    assert(im(0).getLong(1) == Images.widthOf(1L).toLong)
+    assert(im(1).isNullAt(1) && !im(1).isNullAt(5))
+    assert(im(2).isNullAt(1) && !im(2).isNullAt(5))
+    val ist = Images.imageChannelStatsDs(imgDs).collect().sortBy(_.getLong(0))
+    assert(!ist(0).isNullAt(1) && ist(1).isNullAt(1) && !ist(1).isNullAt(5))
+
+    val audDs = Seq(
+      Audio.AudioRecord(1L, Audio.wavBytes(1L)),
+      Audio.AudioRecord(2L, Audio.wavBytes(5L).take(10)),   // truncated RIFF header
+      Audio.AudioRecord(3L, "not audio".getBytes("UTF-8"))
+    ).toDS()
+    val am = Audio.audioMetaDs(audDs).collect().sortBy(_.getLong(0))
+    assert(am.length == 3)
+    assert(!am(0).isNullAt(1) && am(0).isNullAt(5))
+    assert(am(0).getLong(1) == Audio.rateOf(1L).toLong)
+    assert(am(1).isNullAt(1) && !am(1).isNullAt(5))
+    assert(am(2).isNullAt(1) && !am(2).isNullAt(5))
+    val ast = Audio.audioSampleStatsDs(audDs).collect().sortBy(_.getLong(0))
+    assert(!ast(0).isNullAt(1) && ast(1).isNullAt(1) && !ast(1).isNullAt(3))
+  }
+
   test("real PNG round-trip: synthesized bytes decode to the contract dims and pixels") {
     // driver-side codec law first: a PNG we wrote re-reads pixel-exact
     val id = 37L

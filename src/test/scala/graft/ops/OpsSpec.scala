@@ -673,6 +673,34 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("zValueK aligned-box prefix property holds at arity 4 (nested-interleave composition)") {
+    import spark.implicits._
+    // arity 4 is the least obvious zValueK construction — built from nested
+    // 2-D zValue calls with XOR cancellation — so the box-contiguity law
+    // gets its own regression gate at that arity (round-7 advice)
+    val m = 2
+    val side = 1L << m
+    // origins stay inside the arity-4 key domain [0, 2^16)
+    for (origin <- Seq((0L, 0L, 0L, 0L), (4L, 8L, 12L, 16L), (64L, 4L, 0L, 8L),
+        (1L << 12, 1L << 10, 4L, 1L << 8))) {
+      val (ou, ov, ow, ox) = origin
+      val pts = (for (i <- 0L until side; j <- 0L until side;
+          k <- 0L until side; l <- 0L until side)
+        yield (ou + i, ov + j, ow + k, ox + l)).toDF("u", "v", "w", "x")
+      val keys = Seq("u", "v", "w", "x").map(col)
+      val z = pts.select(Layout.zValueK(keys).as("z")).agg(min("z"), max("z"))
+        .as[(Long, Long)].head()
+      val zMin = pts.filter(col("u") === ou && col("v") === ov &&
+          col("w") === ow && col("x") === ox)
+        .select(Layout.zValueK(keys)).as[Long].head()
+      val zMax = pts.filter(col("u") === (ou + side - 1) && col("v") === (ov + side - 1) &&
+          col("w") === (ow + side - 1) && col("x") === (ox + side - 1))
+        .select(Layout.zValueK(keys)).as[Long].head()
+      assert(z._1 == zMin && z._2 == zMax,
+        s"arity 4 box at $origin: z range $z, corners ($zMin, $zMax)")
+    }
+  }
+
   test("compactTo sizes file count from source bytes and preserves clustering") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft-compact-src").toString

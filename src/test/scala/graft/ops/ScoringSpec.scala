@@ -83,9 +83,16 @@ class ScoringSpec extends SparkSuite {
   test("editDistPairs: bounded, ordered, and equal to an unbanded brute-force recompute") {
     val out = Scoring.editDistPairs(spark, sf).collect()
     assert(out.forall(r => r.getLong(0) < r.getLong(1) && r.getLong(2) >= 0 && r.getLong(2) <= 12))
-    // recompute the full pair set by brute force (all blocks; sf0.001 is tiny)
+    // recompute the full pair set by brute force (all blocks; sf0.001 is
+    // tiny), re-deriving the corpus-dependent block width the operator uses
+    val st = Tables.documents(spark, sf)
+      .agg(count(lit(1)), min("n_chars"), max("n_chars"), countDistinct("lang"))
+      .head()
+    val w = math.max(1L, math.min(32L,
+      (st.getLong(2) - st.getLong(1) + 1) * st.getLong(3) * 16 / st.getLong(0)))
+    assert(out.forall(_.getLong(3) == w), "exported bucket_w disagrees with the formula")
     val blocked = Tables.documents(spark, sf).select(
-      col("doc_id"), col("lang"), expr("n_chars div 32").as("bk"),
+      col("doc_id"), col("lang"), expr(s"n_chars div $w").as("bk"),
       substring(lower(col("text")), 1, 60).as("s")).collect()
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(a.length + 1)(i => i)
