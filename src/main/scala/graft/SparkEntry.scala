@@ -134,6 +134,10 @@ object SparkEntry {
     "train_test_split" -> ((s, d) => TextOps.trainTestSplit(s, d)),
     "stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "mixture_rebalance" -> ((s, d) => TextOps.mixtureRebalance(s, d)),
+    // per-domain curation (C4/RefinedWeb shape): deterministic per-source cap
+    // + the per-source monitoring stats
+    "source_caps" -> ((s, d) => TextOps.sourceCaps(s, d)),
+    "source_stats" -> ((s, d) => TextOps.sourceStats(s, d)),
     "doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
     "training_set_build" -> ((s, d) => TextOps.trainingSetBuild(s, d)),
     // --- LLM-data-pipeline: dedup family ---
@@ -1149,6 +1153,33 @@ object SparkEntry {
         |  CASE WHEN ((cluster_id % 2147483648) * 2654435761) % 4294967296 % 100 < 90
         |       THEN 'train' ELSE 'test' END AS split
         |FROM labeled ORDER BY doc_id""".stripMargin,
+    "source_caps" ->
+      """SELECT doc_id, source, CAST(rnk AS BIGINT) AS src_rank FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY (((doc_id % 2147483648) * 2654435761) % 4294967296), doc_id) AS rnk
+        |  FROM documents
+        |) WHERE rnk <= 20 ORDER BY doc_id""".stripMargin,
+    "source_stats" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> length(x))), 0) AS BIGINT) AS n_word_chars,
+        |    CAST(len(regexp_extract_all(text, '\bthe\b|\ba\b')) AS BIGINT) AS n_stop,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, CAST(n_words BETWEEN 50 AND 100000
+        |    AND CAST(n_word_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) BETWEEN 3.0 AND 10.0
+        |    AND CAST(n_punct AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) < 0.1
+        |    AND n_stop >= 2 AS BIGINT) AS keep
+        |  FROM q
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(least(count(*), 20) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(keep) AS BIGINT) AS n_quality
+        |FROM documents d JOIN k USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "training_set_build" ->
       """WITH RECURSIVE docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |sh AS (
@@ -1221,10 +1252,18 @@ object SparkEntry {
         |  SELECT h.doc_id FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
         |  WHERE (h.n_hits * 1000000) // s.n_sh >= 100000
         |),
+        |caps AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY source
+        |      ORDER BY (((doc_id % 2147483648) * 2654435761) % 4294967296), doc_id) AS rnk
+        |    FROM documents
+        |  ) WHERE rnk <= 20
+        |),
         |kept AS (
         |  SELECT q.doc_id FROM quality q
         |  JOIN canon c ON q.doc_id = c.doc_id
         |  JOIN train t ON q.doc_id = t.doc_id
+        |  JOIN caps p ON q.doc_id = p.doc_id
         |  LEFT JOIN losers l ON q.doc_id = l.doc_id
         |  LEFT JOIN contaminated x ON q.doc_id = x.doc_id
         |  WHERE l.doc_id IS NULL AND x.doc_id IS NULL AND q.doc_id % 97 <> 0

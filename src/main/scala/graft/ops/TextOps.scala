@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-data pipelines over `documents`
@@ -212,6 +213,56 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-SOURCE (domain) curation cap — the missing curation axis every
+    * public pipeline has (C4 caps per-domain contribution, RefinedWeb §3.1
+    * dedups and limits by domain, Gopher §A1 reports per-source mixing): no
+    * single source may contribute more than `cap` documents. Each doc gets a
+    * deterministic per-source priority from the shared exact-integer
+    * [[knuthBucket]] hash — the "random" cap sample is reproducible across
+    * engines, runs, and cluster sizes, no RNG — and the cap keeps the `cap`
+    * lowest (priority, doc_id) per source.
+    *
+    * Scale shape: only KEPT rows are returned, so the ranking window carries
+    * a `rank <= cap` gate that WindowGroupLimit prunes MAP-SIDE — each task
+    * forwards at most `cap` rows per source before the shuffle, bounding
+    * exchange volume by cap · n_sources · n_tasks regardless of how skewed
+    * the domain distribution is. An all-ranks variant would shuffle the
+    * whole corpus into one partition per domain — the classic web-crawl
+    * skew trap (a handful of giant domains own most of the data).
+    */
+  def sourceCaps(spark: SparkSession, d: String, cap: Int = 20): DataFrame =
+    sourceCapsDocs(Tables.documents(spark, d), cap)
+
+  def sourceCapsDocs(docs: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"))
+      .withColumn("pri", knuthBucket(col("doc_id"), 4294967296L))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .filter(col("src_rank") <= cap)
+      .select(col("doc_id"), col("source"), col("src_rank"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source statistics + cap outcome: doc count, kept-under-cap count,
+    * exact char volume, and quality-rule pass count per domain — the
+    * monitoring table a per-domain curation run reports (the per-source
+    * analogue of [[corpusStats]]). One partial+final hash aggregation;
+    * BIGINT sums per the oracle parity rules.
+    */
+  def sourceStats(spark: SparkSession, d: String, cap: Int = 20): DataFrame = {
+    val q = qualityFilter(spark, d).select(col("doc_id"), col("keep"))
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(q, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        least(count(lit(1)), lit(cap.toLong)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(col("keep")).cast("long").as("n_quality"))
+      .orderBy("source")
+  }
+
   /** Context-window CHUNKING: split each document into fixed-size character
     * windows with overlap — the pre-tokenization segmentation step of a
     * training pipeline (RAG ingestion uses the same shape). One row per
@@ -253,8 +304,9 @@ object TextOps {
 
   /** The COMPOSED end-to-end training-set build — what a pipeline user
     * actually ships: quality filter → exact dedup → near-dup removal
-    * ([[curateCorpus]]) → eval-slice exclusion + contamination removal
-    * (docs with ≥10% eval 5-gram containment drop) → cluster-keyed
+    * ([[curateCorpus]]) → per-source cap ([[sourceCaps]] — no domain
+    * dominates the training mix) → eval-slice exclusion + contamination
+    * removal (docs with ≥10% eval 5-gram containment drop) → cluster-keyed
     * train split ([[trainTestSplit]] — near-dups land on one side) →
     * context-window chunking ([[docChunks]]). Every stage is an
     * independently-oracled operator, and the composition is oracled END TO
@@ -263,7 +315,8 @@ object TextOps {
     * explosion happens only for surviving documents.
     */
   def trainingSetBuild(spark: SparkSession, d: String, evalMod: Int = 97,
-      contaminationE6: Long = 100000L, trainPct: Int = 90): DataFrame = {
+      contaminationE6: Long = 100000L, trainPct: Int = 90,
+      sourceCap: Int = 20): DataFrame = {
     val curated = curateCorpus(spark, d)
     val contaminated = Dedup.evalContamination(spark, d, evalMod)
       .filter(col("containment_e6") >= contaminationE6).select("doc_id")
@@ -271,6 +324,7 @@ object TextOps {
       .filter(col("split") === "train").select("doc_id")
     val kept = curated
       .filter(col("doc_id") % evalMod =!= 0) // the eval slice itself never trains
+      .join(sourceCaps(spark, d, sourceCap).select("doc_id"), Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(train, Seq("doc_id"), "left_semi")
     // filter BEFORE the chunk explosion — a semi join cannot push below the

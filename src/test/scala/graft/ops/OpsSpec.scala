@@ -739,13 +739,48 @@ class OpsSpec extends SparkSuite {
       .filter(col("containment_e6") >= 100000L).select("doc_id").as[Long].collect().toSet
     val train = TextOps.trainTestSplit(spark, sf).filter(col("split") === "train")
       .select("doc_id").as[Long].collect().toSet
-    val kept = curated.filter(id => id % 97 != 0 && !contaminated(id) && train(id))
+    val capped = TextOps.sourceCaps(spark, sf).select("doc_id").as[Long].collect().toSet
+    val kept = curated.filter(id => id % 97 != 0 && !contaminated(id) && train(id) && capped(id))
     val expected = TextOps.docChunks(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .filter(t => kept(t._1)).sortBy(t => (t._1, t._2)).toSeq
     assert(built.nonEmpty && built == expected)
     // the composition genuinely filters: strictly fewer docs than curation alone
     assert(built.map(_._1).distinct.size < curated.size)
+  }
+
+  test("source caps: at most cap docs per source, ranks dense, window prunes map-side") {
+    import spark.implicits._
+    val df = TextOps.sourceCaps(spark, sf, cap = 7)
+    val rows = df.collect()
+    val bySource = rows.groupBy(_.getString(1))
+    assert(bySource.nonEmpty && bySource.values.forall(_.length <= 7))
+    bySource.values.foreach { g =>
+      assert(g.map(_.getLong(2)).sorted.toSeq == (1L to g.length.toLong))
+    }
+    // deterministic: same hash, same ranks on a second run
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      rows.map(r => (r.getLong(0), r.getLong(2))).toSeq)
+    // the rank <= cap gate must reach WindowGroupLimit so each task forwards
+    // at most cap rows per source BEFORE the exchange — the property that
+    // makes the cap safe under web-crawl domain skew
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(600))
+  }
+
+  test("source stats: per-source counts/volumes recompute from the raw table") {
+    import spark.implicits._
+    val out = TextOps.sourceStats(spark, sf, cap = 20).collect()
+    val docs = Tables.documents(spark, sf).select("source", "n_chars")
+      .as[(String, Long)].collect().groupBy(_._1)
+    assert(out.map(_.getString(0)).toSet == docs.keySet)
+    out.foreach { r =>
+      val g = docs(r.getString(0))
+      assert(r.getLong(1) == g.length.toLong)
+      assert(r.getLong(2) == math.min(g.length.toLong, 20L))
+      assert(r.getLong(3) == g.map(_._2).sum)
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= g.length.toLong)
+    }
   }
 
   test("doc chunking: windows cover every char, overlap is exact, text reassembles") {
