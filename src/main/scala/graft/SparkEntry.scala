@@ -140,6 +140,12 @@ object SparkEntry {
     "source_stats" -> ((s, d) => TextOps.sourceStats(s, d)),
     "doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
     "training_set_build" -> ((s, d) => TextOps.trainingSetBuild(s, d)),
+    // real BPE (learned merges + greedy encode): no SQL form exists for the
+    // merge loop, so all three are rows-only; BpeSpec pins the distributed
+    // encode to a driver-side reference word by word
+    "bpe_vocab" -> ((s, d) => Bpe.bpeVocab(s, d)), // rows-only
+    "bpe_token_counts" -> ((s, d) => Bpe.tokenCounts(s, d)), // rows-only
+    "batch_packing_bpe" -> ((s, d) => Bpe.packingBpe(s, d)), // rows-only
     // --- LLM-data-pipeline: dedup family ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
