@@ -151,6 +151,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "eval_contamination" -> ((s, d) => Dedup.evalContamination(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
+    // incremental form of dedup_ngram_jaccard: new CDC batch probed against
+    // the existing shingle index, per-doc best match + verdict
+    "incremental_dedup" -> ((s, d) => Incremental.incrementalDedup(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)), // approx: rows-only
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)), // rows-only
     "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)), // rows-only
@@ -1110,6 +1113,44 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
         |ORDER BY a, b""".stripMargin,
+    "incremental_dedup" ->
+      """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 3), i ->
+        |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+        |    FROM docs WHERE len(w) >= 5
+        |  )
+        |),
+        |newsh AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+        |oldsh AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+        |-- maxDf stop-shingle cap on the INDEX side only; sizes keep all
+        |oldc AS (
+        |  SELECT o.doc_id, o.shingle FROM oldsh o
+        |  JOIN (SELECT shingle FROM oldsh GROUP BY 1 HAVING count(*) <= 256) f
+        |    ON o.shingle = f.shingle
+        |),
+        |szn AS (SELECT doc_id, count(*) AS n_sh FROM newsh GROUP BY 1),
+        |szo AS (SELECT doc_id, count(*) AS n_old FROM oldsh GROUP BY 1),
+        |scored AS (
+        |  SELECT c.new_id, c.old_id,
+        |    (c.n_common * 1000000) // (szn.n_sh + szo.n_old - c.n_common) AS j_e6
+        |  FROM (SELECT n.doc_id AS new_id, o.doc_id AS old_id, count(*) AS n_common
+        |        FROM newsh n JOIN oldc o ON n.shingle = o.shingle GROUP BY 1, 2) c
+        |  JOIN szn ON c.new_id = szn.doc_id JOIN szo ON c.old_id = szo.doc_id
+        |),
+        |best AS (
+        |  SELECT new_id, old_id, j_e6 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY new_id ORDER BY j_e6 DESC, old_id) AS rn
+        |    FROM scored
+        |  ) WHERE rn = 1
+        |)
+        |SELECT d.doc_id, CAST(coalesce(b.old_id, -1) AS BIGINT) AS match_id,
+        |  CAST(coalesce(b.j_e6, 0) AS BIGINT) AS jaccard_e6,
+        |  CAST(coalesce(b.j_e6, 0) >= 500000 AS BIGINT) AS is_dup
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |LEFT JOIN best b ON d.doc_id = b.new_id
+        |ORDER BY doc_id""".stripMargin,
     "train_test_split" ->
       """WITH RECURSIVE docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |sh AS (

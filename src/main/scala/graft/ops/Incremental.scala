@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental-maintenance and runtime-pruning operators: signed-delta
@@ -96,6 +97,56 @@ object Incremental {
         Exact.sumLong(col("sign") * col("c2")).as("revenue_c2"))
       .filter(col("n_rows") > 0)
       .orderBy("c_mktsegment")
+  }
+
+  /** Incremental near-dup detection under CDC — the streaming/incremental
+    * form of [[Dedup.ngramJaccard]], composing the engine's two flagship
+    * families: a NEW batch of documents (the CDC arrival; doc_id ≡ 0 mod
+    * `batchMod` stands in for the micro-batch) is probed against the
+    * EXISTING corpus's inverted shingle index, and every new doc gets its
+    * best existing match and a duplicate verdict BEFORE admission.
+    *
+    * Scale shape — why incremental dedup works at 100 TB: per batch the
+    * cost is O(batch shingles ⋈ index) keyed on the shingle, never a corpus
+    * re-pair. The batch side is micro-batch-sized; the index is the stored
+    * big side (here served from the same session-cached index the batch
+    * family shares). Hot boilerplate shingles above `maxDf` are excluded
+    * from candidate generation on the INDEX side only (doc sizes keep every
+    * shingle, so the cap can only lose intersection evidence, never inflate
+    * a score — same contract as [[Dedup.jaccardPairs]]). The best-match
+    * rank window carries a rn=1 gate that WindowGroupLimit prunes map-side.
+    * Jaccard exports as floor(j·1e6) BIGINT (integer division, exact in
+    * both engines); unmatched docs export (match_id, jaccard_e6) = (-1, 0)
+    * so every batch doc carries a verdict row.
+    */
+  def incrementalDedup(spark: SparkSession, d: String, batchMod: Int = 10,
+      thresholdE6: Long = 500000L, maxDf: Int = 256): DataFrame = {
+    val sh = Dedup.cachedShingles(spark, d)
+    val isNew = col("doc_id") % batchMod === 0
+    val newSh = sh.filter(isNew)
+    val oldSh = sh.filter(!isNew)
+    val oldCapped = oldSh.join(
+      oldSh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("shingle"),
+      Seq("shingle"), "left_anti")
+    val sizesNew = newSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sizesOld = oldSh.groupBy("doc_id").agg(count(lit(1)).as("n_old"))
+    val scored = newSh.withColumnRenamed("doc_id", "new_id")
+      .join(oldCapped.withColumnRenamed("doc_id", "old_id"), "shingle")
+      .groupBy(col("new_id"), col("old_id")).agg(count(lit(1)).as("n_common"))
+      .join(sizesNew.withColumnRenamed("doc_id", "new_id"), "new_id")
+      .join(sizesOld.withColumnRenamed("doc_id", "old_id"), "old_id")
+      .withColumn("j_e6", expr("(n_common * 1000000) div (n_sh + n_old - n_common)"))
+    val w = Window.partitionBy(col("new_id")).orderBy(desc("j_e6"), asc("old_id"))
+    val best = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("new_id").as("doc_id"), col("old_id"), col("j_e6"))
+    Tables.documents(spark, d).filter(isNew).select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("old_id"), lit(-1L)).as("match_id"),
+        coalesce(col("j_e6"), lit(0L)).as("jaccard_e6"),
+        (coalesce(col("j_e6"), lit(0L)) >= thresholdE6).cast("long").as("is_dup"))
+      .orderBy("doc_id")
   }
 
   /** Bloom-pruned semi join: lineitems of urgent orders. Builds a bloom
