@@ -32,7 +32,9 @@ object SparkEntry {
     "dedup_minhash_lsh", "dedup_simhash", "simhash_pairs",
     "ann_topk_lsh", "ann_topk_lsh_recall",
     "ivf_topk", "ivf_topk_recall",
-    "dedup_embedding")
+    "dedup_embedding",
+    // the BPE merge loop has no SQL form (BpeSpec carries the parity gate)
+    "bpe_vocab", "bpe_token_counts", "batch_packing_bpe")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- CDC pipeline operators (SURVEY.md §2, OP-n) ---
