@@ -172,6 +172,11 @@ object SparkEntry {
     "image_channel_stats" -> ((s, d) => graft.multimodal.Images.imageChannelStats(s, d)),
     // full-payload decode evidence: sum over EVERY PCM sample
     "audio_sample_stats" -> ((s, d) => graft.multimodal.Audio.audioSampleStats(s, d)),
+    // real JDK multi-page TIFF decode (the "video" modality): frame counts,
+    // dims and per-frame probe pixels re-derived by walking the real
+    // container, recomputed arithmetically by the oracle
+    "video_meta" -> ((s, d) => graft.multimodal.Video.videoMeta(s, d)),
+    "frame_sample" -> ((s, d) => graft.multimodal.Video.frameSample(s, d)),
     "topk_similar" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "cosine_pairs" -> ((s, d) => Similarity.cosinePairs(s, d)),
     // ANN, production shape: the probe path alone, un-instrumented — what a
@@ -1444,6 +1449,21 @@ object SparkEntry {
         |  CAST((doc_id * 1103515245) % 16777216 AS BIGINT) AS pixel00,
         |  CAST(NULL AS VARCHAR) AS decode_error
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "video_meta" ->
+      """SELECT doc_id,
+        |  CAST(4 + doc_id % 6 AS BIGINT) AS n_frames,
+        |  CAST(12 + doc_id % 8 AS BIGINT) AS width,
+        |  CAST(8 + doc_id % 4 AS BIGINT) AS height,
+        |  CAST((doc_id * 2654435761) % 16777216 AS BIGINT) AS pixel00,
+        |  CAST(NULL AS VARCHAR) AS decode_error
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "frame_sample" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 6 AS nf FROM documents),
+        |f AS (SELECT doc_id, unnest(range(0, nf)) AS fi FROM d)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST((doc_id * 2654435761 + fi * 97) % 16777216 AS BIGINT) AS pixel00,
+        |  CAST(NULL AS VARCHAR) AS decode_error
+        |FROM f WHERE fi % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
     "topk_similar" ->
       """WITH emb AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,

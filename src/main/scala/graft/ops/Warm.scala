@@ -33,6 +33,7 @@ object Warm {
     // input generation, not the decode operator
     graft.multimodal.Images.images(spark, d).count()
     graft.multimodal.Audio.audio(spark, d).count()
+    graft.multimodal.Video.videos(spark, d).count()
     // BPE merge learning (word-count agg + driver loop) — ingest-time
     // tokenizer training shared by bpe_vocab, bpe_token_counts, and
     // batch_packing_bpe; the per-doc encode scans stay timed

@@ -143,6 +143,50 @@ class MultimodalSpec extends SparkSuite {
     assert(!ast(0).isNullAt(1) && ast(1).isNullAt(1) && !ast(1).isNullAt(3))
   }
 
+  test("real multi-frame TIFF round-trip: frame counts, dims, and sampled pixels match the contract") {
+    val meta = Video.videoMeta(spark, sf).collect()
+    assert(meta.length == graft.ops.Tables.documents(spark, sf).count())
+    meta.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == Video.framesOf(id).toLong, s"frames mismatch at $id")
+      assert(r.getLong(2) == Video.widthOf(id).toLong && r.getLong(3) == Video.heightOf(id).toLong)
+      assert(r.getLong(4) == (Video.pixelOf(id, 0, 0, 0).toLong & 0xffffffL))
+      assert(r.isNullAt(5))
+    }
+    // every 2nd frame sampled, pixel probe exact per frame
+    val frames = Video.frameSample(spark, sf, everyN = 2).collect()
+    val byDoc = frames.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, fs) =>
+      val want = (0 until Video.framesOf(id) by 2).map(_.toLong)
+      assert(fs.map(_.getLong(1)).sorted.toSeq == want, s"sampled frames wrong at $id")
+      fs.foreach { f =>
+        assert(f.getLong(2) == (Video.pixelOf(id, f.getLong(1).toInt, 0, 0).toLong & 0xffffffL))
+      }
+    }
+  }
+
+  test("video dead-letter lane: corrupt containers yield decode_error rows, good clips survive") {
+    import spark.implicits._
+    val ds = Seq(
+      Video.VideoRecord(1L, Video.tiffBytes(1L)),
+      Video.VideoRecord(2L, Video.tiffBytes(7L).take(16)), // truncated directory
+      Video.VideoRecord(3L, Array[Byte](9, 9, 9, 9))       // not a TIFF
+    ).toDS()
+    val meta = Video.videoMetaDs(ds).collect().sortBy(_.getLong(0))
+    assert(meta.length == 3)
+    assert(!meta(0).isNullAt(1) && meta(0).isNullAt(5))
+    assert(meta(1).isNullAt(1) && !meta(1).isNullAt(5))
+    assert(meta(2).isNullAt(1) && !meta(2).isNullAt(5))
+    val fs = Video.frameSampleDs(ds, 2).collect()
+    val good = fs.filter(_.getLong(0) == 1L)
+    assert(good.nonEmpty && good.forall(_.isNullAt(3)))
+    // failed containers are accounted for with one frame_idx -1 row each
+    Seq(2L, 3L).foreach { id =>
+      val rows = fs.filter(_.getLong(0) == id)
+      assert(rows.length == 1 && rows.head.getLong(1) == -1L && !rows.head.isNullAt(3))
+    }
+  }
+
   test("real PNG round-trip: synthesized bytes decode to the contract dims and pixels") {
     // driver-side codec law first: a PNG we wrote re-reads pixel-exact
     val id = 37L
