@@ -123,8 +123,18 @@ object Incremental {
       thresholdE6: Long = 500000L, maxDf: Int = 256): DataFrame = {
     val sh = Dedup.cachedShingles(spark, d)
     val isNew = col("doc_id") % batchMod === 0
-    val newSh = sh.filter(isNew)
-    val oldSh = sh.filter(!isNew)
+    probeAgainstIndex(
+      Tables.documents(spark, d).filter(isNew).select(col("doc_id")),
+      sh.filter(isNew), sh.filter(!isNew), thresholdE6, maxDf)
+  }
+
+  /** The probe core shared by [[incrementalDedup]] (batch) and
+    * [[graft.streaming.StreamingDedup]] (per micro-batch through
+    * foreachBatch): score `newSh` against the `oldSh` index and give every
+    * doc in `newDocIds` a (match_id, jaccard_e6, is_dup) verdict row.
+    */
+  private[graft] def probeAgainstIndex(newDocIds: DataFrame, newSh: DataFrame,
+      oldSh: DataFrame, thresholdE6: Long, maxDf: Int): DataFrame = {
     val oldCapped = oldSh.join(
       oldSh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf).select("shingle"),
@@ -140,7 +150,7 @@ object Incremental {
     val w = Window.partitionBy(col("new_id")).orderBy(desc("j_e6"), asc("old_id"))
     val best = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("new_id").as("doc_id"), col("old_id"), col("j_e6"))
-    Tables.documents(spark, d).filter(isNew).select(col("doc_id"))
+    newDocIds
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("old_id"), lit(-1L)).as("match_id"),

@@ -259,4 +259,31 @@ class StreamingSpec extends SparkSuite {
     assert(st.batches > 0 && st.wallSec > 0 && st.rowsPerSec > 0, st.toString)
     assert(st.avgBatchMs > 0, s"durationMs not surfaced: $st")
   }
+
+  test("StreamingDedup: per-micro-batch probe equals the batch operator across 2 triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.ops.Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val newDocs = docs.filter(_._1 % 10 == 0).map { case (i, t) => StreamingDedup.Doc(i, t) }
+    assert(newDocs.nonEmpty)
+    val indexSh = graft.ops.Dedup.shingles(
+      docs.filterNot(_._1 % 10 == 0).toSeq.toDF("doc_id", "text")).cache()
+    val stream = MemoryStream[StreamingDedup.Doc]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = StreamingDedup.admissionStream(stream.toDS(), indexSh, (df, _) =>
+      buf.synchronized {
+        buf ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }).start()
+    // two triggers: the index is static, verdicts must not depend on how
+    // the batch is split across micro-batches
+    val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+    stream.addData(b1.toSeq); q.processAllAvailable()
+    stream.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    val want = graft.ops.Incremental.incrementalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(buf.toSet == want, s"stream ${buf.size} rows vs batch ${want.size}")
+    assert(buf.size == newDocs.length, "a doc was probed twice or lost across triggers")
+  }
 }
