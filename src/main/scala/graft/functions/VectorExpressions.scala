@@ -155,10 +155,17 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Array[Double
   // Array by reference, so two structurally identical instances would never
   // be semantically equal — defeating Catalyst canonicalization / CSE and
   // letting duplicate plan nodes each serialize their own copy of the
-  // planes. deepEquals/deepHashCode restore value semantics (round-7 advice).
+  // planes. deepEquals/deepHashCode restore value semantics (round-7
+  // advice). The deep hash is computed ONCE: Catalyst hashes/compares
+  // expressions repeatedly during analysis (ExpressionSet, CSE), and
+  // walking thousands of boxed doubles per call would tax the very
+  // mechanism this enables — the cached hash also fast-paths equals.
+  private lazy val planesHash: Int =
+    java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
+
   override def equals(other: Any): Boolean = other match {
     case h: HyperplaneBuckets =>
-      child == h.child && probes == h.probes &&
+      child == h.child && probes == h.probes && planesHash == h.planesHash &&
         java.util.Arrays.deepEquals(
           planes.asInstanceOf[Array[AnyRef]], h.planes.asInstanceOf[Array[AnyRef]])
     case _ => false
@@ -167,7 +174,7 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Array[Double
   override def hashCode(): Int = {
     var h = child.hashCode()
     h = 31 * h + probes
-    31 * h + java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
+    31 * h + planesHash
   }
 
   /** Planes flattened [t][i][j] -> t*bits*dim + i*dim + j: one contiguous

@@ -118,7 +118,7 @@ object Analytics {
       .orderBy("o_custkey", "rn")
   }
 
-  /** Anti join: customers that never ordered. */
+  /** Anti join: customers with no URGENT order. */
   def customersWithoutOrders(spark: SparkSession, d: String): DataFrame = {
     // Scoped to URGENT orders: in the generated data every customer has at
     // least one order, so the unfiltered anti join is vacuously empty and

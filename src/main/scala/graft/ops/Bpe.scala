@@ -37,9 +37,12 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Bpe {
 
-  /** Pre-tokenizer: lowercase alphanumeric runs — the JVM mirror of the
-    * Spark-side `regexp_extract_all(lower(text), '[a-z0-9]+')` (both are
-    * java.util.regex; identical on any input).
+  /** Pre-tokenizer: lowercase alphanumeric runs. BOTH the training word
+    * counts and the encode path run this exact JVM function (Locale.ROOT),
+    * so tokenization is bit-identical between them on ANY input — a SQL
+    * `lower()` variant was rejected because Spark's and the JVM's Unicode
+    * special-casing can diverge (e.g. U+0130, final sigma), which would
+    * silently train merges on a different word multiset than encode sees.
     */
   private val WordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
 
@@ -124,14 +127,20 @@ object Bpe {
 
   /** The corpus word-frequency table (distributed; bounded by `maxVocab`
     * most-frequent words — rarer words still encode fine, they just never
-    * drive a merge).
+    * drive a merge). Uses [[pretokenize]] so training sees exactly the
+    * words the encode path will; null text contributes nothing (same
+    * contract as [[Dedup.shingles]]).
     */
-  def wordCounts(spark: SparkSession, d: String, maxVocab: Int): DataFrame =
+  def wordCounts(spark: SparkSession, d: String, maxVocab: Int): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, d)
-      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("word"))
+      .select(col("text")).as[String]
+      .flatMap(t => if (t == null) Nil else pretokenize(t))
+      .toDF("word")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("word"))
       .limit(maxVocab)
+  }
 
   /** Learned merges for a corpus, session-memoized (the learn is one bounded
     * collect + a driver loop; every dependent query shares it).
@@ -171,13 +180,17 @@ object Bpe {
         val cache = new java.util.HashMap[String, Integer]()
         it.map { case (id, text) =>
           var words = 0L; var chars = 0L; var toks = 0L
-          val m = WordRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
-          while (m.find()) {
-            val w = m.group()
-            words += 1; chars += w.length
-            var n = cache.get(w)
-            if (n == null) { n = encodeCount(w, r); cache.put(w, n) }
-            toks += n.toInt
+          // null text → zero counts (same contract as Dedup.shingles; a
+          // null here must mark one row, never abort the task)
+          if (text != null) {
+            val m = WordRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
+            while (m.find()) {
+              val w = m.group()
+              words += 1; chars += w.length
+              var n = cache.get(w)
+              if (n == null) { n = encodeCount(w, r); cache.put(w, n) }
+              toks += n.toInt
+            }
           }
           (id, words, chars, toks)
         }

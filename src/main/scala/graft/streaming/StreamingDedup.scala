@@ -56,6 +56,12 @@ object StreamingDedup {
       sink: (DataFrame, Long) => Unit,
       thresholdE6: Long = 500000L, maxDf: Int = 256): DataStreamWriter[Doc] =
     docs.writeStream.foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
-      sink(probeBatch(batch, indexSh, thresholdE6, maxDf), batchId)
+      // the probe consumes the micro-batch three times (id list, sizes,
+      // scored join) — persist so a real source (file/Kafka) is read and
+      // shingled once per trigger, not three times; the sink materializes
+      // synchronously, so unpersist after it returns is safe
+      val cached = batch.persist()
+      try sink(probeBatch(cached, indexSh, thresholdE6, maxDf), batchId)
+      finally cached.unpersist()
     }
 }
