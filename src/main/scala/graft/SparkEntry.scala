@@ -108,6 +108,9 @@ object SparkEntry {
     "q19_promo_revenue" -> ((s, d) => Analytics.promoRevenue(s, d)),
     "orders_pivot" -> ((s, d) => Analytics.ordersPivot(s, d)),
     "orders_cube" -> ((s, d) => Analytics.ordersCube(s, d)),
+    // exact discrete percentiles (integer positions, no interpolation) —
+    // the exact gate a percentile_approx sketch twin would check against
+    "revenue_percentiles" -> ((s, d) => Analytics.revenuePercentiles(s, d)),
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(s, d)),
     "asof_join_signup" -> ((s, d) => AsOfJoin.purchaseToSignup(s, d)),
     "range_join_repeat" -> ((s, d) => RangeJoin.repeatOrders(s, d)),
@@ -362,6 +365,21 @@ object SparkEntry {
         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_c2
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY status, priority""".stripMargin,
+    "revenue_percentiles" ->
+      """WITH v AS (
+        |  SELECT c_mktsegment, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |), r AS (
+        |  SELECT c_mktsegment, c2,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c2) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM v
+        |)
+        |SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(max(CASE WHEN rn <= (n + 1) // 2 THEN c2 END) AS BIGINT) AS p50_c2,
+        |  CAST(max(CASE WHEN rn <= (9 * n + 9) // 10 THEN c2 END) AS BIGINT) AS p90_c2,
+        |  CAST(max(CASE WHEN rn <= (99 * n + 99) // 100 THEN c2 END) AS BIGINT) AS p99_c2
+        |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "distinct_segments" ->
       """SELECT n_name, CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
         |  count(*) AS n_customers,

@@ -174,6 +174,38 @@ object Analytics {
         col("n_orders"), col("total_c2"))
       .orderBy("status", "priority")
 
+  /** Exact DISCRETE percentiles (p50/p90/p99 of order value per market
+    * segment) in pure integer arithmetic: value at sorted position
+    * ceil(p·n), positions computed as (p·n + denom − 1) div denom — no
+    * interpolation, no floating-point percentile boundary, so the DuckDB
+    * oracle matches bit-for-bit (Spark's `percentile` and DuckDB's
+    * `quantile_cont` interpolate in double and can round apart). One rank
+    * window + one aggregation.
+    *
+    * Scale note: EXACT per-group percentiles require a per-group sort —
+    * fine while groups are few and fit a sort spill, which is this query's
+    * shape (5 segments). For percentile-of-everything at 100 TB the right
+    * tool is `percentile_approx` (a mergeable KLL-style sketch, constant
+    * memory) — this operator is the exact gate the sketch twin would be
+    * checked against, the same exact/approx pairing as `approx_event_stats`.
+    */
+  def revenuePercentiles(spark: SparkSession, d: String): DataFrame = {
+    val vals = Tables.orders(spark, d)
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), Exact.c2(col("o_totalprice")).as("c2"))
+    val byVal = Window.partitionBy(col("c_mktsegment")).orderBy(col("c2"))
+    val whole = Window.partitionBy(col("c_mktsegment"))
+    vals
+      .withColumn("rn", row_number().over(byVal).cast("long"))
+      .withColumn("n", count(lit(1)).over(whole))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        max(when(col("rn") <= expr("(n + 1) div 2"), col("c2"))).as("p50_c2"),
+        max(when(col("rn") <= expr("(9 * n + 9) div 10"), col("c2"))).as("p90_c2"),
+        max(when(col("rn") <= expr("(99 * n + 99) div 100"), col("c2"))).as("p99_c2"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Distinct aggregation: segment diversity per nation. */
   def segmentsPerNation(spark: SparkSession, d: String): DataFrame =
     Tables.customer(spark, d)

@@ -749,6 +749,25 @@ class OpsSpec extends SparkSuite {
     assert(built.map(_._1).distinct.size < curated.size)
   }
 
+  test("revenue percentiles: discrete positions recompute from a driver-side sort") {
+    import spark.implicits._
+    val out = Analytics.revenuePercentiles(spark, sf).collect()
+    val vals = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), Exact.c2(col("o_totalprice")).as("c2"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    assert(out.map(_.getString(0)).toSet == vals.keySet)
+    out.foreach { r =>
+      val sorted = vals(r.getString(0)).map(_._2).sorted
+      val n = sorted.length
+      def at(num: Long, den: Long) = sorted(((num * n + den - 1) / den - 1).toInt)
+      assert(r.getLong(1) == n.toLong)
+      assert(r.getLong(2) == at(1, 2) && r.getLong(3) == at(9, 10) && r.getLong(4) == at(99, 100),
+        s"${r.getString(0)}: got (${r.getLong(2)}, ${r.getLong(3)}, ${r.getLong(4)})")
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4))
+    }
+  }
+
   test("source caps: at most cap docs per source, ranks dense, window prunes map-side") {
     import spark.implicits._
     val df = TextOps.sourceCaps(spark, sf, cap = 7)
