@@ -34,7 +34,9 @@ object SparkEntry {
     "ivf_topk", "ivf_topk_recall",
     "dedup_embedding",
     // the BPE merge loop has no SQL form (BpeSpec carries the parity gate)
-    "bpe_vocab", "bpe_token_counts", "batch_packing_bpe")
+    "bpe_vocab", "bpe_token_counts", "batch_packing_bpe",
+    // engine-specific quantile sketch; error-evidence columns + spec bound
+    "revenue_percentiles_approx")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- CDC pipeline operators (SURVEY.md §2, OP-n) ---
@@ -111,6 +113,7 @@ object SparkEntry {
     // exact discrete percentiles (integer positions, no interpolation) —
     // the exact gate a percentile_approx sketch twin would check against
     "revenue_percentiles" -> ((s, d) => Analytics.revenuePercentiles(s, d)),
+    "revenue_percentiles_approx" -> ((s, d) => Analytics.revenuePercentilesApprox(s, d)), // sketch: rows-only
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(s, d)),
     "asof_join_signup" -> ((s, d) => AsOfJoin.purchaseToSignup(s, d)),
     "range_join_repeat" -> ((s, d) => RangeJoin.repeatOrders(s, d)),

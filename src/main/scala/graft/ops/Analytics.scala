@@ -206,6 +206,38 @@ object Analytics {
       .orderBy("c_mktsegment")
   }
 
+  /** The sketch twin of [[revenuePercentiles]] — `percentile_approx`
+    * (Spark's mergeable KLL-style quantile sketch: constant memory,
+    * partial+final combine, the 100 TB path) next to the exact discrete
+    * values, with the absolute error exported per percentile. Rows-only
+    * (the sketch is engine-specific) with the same error-evidence
+    * discipline as `approx_event_stats`: the gate shows the error is real
+    * AND bounded, not assumed. Accuracy 10000 bounds rank error at
+    * n/10000, which the spec converts to a value-error assertion against
+    * the exact neighborhood.
+    */
+  def revenuePercentilesApprox(spark: SparkSession, d: String,
+      accuracy: Int = 10000): DataFrame = {
+    val exact = revenuePercentiles(spark, d)
+    val approx = Tables.orders(spark, d)
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), Exact.c2(col("o_totalprice")).as("c2"))
+      .groupBy(col("c_mktsegment"))
+      .agg(percentile_approx(col("c2"), array(lit(0.5), lit(0.9), lit(0.99)),
+        lit(accuracy)).as("ap"))
+      .select(col("c_mktsegment"),
+        col("ap").getItem(0).as("ap50_c2"),
+        col("ap").getItem(1).as("ap90_c2"),
+        col("ap").getItem(2).as("ap99_c2"))
+    exact.join(approx, "c_mktsegment")
+      .select(col("c_mktsegment"), col("n_orders"),
+        col("ap50_c2"), col("ap90_c2"), col("ap99_c2"),
+        abs(col("ap50_c2") - col("p50_c2")).as("err50_c2"),
+        abs(col("ap90_c2") - col("p90_c2")).as("err90_c2"),
+        abs(col("ap99_c2") - col("p99_c2")).as("err99_c2"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Distinct aggregation: segment diversity per nation. */
   def segmentsPerNation(spark: SparkSession, d: String): DataFrame =
     Tables.customer(spark, d)

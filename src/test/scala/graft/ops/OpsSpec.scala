@@ -768,6 +768,33 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("approx percentiles: rank-error bound holds against the exact sorted values") {
+    import spark.implicits._
+    val out = Analytics.revenuePercentilesApprox(spark, sf, accuracy = 10000).collect()
+    val vals = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), Exact.c2(col("o_totalprice")).as("c2"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val sorted = vals(r.getString(0)).map(_._2).sorted
+      val n = sorted.length
+      // percentile_approx guarantees rank error <= n/accuracy; convert to a
+      // value assertion: the approx value must lie within the exact values
+      // at rank ceil(p*n) +- ceil(n/accuracy) (plus one for the discrete
+      // position convention)
+      val slack = n / 10000 + 1
+      for ((p, i) <- Seq(0.5 -> 2, 0.9 -> 3, 0.99 -> 4)) {
+        val pos = math.ceil(p * n).toInt
+        val lo = sorted(math.max(0, pos - 1 - slack))
+        val hi = sorted(math.min(n - 1, pos - 1 + slack))
+        val ap = r.getLong(i)
+        assert(ap >= lo && ap <= hi,
+          s"${r.getString(0)} p$p: approx $ap outside [$lo, $hi]")
+      }
+    }
+  }
+
   test("source caps: at most cap docs per source, ranks dense, window prunes map-side") {
     import spark.implicits._
     val df = TextOps.sourceCaps(spark, sf, cap = 7)
