@@ -142,6 +142,8 @@ object SparkEntry {
     "train_test_split" -> ((s, d) => TextOps.trainTestSplit(s, d)),
     "stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "mixture_rebalance" -> ((s, d) => TextOps.mixtureRebalance(s, d)),
+    // T5-style temperature sampling at alpha=1/2 (exact integer sqrt)
+    "mixture_temperature" -> ((s, d) => TextOps.mixtureTemperature(s, d)),
     // per-domain curation (C4/RefinedWeb shape): deterministic per-source cap
     // + the per-source monitoring stats
     "source_caps" -> ((s, d) => TextOps.sourceCaps(s, d)),
@@ -1370,6 +1372,16 @@ object SparkEntry {
         |r AS (SELECT lang,
         |        least(10000, (total * 10000) // (n_langs * n_lang)) AS rate_bp
         |      FROM bl, t)
+        |SELECT doc_id, d.lang, CAST(rate_bp AS BIGINT) AS rate_bp
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296) % 10000 < rate_bp
+        |ORDER BY doc_id""".stripMargin,
+    "mixture_temperature" ->
+      """WITH bl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM documents GROUP BY 1),
+        |mn AS (SELECT min(n_lang) AS n_min FROM bl),
+        |r AS (SELECT lang,
+        |        (CAST(floor(sqrt(CAST(n_min * n_lang AS DOUBLE))) AS BIGINT) * 10000) // n_lang AS rate_bp
+        |      FROM bl, mn)
         |SELECT doc_id, d.lang, CAST(rate_bp AS BIGINT) AS rate_bp
         |FROM documents d JOIN r ON d.lang = r.lang
         |WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296) % 10000 < rate_bp

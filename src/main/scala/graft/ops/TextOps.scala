@@ -363,6 +363,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Temperature-weighted mixture sampling — the T5/mT5 technique
+    * (Raffel et al. 2020 §3.4.2: sample stratum l with probability ∝
+    * p_l^α, α<1 flattens the mixture) in the same deterministic
+    * exact-integer frame as [[mixtureRebalance]] (which is the α→0 uniform
+    * limit). α = 1/2 exactly: target per-language counts k_l ∝ √n_l, and
+    * the largest feasible such assignment keeps the SMALLEST language
+    * whole — k_l = isqrt(n_min·n_l), which floor(sqrt(double)) computes
+    * EXACTLY while any other power would round differently across engines
+    * (that exactness constraint is why α=1/2 is the shipped temperature).
+    * Membership is the shared Knuth hash at 1/10000 granularity — no RNG.
+    *
+    * Domain note: double sqrt is exact here while n_min·n_l < 2^52; at
+    * counts beyond ~2^26 per stratum swap in an integer Newton isqrt on
+    * the driver (the rate table is tiny) — the operator shape is unchanged.
+    */
+  def mixtureTemperature(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("lang"))
+    val byLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val minN = byLang.agg(min("n_lang").as("n_min"))
+    val rates = byLang.crossJoin(broadcast(minN))
+      .select(col("lang"),
+        expr("(CAST(floor(sqrt(CAST(n_min * n_lang AS DOUBLE))) AS BIGINT) * 10000) div n_lang")
+          .as("rate_bp"))
+    docs.join(broadcast(rates), "lang")
+      .withColumn("bucket_bp", knuthBucket(col("doc_id"), 10000L))
+      .filter(col("bucket_bp") < col("rate_bp"))
+      .select(col("doc_id"), col("lang"), col("rate_bp"))
+      .orderBy("doc_id")
+  }
+
   /** Weight-biased deterministic sampling — priority sampling (Duffield,
     * Lund, Thorup, JACM 2007): each row gets priority w/u for a uniform u,
     * and the k highest priorities per stratum are kept — selection

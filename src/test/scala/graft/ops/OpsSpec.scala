@@ -795,6 +795,27 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("mixture temperature: alpha=1/2 rates recompute exactly; smallest stratum kept whole") {
+    import spark.implicits._
+    val out = TextOps.mixtureTemperature(spark, sf).collect()
+    assert(out.nonEmpty)
+    val n = Tables.documents(spark, sf).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val nMin = n.values.min
+    val want = n.map { case (l, c) =>
+      l -> math.floor(math.sqrt((nMin * c).toDouble)).toLong * 10000L / c
+    }
+    val gotRates = out.map(r => r.getString(1) -> r.getLong(2)).toMap
+    gotRates.foreach { case (l, rate) => assert(rate == want(l), s"$l: $rate != ${want(l)}") }
+    // the smallest language is kept whole (isqrt(n_min^2) = n_min -> 10000 bp)
+    assert(want(n.minBy(_._2)._1) == 10000L)
+    // kept rows respect the Knuth-bucket membership bit-for-bit
+    out.foreach { r =>
+      val b = ((r.getLong(0) % 2147483648L) * 2654435761L % 4294967296L) % 10000L
+      assert(b < r.getLong(2))
+    }
+  }
+
   test("source caps: at most cap docs per source, ranks dense, window prunes map-side") {
     import spark.implicits._
     val df = TextOps.sourceCaps(spark, sf, cap = 7)
