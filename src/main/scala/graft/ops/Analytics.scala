@@ -189,10 +189,17 @@ object Analytics {
     * memory) — this operator is the exact gate the sketch twin would be
     * checked against, the same exact/approx pairing as `approx_event_stats`.
     */
-  def revenuePercentiles(spark: SparkSession, d: String): DataFrame = {
-    val vals = Tables.orders(spark, d)
+  /** The ONE (segment, order-value-cents) projection both percentile
+    * operators rank/sketch over — a drifted copy would silently
+    * desynchronize the exact gate from its approx twin.
+    */
+  private def segmentC2(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
       .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), Exact.c2(col("o_totalprice")).as("c2"))
+
+  def revenuePercentiles(spark: SparkSession, d: String): DataFrame = {
+    val vals = segmentC2(spark, d)
     val byVal = Window.partitionBy(col("c_mktsegment")).orderBy(col("c2"))
     val whole = Window.partitionBy(col("c_mktsegment"))
     vals
@@ -215,13 +222,18 @@ object Analytics {
     * AND bounded, not assumed. Accuracy 10000 bounds rank error at
     * n/10000, which the spec converts to a value-error assertion against
     * the exact neighborhood.
+    *
+    * Determinism caveat (unlike the HLL sketches, which merge
+    * order-independently): quantile-summary merge is order-SENSITIVE, so
+    * once a group exceeds the sketch's exact head (~`accuracy` rows) the
+    * apNN/errNN values may vary run-to-run with shuffle fetch order —
+    * always within the rank bound, never comparable by hash. So this is
+    * a rows-only gate and the spec asserts the BOUND, not the values.
     */
   def revenuePercentilesApprox(spark: SparkSession, d: String,
       accuracy: Int = 10000): DataFrame = {
     val exact = revenuePercentiles(spark, d)
-    val approx = Tables.orders(spark, d)
-      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
-      .select(col("c_mktsegment"), Exact.c2(col("o_totalprice")).as("c2"))
+    val approx = segmentC2(spark, d)
       .groupBy(col("c_mktsegment"))
       .agg(percentile_approx(col("c2"), array(lit(0.5), lit(0.9), lit(0.99)),
         lit(accuracy)).as("ap"))

@@ -348,14 +348,27 @@ object TextOps {
     * Scale shape: the rate table is one tiny aggregate broadcast back; the
     * corpus side stays one scan + hash + filter.
     */
-  def mixtureRebalance(spark: SparkSession, d: String): DataFrame = {
+  def mixtureRebalance(spark: SparkSession, d: String): DataFrame =
+    mixtureByRates(spark, d) { (docs, byLang) =>
+      val tot = docs.agg(count(lit(1)).as("total"),
+        countDistinct(col("lang")).as("n_langs"))
+      byLang.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          least(lit(10000L), expr("(total * 10000) div (n_langs * n_lang)")).as("rate_bp"))
+    }
+
+  /** The ONE mixture-sampling skeleton both rate policies share
+    * ([[mixtureRebalance]] uniform-target, [[mixtureTemperature]] α=1/2):
+    * per-language counts → caller-derived basis-point rate table (tiny,
+    * broadcast back) → Knuth-bucket membership at 1/10000 granularity. A
+    * drifted copy of the membership convention would silently
+    * desynchronize two oracled queries.
+    */
+  private def mixtureByRates(spark: SparkSession, d: String)(
+      ratePolicy: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val docs = Tables.documents(spark, d).select(col("doc_id"), col("lang"))
     val byLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
-    val tot = docs.agg(count(lit(1)).as("total"),
-      countDistinct(col("lang")).as("n_langs"))
-    val rates = byLang.crossJoin(broadcast(tot))
-      .select(col("lang"),
-        least(lit(10000L), expr("(total * 10000) div (n_langs * n_lang)")).as("rate_bp"))
+    val rates = ratePolicy(docs, byLang)
     docs.join(broadcast(rates), "lang")
       .withColumn("bucket_bp", knuthBucket(col("doc_id"), 10000L))
       .filter(col("bucket_bp") < col("rate_bp"))
@@ -378,20 +391,14 @@ object TextOps {
     * counts beyond ~2^26 per stratum swap in an integer Newton isqrt on
     * the driver (the rate table is tiny) — the operator shape is unchanged.
     */
-  def mixtureTemperature(spark: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(spark, d).select(col("doc_id"), col("lang"))
-    val byLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
-    val minN = byLang.agg(min("n_lang").as("n_min"))
-    val rates = byLang.crossJoin(broadcast(minN))
-      .select(col("lang"),
-        expr("(CAST(floor(sqrt(CAST(n_min * n_lang AS DOUBLE))) AS BIGINT) * 10000) div n_lang")
-          .as("rate_bp"))
-    docs.join(broadcast(rates), "lang")
-      .withColumn("bucket_bp", knuthBucket(col("doc_id"), 10000L))
-      .filter(col("bucket_bp") < col("rate_bp"))
-      .select(col("doc_id"), col("lang"), col("rate_bp"))
-      .orderBy("doc_id")
-  }
+  def mixtureTemperature(spark: SparkSession, d: String): DataFrame =
+    mixtureByRates(spark, d) { (_, byLang) =>
+      val minN = byLang.agg(min("n_lang").as("n_min"))
+      byLang.crossJoin(broadcast(minN))
+        .select(col("lang"),
+          expr("(CAST(floor(sqrt(CAST(n_min * n_lang AS DOUBLE))) AS BIGINT) * 10000) div n_lang")
+            .as("rate_bp"))
+    }
 
   /** Weight-biased deterministic sampling — priority sampling (Duffield,
     * Lund, Thorup, JACM 2007): each row gets priority w/u for a uniform u,
