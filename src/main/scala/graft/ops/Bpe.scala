@@ -102,9 +102,11 @@ object Bpe {
   }
 
   /** Greedy encode: repeatedly fuse the present pair with the LOWEST merge
-    * rank (GPT-2's encode loop) until none applies; returns the token count.
+    * rank (GPT-2's encode loop) until none applies; returns the token
+    * sequence (whose concatenation is always the input word — the
+    * content-preservation law BpeSpec pins).
     */
-  def encodeCount(word: String, ranks: Map[(String, String), Int]): Int = {
+  def encode(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
     var parts = word.map(_.toString).toVector
     var done = parts.length <= 1
     while (!done) {
@@ -122,8 +124,11 @@ object Bpe {
         done = parts.length <= 1
       }
     }
-    parts.length
+    parts
   }
+
+  def encodeCount(word: String, ranks: Map[(String, String), Int]): Int =
+    encode(word, ranks).length
 
   /** The corpus word-frequency table (distributed; bounded by `maxVocab`
     * most-frequent words — rarer words still encode fine, they just never

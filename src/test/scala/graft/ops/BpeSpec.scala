@@ -40,6 +40,27 @@ class BpeSpec extends SparkSuite {
     assert(Bpe.encodeCount("banana", all.zipWithIndex.toMap) == 1)
   }
 
+  test("encode laws over random words: content preserved, insertion order of the count table irrelevant") {
+    // deterministic pseudo-random words (no RNG seeds in tests)
+    val words = (1 to 200).map { i =>
+      val len = 1 + (i * 7919) % 12
+      (0 until len).map(j => ('a' + ((i * 31 + j * 17) % 26)).toChar).mkString
+    }
+    val counts = words.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val merges = Bpe.learnMerges(counts, 64)
+    val ranks = merges.zipWithIndex.toMap
+    words.foreach { w =>
+      val parts = Bpe.encode(w, ranks)
+      // content preservation: tokenization never alters the text
+      assert(parts.mkString == w, s"'$w' re-assembled as '${parts.mkString}'")
+      assert(parts.nonEmpty && parts.length <= w.length)
+    }
+    // learning is insertion-order independent (canonical tie-breaks): the
+    // same multiset presented in reverse yields the same merges table
+    val reversed = scala.collection.immutable.ListMap(counts.toSeq.reverse: _*)
+    assert(Bpe.learnMerges(reversed, 64) == merges)
+  }
+
   test("distributed token counts equal the driver-side reference encode, doc by doc") {
     import spark.implicits._
     val ranks = Bpe.merges(spark, sf).zipWithIndex.toMap
