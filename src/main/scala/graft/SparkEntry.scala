@@ -113,6 +113,10 @@ object SparkEntry {
     // exact discrete percentiles (integer positions, no interpolation) —
     // the exact gate a percentile_approx sketch twin would check against
     "revenue_percentiles" -> ((s, d) => Analytics.revenuePercentiles(s, d)),
+    // integer-exact damped PageRank (3 iterations) over the part-supplier
+    // bipartite graph — the bounded-iteration join+agg loop, bit-exact
+    // cross-engine because contributions are floor divisions on e9 BIGINTs
+    "pagerank_bipartite" -> ((s, d) => Graph.pagerankBipartite(s, d)),
     "revenue_percentiles_approx" -> ((s, d) => Analytics.revenuePercentilesApprox(s, d)), // sketch: rows-only
     "embedding_stats" -> ((s, d) => Similarity.embeddingStats(s, d)),
     "asof_join_signup" -> ((s, d) => AsOfJoin.purchaseToSignup(s, d)),
@@ -370,6 +374,26 @@ object SparkEntry {
         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_c2
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY status, priority""".stripMargin,
+    "pagerank_bipartite" ->
+      """WITH le AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+        |e AS (SELECT src, dst FROM le UNION ALL SELECT dst, src FROM le),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes),
+        |p0 AS (SELECT node, 1000000000 // cnt AS r FROM nodes, n),
+        |s1 AS (SELECT e.dst AS node, CAST(sum(p.r // deg.deg) AS BIGINT) AS acc
+        |       FROM p0 p JOIN e ON p.node = e.src JOIN deg ON deg.src = p.node GROUP BY 1),
+        |p1 AS (SELECT nodes.node, (150000000 // cnt) + (85 * coalesce(acc, 0)) // 100 AS r
+        |       FROM nodes LEFT JOIN s1 ON nodes.node = s1.node, n),
+        |s2 AS (SELECT e.dst AS node, CAST(sum(p.r // deg.deg) AS BIGINT) AS acc
+        |       FROM p1 p JOIN e ON p.node = e.src JOIN deg ON deg.src = p.node GROUP BY 1),
+        |p2 AS (SELECT nodes.node, (150000000 // cnt) + (85 * coalesce(acc, 0)) // 100 AS r
+        |       FROM nodes LEFT JOIN s2 ON nodes.node = s2.node, n),
+        |s3 AS (SELECT e.dst AS node, CAST(sum(p.r // deg.deg) AS BIGINT) AS acc
+        |       FROM p2 p JOIN e ON p.node = e.src JOIN deg ON deg.src = p.node GROUP BY 1),
+        |p3 AS (SELECT nodes.node, (150000000 // cnt) + (85 * coalesce(acc, 0)) // 100 AS r
+        |       FROM nodes LEFT JOIN s3 ON nodes.node = s3.node, n)
+        |SELECT node, CAST(r AS BIGINT) AS rank_e9 FROM p3 ORDER BY node""".stripMargin,
     "revenue_percentiles" ->
       """WITH v AS (
         |  SELECT c_mktsegment, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c2

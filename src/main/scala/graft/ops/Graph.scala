@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph algorithms over the relational tables — the operator
+  * class (bounded-iteration join+aggregate convergence loops, the classic
+  * Spark workload shape) the engine's other families don't exercise;
+  * [[Dedup.dupClusters]]' pointer-jumping components are the only other
+  * iterative op.
+  *
+  * INTEGER-EXACT PageRank: ranks live as e9-scaled BIGINTs and every
+  * per-edge contribution is `rank div out_degree` (floor division), so the
+  * fixpoint iteration is bit-identical in any engine — float PageRank is
+  * NOT cross-engine comparable (summation order changes the last ulps),
+  * which is why public graph benchmarks only compare float ranks to a
+  * tolerance. The floor semantics leak a little probability mass per step;
+  * that is part of the (documented, deterministic) operator contract, not
+  * an accident — the oracle recomputes the identical floors.
+  */
+object Graph {
+
+  /** PageRank over the bipartite part↔supplier co-occurrence graph from
+    * `lineitem` (part nodes = 2·partkey, supplier nodes = 2·suppkey+1 —
+    * disjoint id spaces; each distinct (part, supplier) lineitem pair
+    * contributes both directed edges). Fixed `iters` damped iterations
+    * (d = 0.85 as integer 85/100 arithmetic).
+    *
+    * Scale shape: each iteration is ONE shuffle — contributions keyed by
+    * edge destination with map-side partial sums — joined back to the node
+    * list; cost is O(iters · |E|), the textbook distributed PageRank
+    * shape. Edges and degrees are computed once and persisted; the
+    * iteration count is bounded (a convergence-threshold variant would
+    * check the rank delta per round — same loop, one extra aggregate).
+    */
+  def pagerankBipartite(spark: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val li = Tables.lineitem(spark, d)
+      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = li.unionAll(li.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node")).distinct().persist()
+    val n = nodes.count() // driver scalar: one count, bounded
+    val basePart = 150000000L / n // floor(0.15e9 / N), exact integer
+    var ranks = nodes.withColumn("rank_e9", lit(1000000000L / n))
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .join(edges, col("node") === col("src"))
+        .join(deg, "src")
+        .select(col("dst").as("node"), expr("rank_e9 div deg").as("c"))
+        .groupBy("node").agg(Exact.sumLong(col("c")).as("acc"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(basePart) + expr("(85 * coalesce(acc, CAST(0 AS BIGINT))) div 100")).as("rank_e9"))
+    }
+    ranks.orderBy("node")
+  }
+}

@@ -795,6 +795,30 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("pagerank: integer iteration recomputes exactly driver-side; mass bounded") {
+    import spark.implicits._
+    val out = Graph.pagerankBipartite(spark, sf, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .as[(Long, Long)].collect()
+    val edges = (pairs.map { case (p, s) => (p * 2, s * 2 + 1) } ++
+      pairs.map { case (p, s) => (s * 2 + 1, p * 2) }).toVector
+    val nodes = edges.map(_._1).distinct.sorted
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val outAdj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val n = nodes.length.toLong
+    var rank = nodes.map(_ -> 1000000000L / n).toMap
+    for (_ <- 1 to 3) {
+      val acc = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+      for (src <- nodes; dst <- outAdj(src)) acc(dst) += rank(src) / deg(src)
+      rank = nodes.map(nd => nd -> (150000000L / n + 85L * acc(nd) / 100L)).toMap
+    }
+    assert(out == rank, s"spark vs driver ranks differ on ${out.size}/${rank.size} nodes")
+    // floor division only ever LEAKS mass: total stays at or under 1e9
+    assert(out.values.sum <= 1000000000L && out.values.forall(_ > 0L))
+  }
+
   test("mixture temperature: alpha=1/2 rates recompute exactly; smallest stratum kept whole") {
     import spark.implicits._
     val out = TextOps.mixtureTemperature(spark, sf).collect()
