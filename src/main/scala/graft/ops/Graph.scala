@@ -47,6 +47,7 @@ object Graph {
     val edgeDeg = edges.join(deg, "src").persist()
     val nodes = edgeDeg.select(col("src").as("node")).distinct().persist()
     val n = nodes.count() // driver scalar: one count, bounded
+    require(n > 0, "pagerankBipartite: empty graph (lineitem has no part-supplier pairs)")
     val basePart = 150000000L / n // floor(0.15e9 / N), exact integer
     var ranks = nodes.withColumn("rank_e9", lit(1000000000L / n))
     for (i <- 1 to iters) {
@@ -67,15 +68,18 @@ object Graph {
         .select(col("node"),
           (lit(basePart) + expr("(85 * coalesce(acc, CAST(0 AS BIGINT))) div 100")).as("rank_e9"))
       // materialize EVERY iteration (the Pregel/GraphX discipline): without
-      // this, iteration k's lazy plan re-executes every predecessor level —
-      // exponential in iters (measured 8.5s vs ~2s warm at sf0.1). The
-      // persist-then-count pins each round; the previous round's cache is
-      // dropped immediately.
+      // this each round's plan embeds all predecessors, so lineage depth —
+      // and the re-execution every action (including each round's own
+      // broadcast build) pays — grows with the round count (measured ~2×
+      // at 3 rounds, and compounding). Persist-then-count pins each round;
+      // the previous round's cache is dropped immediately.
       ranks.persist().count()
       if (i > 1) prev.unpersist()
     }
-    // the final ranks are materialized, so the scaffolding caches can go —
-    // without this, every call leaks three cached relations for the session
+    // drop the scaffolding caches; the FINAL round's |V|-row cache is the
+    // result and intentionally stays — the returned frame reads it, and a
+    // caller wanting it freed unpersists the returned frame's source. One
+    // bounded cached relation per call is the deliberate cost.
     li.unpersist(); edgeDeg.unpersist(); nodes.unpersist()
     ranks.orderBy("node")
   }
