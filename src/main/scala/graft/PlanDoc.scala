@@ -134,7 +134,34 @@ object PlanDoc {
       "shuffles live users, not event history; NOOP rows drop, mirroring OP-8 suppression."),
     "batch_packing" -> ("Training-batch assembly as a windowed prefix sum: one window exchange " +
       "per language stratum, DECIMAL(38,0) accumulation, integer-domain division for the batch " +
-      "id — no sequential driver loop anywhere."))
+      "id — no sequential driver loop anywhere."),
+    "incremental_dedup" -> ("Admission-time near-dup probe: batch shingles join the stored " +
+      "index on the shingle key (never a corpus re-pair), maxDf cap on the index side only, " +
+      "and the best-match rank window runs through WindowGroupLimit map-side before its " +
+      "exchange — per-batch cost is O(batch x index), the shape that lets dedup run " +
+      "continuously under CDC."),
+    "source_caps" -> ("Per-domain cap with a kept-rows-only contract: the rank <= cap gate " +
+      "reaches WindowGroupLimit Partial BEFORE the exchange, so each task forwards at most " +
+      "cap rows per source — bounded shuffle under web-crawl domain skew; scan reads only " +
+      "(doc_id, source)."),
+    "bpe_token_counts" -> ("Real BPE encode as a pure scan: one narrow mapPartitions over " +
+      "(doc_id, text) with the merge-ranks map as a single broadcast and a per-partition " +
+      "word cache — no shuffle until the caller aggregates; training cost lives in the " +
+      "shared word-count aggregation, not here."),
+    "video_meta" -> ("Multi-frame decode lane: cached binary fixture feeds one narrow " +
+      "mapPartitions (per-partition ImageReader, in-memory stream cache); per-row Try routes " +
+      "corrupt containers to the decode_error column instead of failing the task — the plan " +
+      "has no exchange at all before the final order."),
+    "revenue_percentiles" -> ("Exact discrete percentiles: rank and count windows share ONE " +
+      "partition exchange on the segment; values extracted by max-under-rank in the same " +
+      "aggregation — integer positions, no interpolation, so the oracle hash-matches. The " +
+      "per-group sort is the documented exact-gate trade; percentile_approx is the sketch " +
+      "path."),
+    "pagerank_bipartite" -> ("Iterative fixpoint with bounded lineage: edges+degrees cached " +
+      "once, the |V|-row rank table broadcast per round so each round is one partial-sum " +
+      "exchange keyed by destination, every round persisted (lazy chains re-execute all " +
+      "predecessors per action). Integer e9 ranks with floor-division contributions keep the " +
+      "iteration bit-exact cross-engine."))
 
   /** Strip run-nondeterministic tokens (JVM lambda addresses, object
     * hashes, AQE plan/stage ids, expression ids) so a regenerated PLANS.md
