@@ -286,4 +286,34 @@ class StreamingSpec extends SparkSuite {
     assert(buf.toSet == want, s"stream ${buf.size} rows vs batch ${want.size}")
     assert(buf.size == newDocs.length, "a doc was probed twice or lost across triggers")
   }
+
+  test("StreamingDedup growing index: batch 2 dedups against batch 1's admitted docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static corpus is unrelated; batch 1 admits a novel doc; batch 2
+    // carries a near-copy of it — only a GROWING index can catch that
+    val base = "the quick brown fox jumps over the lazy dog again and again until dawn breaks"
+    val corpusDoc = "entirely different static corpus content with no overlap at all here truly"
+    val indexSh = graft.ops.Dedup.shingles(
+      Seq((900L, corpusDoc)).toDF("doc_id", "text")).cache()
+    val stream = MemoryStream[StreamingDedup.Doc]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = StreamingDedup.admissionStreamGrowing(stream.toDS(), indexSh, (df, _) =>
+      buf.synchronized {
+        buf ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }).start()
+    stream.addData(StreamingDedup.Doc(1L, base)); q.processAllAvailable()
+    stream.addData(StreamingDedup.Doc(2L, base + " with one extra tail"),
+      StreamingDedup.Doc(3L, "totally novel second batch material unrelated to anything before"))
+    q.processAllAvailable()
+    q.stop()
+    val verdicts = buf.map(r => r._1 -> ((r._2, r._4))).toMap
+    // batch 1: novel vs the static corpus — admitted
+    assert(verdicts(1L) == ((-1L, 0L)), s"doc 1: ${verdicts(1L)}")
+    // batch 2: the near-copy matches doc 1 FROM THE GROWN INDEX as a dup
+    assert(verdicts(2L)._1 == 1L && verdicts(2L)._2 == 1L, s"doc 2: ${verdicts(2L)}")
+    // and the unrelated doc stays admitted
+    assert(verdicts(3L) == ((-1L, 0L)), s"doc 3: ${verdicts(3L)}")
+    assert(verdicts.size == 3 && buf.size == 3)
+  }
 }
