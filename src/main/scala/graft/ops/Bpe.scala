@@ -37,14 +37,17 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Bpe {
 
-  /** Pre-tokenizer: lowercase alphanumeric runs. BOTH the training word
-    * counts and the encode path run this exact JVM function (Locale.ROOT),
-    * so tokenization is bit-identical between them on ANY input — a SQL
-    * `lower()` variant was rejected because Spark's and the JVM's Unicode
-    * special-casing can diverge (e.g. U+0130, final sigma), which would
-    * silently train merges on a different word multiset than encode sees.
+  /** Pre-tokenizer: lowercased Unicode letter/digit runs (`\p{L}\p{N}` —
+    * any script: Latin, CJK, Cyrillic, Greek, Arabic, …), so a multilingual
+    * corpus gets real token counts instead of the zero an ASCII-only class
+    * would produce. BOTH the training word counts and the encode path run
+    * this exact JVM function (Locale.ROOT), so tokenization is bit-identical
+    * between them on ANY input — a SQL `lower()` variant was rejected
+    * because Spark's and the JVM's Unicode special-casing can diverge
+    * (e.g. U+0130, final sigma), which would silently train merges on a
+    * different word multiset than encode sees.
     */
-  private val WordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+  private val WordRe = java.util.regex.Pattern.compile("[\\p{L}\\p{N}]+")
 
   def pretokenize(text: String): Vector[String] = {
     val m = WordRe.matcher(text.toLowerCase(java.util.Locale.ROOT))

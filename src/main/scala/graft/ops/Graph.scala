@@ -33,7 +33,44 @@ object Graph {
     * iteration count is bounded (a convergence-threshold variant would
     * check the rank delta per round — same loop, one extra aggregate).
     */
-  def pagerankBipartite(spark: SparkSession, d: String, iters: Int = 3): DataFrame = {
+  /** One damped iteration: contributions keyed by destination (map-side
+    * partial sums), folded back onto the node list. `useBroadcast` selects
+    * the small-graph plan (ranks broadcast → ONE shuffle per round) vs the
+    * web-scale plan (ranks shuffle-joined on the node key — an
+    * unconditional broadcast of the full rank table is the scale-killer
+    * once |V| outgrows executor memory). Identical arithmetic either way;
+    * GraphSpec pins both plan shapes and their value equality.
+    */
+  private[graft] def iterate(edgeDeg: DataFrame, nodes: DataFrame,
+      ranks: DataFrame, basePart: Long, useBroadcast: Boolean): DataFrame = {
+    def side(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
+    // Plain long sum is exact here BY INVARIANT: per-destination
+    // contributions sum to at most the total mass (1e9), nowhere near
+    // 2^63 — the DECIMAL(38,0) accumulate rule is for unbounded money
+    // sums, not mass-conserving fixpoints.
+    val contrib = edgeDeg
+      .join(side(ranks), col("node") === col("src"))
+      .select(col("dst").as("node"), expr("rank_e9 div deg").as("c"))
+      .groupBy("node").agg(sum(col("c")).as("acc"))
+    nodes
+      .join(side(contrib), Seq("node"), "left")
+      .select(col("node"),
+        (lit(basePart) + expr("(85 * coalesce(acc, CAST(0 AS BIGINT))) div 100")).as("rank_e9"))
+  }
+
+  /** @param broadcastMaxNodes broadcast the |V|-row rank table per round
+    *   only while |V| stays under this bound; above it, the rank side
+    *   shuffle-joins on the node key (the plan that survives a graph whose
+    *   rank table outgrows executor memory). Default 8M rows ≈ 128 MB of
+    *   (node, rank_e9) pairs — comfortably broadcastable, far below where
+    *   a broadcast build would OOM an executor.
+    * @param tolE9 optional convergence stop: when > 0, iteration ends early
+    *   once the max per-node |Δrank| of a round is ≤ this (exact integer
+    *   compare — no float tolerance). 0 = fixed `iters` rounds, the
+    *   oracle-recomputable default.
+    */
+  def pagerankBipartite(spark: SparkSession, d: String, iters: Int = 3,
+      broadcastMaxNodes: Long = 8000000L, tolE9: Long = 0L): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     // distinct ONCE and cache: both union branches (and everything
     // downstream) read the cached pair list instead of re-running the
@@ -49,24 +86,13 @@ object Graph {
     val n = nodes.count() // driver scalar: one count, bounded
     require(n > 0, "pagerankBipartite: empty graph (lineitem has no part-supplier pairs)")
     val basePart = 150000000L / n // floor(0.15e9 / N), exact integer
+    val useBroadcast = n <= broadcastMaxNodes
     var ranks = nodes.withColumn("rank_e9", lit(1000000000L / n))
-    for (i <- 1 to iters) {
-      // ranks are |V| rows (tiny next to |E|): broadcast them so each
-      // iteration is ONE shuffle — the per-destination partial-sum groupBy
-      // — instead of shuffling the cached edge relation every round.
-      // Plain long sum is exact here BY INVARIANT: per-destination
-      // contributions sum to at most the total mass (1e9), nowhere near
-      // 2^63 — the DECIMAL(38,0) accumulate rule is for unbounded money
-      // sums, not mass-conserving fixpoints.
-      val contrib = edgeDeg
-        .join(broadcast(ranks), col("node") === col("src"))
-        .select(col("dst").as("node"), expr("rank_e9 div deg").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("acc"))
+    var i = 1
+    var converged = false
+    while (i <= iters && !converged) {
       val prev = ranks
-      ranks = nodes
-        .join(broadcast(contrib), Seq("node"), "left")
-        .select(col("node"),
-          (lit(basePart) + expr("(85 * coalesce(acc, CAST(0 AS BIGINT))) div 100")).as("rank_e9"))
+      ranks = iterate(edgeDeg, nodes, ranks, basePart, useBroadcast)
       // materialize EVERY iteration (the Pregel/GraphX discipline): without
       // this each round's plan embeds all predecessors, so lineage depth —
       // and the re-execution every action (including each round's own
@@ -74,7 +100,17 @@ object Graph {
       // at 3 rounds, and compounding). Persist-then-count pins each round;
       // the previous round's cache is dropped immediately.
       ranks.persist().count()
+      if (tolE9 > 0L && i > 1) {
+        // convergence stop: one bounded |V|-row aggregate over both cached
+        // rank tables; exact integer compare, so the stop round is
+        // deterministic run-over-run
+        val delta = ranks.join(prev.withColumnRenamed("rank_e9", "prev_e9"), "node")
+          .agg(max(abs(col("rank_e9") - col("prev_e9"))).as("d"))
+          .head().getLong(0)
+        converged = delta <= tolE9
+      }
       if (i > 1) prev.unpersist()
+      i += 1
     }
     // drop the scaffolding caches; the FINAL round's |V|-row cache is the
     // result and intentionally stays — the returned frame reads it, and a

@@ -175,11 +175,32 @@ object Incremental {
     * the plan as a binary literal (task-broadcast once per stage). The spec
     * asserts both the pruning and the equality with the unpruned plan.
     */
+  /** Bloom sizing derived from the BUILD side's measured cardinality, not a
+    * constant: a fixed `expectedNumItems` silently degrades at scale (an
+    * undersized sketch saturates → fpp → 1 → the pruning stops pruning,
+    * still correct but useless; a grossly oversized one rides the plan as a
+    * needlessly large binary literal). One bounded memoized `count()` on the
+    * already-filtered build side (same pattern as the ANN bit sizing) fixes
+    * the design point at any data scale. Floor of 4096 keeps tiny builds
+    * from degenerate sub-KB sketches; headroom ×1.25 absorbs growth between
+    * the count and the build in a production incremental setting.
+    */
+  private[graft] def bloomExpectedItems(spark: SparkSession, d: String): Long = {
+    val n = Memo(spark, s"bloom_build_count|$d") {
+      java.lang.Long.valueOf(
+        Tables.orders(spark, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .count())
+    }.longValue()
+    math.max(4096L, n + n / 4)
+  }
+
   def bloomPrunedSemiJoin(spark: SparkSession, d: String): DataFrame = {
     val urgent = Tables.orders(spark, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    val bloom = urgent.stat.bloomFilter("o_orderkey", expectedNumItems = 1000000L, fpp = 0.01)
+    val bloom = urgent.stat.bloomFilter("o_orderkey",
+      expectedNumItems = bloomExpectedItems(spark, d), fpp = 0.01)
     val bloomBytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)

@@ -81,6 +81,41 @@ class BpeSpec extends SparkSuite {
     assert(got.values.map(_._3).sum < got.values.map(_._2).sum)
   }
 
+  test("pretokenize is Unicode-aware: letters in ANY script yield words (and tokens)") {
+    // one fixture per major script family a multilingual corpus hits day one
+    val fixtures = Seq(
+      "Hello, World! 42",            // Latin + digits
+      "это русский текст",           // Cyrillic
+      "Αυτό είναι ΕΛΛΗΝΙΚΟ",         // Greek (incl. final-sigma lowering)
+      "これは日本語のテキストです",       // Japanese (no spaces — one run)
+      "中文文本处理",                  // Chinese
+      "هذا نص عربي",                 // Arabic
+      "한국어 텍스트",                 // Hangul
+      "मिश्रित mixed स्क्रिप्ट 123"    // Devanagari + Latin + digits
+    )
+    fixtures.foreach { text =>
+      val words = Bpe.pretokenize(text)
+      assert(words.nonEmpty, s"zero words from: $text")
+      // encode with an empty ranks table = char-level: > 0 tokens, and the
+      // concatenation law holds for non-ASCII content too
+      words.foreach { w =>
+        val parts = Bpe.encode(w, Map.empty)
+        assert(parts.nonEmpty && parts.mkString == w)
+      }
+    }
+    // punctuation/whitespace never leaks into words in any script
+    assert(Bpe.pretokenize("a,b。c、d！e") == Vector("a", "b", "c", "d", "e"))
+    // training + encode share the function: merges learned on a non-Latin
+    // multiset compress non-Latin text (n_bpe_tokens strictly between 1·words
+    // and char count once a merge lands)
+    val wc = Map("привет" -> 10L, "приветик" -> 5L)
+    val merges = Bpe.learnMerges(wc, 8)
+    assert(merges.nonEmpty)
+    val ranks = merges.zipWithIndex.toMap
+    val n = Bpe.encodeCount("привет", ranks)
+    assert(n >= 1 && n < "привет".length)
+  }
+
   test("bpeVocab: dense ranks and merged = lhs || rhs") {
     val rows = Bpe.bpeVocab(spark, sf).collect()
     assert(rows.nonEmpty)

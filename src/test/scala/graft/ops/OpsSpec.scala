@@ -819,6 +819,50 @@ class OpsSpec extends SparkSuite {
     assert(out.values.sum <= 1000000000L && out.values.forall(_ > 0L))
   }
 
+  test("pagerank: broadcast vs shuffle rank join — both plan shapes, identical values") {
+    // small graph (default threshold): the per-round rank join broadcasts
+    val small = Graph.pagerankBipartite(spark, sf, iters = 2).collect().toSeq
+    // threshold 0 forces the web-scale shape: ranks shuffle-join on the key
+    val sharded = Graph.pagerankBipartite(spark, sf, iters = 2,
+      broadcastMaxNodes = 0L).collect().toSeq
+    assert(small.nonEmpty && small == sharded,
+      "rank values must be independent of the join strategy")
+    // pin both plan shapes on one un-executed iteration frame
+    val li = Tables.lineitem(spark, sf)
+      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = li.unionAll(li.select(col("dst").as("src"), col("src").as("dst")))
+    val edgeDeg = edges.join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    val nodes = edgeDeg.select(col("src").as("node")).distinct()
+    val ranks0 = nodes.withColumn("rank_e9", lit(1000L))
+    // disable the size-based auto-broadcast while checking shapes: a
+    // web-scale rank table would be far over the threshold anyway, and this
+    // pins that the EXPLICIT hint (not the optimizer's size guess) is what
+    // separates the two shapes
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bPlan = Graph.iterate(edgeDeg, nodes, ranks0, 1L, useBroadcast = true)
+        .queryExecution.executedPlan.toString
+      val sPlan = Graph.iterate(edgeDeg, nodes, ranks0, 1L, useBroadcast = false)
+        .queryExecution.executedPlan.toString
+      assert(bPlan.contains("BroadcastHashJoin"), s"broadcast shape missing:\n$bPlan")
+      assert(!sPlan.contains("BroadcastHashJoin"), s"shuffle shape still broadcasts:\n$sPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("pagerank: convergence-delta stop halts early and matches the fixed-round result") {
+    // a huge tolerance converges at round 2 (first round where the delta is
+    // measured): result equals the fixed 2-round run, NOT the 9-round one
+    val early = Graph.pagerankBipartite(spark, sf, iters = 9, tolE9 = 1000000000L)
+      .collect().toSeq
+    val two = Graph.pagerankBipartite(spark, sf, iters = 2).collect().toSeq
+    assert(early == two, "tolerant run should stop after the round-2 delta check")
+    // tol = 0 (the default) disables the stop: 3 fixed rounds differ from 2
+    val three = Graph.pagerankBipartite(spark, sf, iters = 3).collect().toSeq
+    assert(three != two)
+  }
+
   test("mixture temperature: alpha=1/2 rates recompute exactly; smallest stratum kept whole") {
     import spark.implicits._
     val out = TextOps.mixtureTemperature(spark, sf).collect()
