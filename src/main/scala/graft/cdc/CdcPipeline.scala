@@ -137,12 +137,20 @@ object CdcPipeline {
     * The `hasDynamodb` marker makes the envelope→record bridge lossless, so
     * stream and batch agree on the reference's emit-on-empty-dynamodb quirk.
     */
-  def streamRecords(spark: SparkSession, inputDir: String, cfg: CdcConfig): Dataset[CdcRecord] = {
+  def streamRecords(spark: SparkSession, inputDir: String, cfg: CdcConfig,
+      maxFilesPerTrigger: Int = Int.MaxValue): Dataset[CdcRecord] = {
     import spark.implicits._
     val reader = spark.readStream.format("graft-cdc")
     if (cfg.pkFilters.nonEmpty)
       reader.option("pkFilters",
         graft.attr.Json.JArr(cfg.pkFilters.toVector.map(graft.attr.Json.JStr)).print)
+    // admission control (the source's ReadLimit.maxFiles contract,
+    // CdcSource.getDefaultReadLimit): bounds each micro-batch so a backlog
+    // drains as a SEQUENCE of bounded triggers instead of one giant cold
+    // batch — steady-state latency is per-trigger, honored under
+    // Trigger.AvailableNow too
+    if (maxFilesPerTrigger != Int.MaxValue)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
     val raw = reader.load(inputDir)
     val filtered =
       if (cfg.pkFilters.isEmpty) raw
@@ -171,9 +179,10 @@ object CdcPipeline {
       inputDir: String,
       busDir: String,
       checkpointDir: String,
-      cfg: CdcConfig): DataStreamWriter[BusEvent] = {
+      cfg: CdcConfig,
+      maxFilesPerTrigger: Int = Int.MaxValue): DataStreamWriter[BusEvent] = {
     import spark.implicits._
-    val proc = streamRecords(spark, inputDir, cfg)
+    val proc = streamRecords(spark, inputDir, cfg, maxFilesPerTrigger)
       .flatMap(r => RecordProcessor.processSafe(r, cfg))
     val blobDir = cfg.blobDir
 

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.ops.{Dedup, Incremental}
@@ -76,13 +76,110 @@ object StreamingDedup {
     * lineage discipline as the PageRank loop — the union chain would
     * otherwise re-shingle every prior batch per trigger).
     *
-    * Idempotence caveat, stated honestly: the VERDICT sink keeps
-    * exactly-once through its batchId write, but a replayed batch would
-    * append its shingles twice in THIS session-local index. A production
-    * deployment stores the index externally partitioned by batch id
-    * (overwrite-by-partition = idempotent append) and compacts on a
-    * cadence — the probe side is unchanged.
+    * Idempotence caveat: the VERDICT sink keeps exactly-once through its
+    * batchId write, but a replayed batch would append its shingles twice in
+    * THIS session-local index — use [[admissionStreamExternal]] (the
+    * batch_id-partitioned external store with overwrite-by-partition) when
+    * replay can happen; this in-memory form remains the zero-I/O choice for
+    * a session-scoped stream.
     */
+  /** The EXTERNALLY-STORED growing index — the production form of
+    * [[admissionStreamGrowing]] (whose scaladoc designs exactly this):
+    * admitted shingles live in a parquet directory PARTITIONED BY `batch_id`,
+    * and each trigger (re)writes only its own partition via dynamic
+    * partition overwrite. That makes the index append IDEMPOTENT: a
+    * replayed micro-batch (restart after a sink failure — the at-least-once
+    * window foreachBatch leaves open) overwrites its previous attempt
+    * instead of double-appending, completing the exactly-once story the
+    * verdict sink already has via its batchId key.
+    *
+    * Replay safety in the PROBE too: the batch's own partition is excluded
+    * from the index it probes against, so attempt 2 of batch k scores
+    * against exactly the state attempt 1 saw — verdicts are replay-stable.
+    *
+    * Scale shape: per trigger, one bounded partition write + one store
+    * read whose partition pruning is Spark's normal parquet partition
+    * discovery; the probe is unchanged (O(batch shingles ⋈ index)). Small
+    * per-batch files accumulate — [[compactIndexStore]] is the LSM-style
+    * maintenance counterpart (same operational pattern as
+    * [[graft.cdc.CdcPipeline.compactBus]]).
+    */
+  def admissionStreamExternal(docs: Dataset[Doc], initialIndex: DataFrame,
+      storeDir: String, sink: (DataFrame, Long) => Unit,
+      thresholdE6: Long = 500000L, maxDf: Int = 256): DataStreamWriter[Doc] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
+      externalBatch(batch, batchId, initialIndex, storeDir, sink, thresholdE6, maxDf)
+    }
+
+  /** One trigger's work for [[admissionStreamExternal]] — exposed so the
+    * replay spec can drive the same batch twice exactly as a restarted
+    * stream would.
+    */
+  private[graft] def externalBatch(batch: Dataset[Doc], batchId: Long,
+      initialIndex: DataFrame, storeDir: String, sink: (DataFrame, Long) => Unit,
+      thresholdE6: Long, maxDf: Int): Unit = {
+    val spark = batch.sparkSession
+    val cached = batch.persist()
+    try {
+      // exclude THIS batch's own partition: on replay the probe must see
+      // the pre-attempt state, not the previous attempt's output
+      val stored = readIndexStore(spark, storeDir)
+        .filter(col("batch_id") =!= batchId).drop("batch_id")
+      val verdicts = probeBatch(cached, initialIndex.unionAll(stored),
+        thresholdE6, maxDf).persist()
+      try {
+        sink(verdicts, batchId)
+        val admitted = cached.join(
+          verdicts.filter(col("is_dup") === 0L).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        // dynamic partition overwrite: ONLY batch_id=<this batch> is
+        // replaced; every other batch's partition is untouched
+        shingleBatch(admitted.as[Doc](org.apache.spark.sql.Encoders.product[Doc]))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(storeDir)
+      } finally { verdicts.unpersist(); () }
+    } finally { cached.unpersist(); () }
+  }
+
+  /** Read the admitted-shingle store: `(doc_id, shingle, batch_id)`; empty
+    * before the first trigger commits.
+    */
+  def readIndexStore(spark: SparkSession, storeDir: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id=")))
+      // partition discovery infers batch_id from directory names as INT —
+      // cast back to the long the writers put in
+      spark.read.parquet(storeDir)
+        .select(col("doc_id"), col("shingle"), col("batch_id").cast("long").as("batch_id"))
+    else Seq.empty[(Long, Long, Long)].toDF("doc_id", "shingle", "batch_id")
+  }
+
+  /** LSM-style maintenance for the index store: fold every partition with
+    * `batch_id <= upToBatchId` into ONE partition (keyed at `upToBatchId`)
+    * with `targetPartitions` files, leaving later partitions as they are.
+    * Written to a NEW directory (same operational pattern as
+    * `compactBus`: compact → repoint → retire), because rewriting in place
+    * would race a live stream's next trigger. Only compact batches at or
+    * below the stream checkpoint's committed horizon — a replay BELOW the
+    * fold point would otherwise overwrite the folded partition with one
+    * batch's worth of shingles. Returns rows written.
+    */
+  def compactIndexStore(spark: SparkSession, storeDir: String, outDir: String,
+      upToBatchId: Long, targetPartitions: Int = 1): Long = {
+    val all = readIndexStore(spark, storeDir)
+    val folded = all.withColumn("batch_id",
+      when(col("batch_id") <= upToBatchId, lit(upToBatchId)).otherwise(col("batch_id")))
+    val n = folded.count()
+    folded.repartition(targetPartitions)
+      .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+    n
+  }
+
   def admissionStreamGrowing(docs: Dataset[Doc], initialIndex: DataFrame,
       sink: (DataFrame, Long) => Unit,
       thresholdE6: Long = 500000L, maxDf: Int = 256): DataStreamWriter[Doc] = {

@@ -252,12 +252,28 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("StreamingBench e2e stats populate (the BENCH.json streaming section)") {
-    val st = graft.obs.StreamingBench.cdcE2e(spark, sf, nFiles = 4)
+    val st = graft.obs.StreamingBench.cdcE2e(spark, sf, nFiles = 4, maxFilesPerTrigger = 1)
     assert(st.inputRows > 0, "no synth input written")
     // the record program suppresses no-op MODIFYs, so bus <= input but > 0
     assert(st.busRows > 0 && st.busRows <= st.inputRows, st.toString)
-    assert(st.batches > 0 && st.wallSec > 0 && st.rowsPerSec > 0, st.toString)
+    // bounded admission: 4 files at 1 file/trigger MUST drain as >= 4
+    // micro-batches (the round-7/8 contract the single-cold-batch run
+    // failed), and the steady stats exclude batch 0
+    assert(st.batches >= 4, s"bounded admission not honored: $st")
+    assert(st.wallSec > 0 && st.rowsPerSec > 0, st.toString)
     assert(st.avgBatchMs > 0, s"durationMs not surfaced: $st")
+    assert(st.steadyAvgBatchMs > 0 && st.steadyRowsPerSec > 0,
+      s"steady-state stats not populated: $st")
+  }
+
+  test("StreamingBench admission-dedup stats populate (the streaming_dedup section)") {
+    val st = graft.obs.StreamingBench.dedupE2e(spark, sf, nFiles = 4, maxFilesPerTrigger = 1)
+    assert(st.inputRows > 0, "no stream docs written")
+    // every arriving doc gets exactly one verdict row
+    assert(st.busRows == st.inputRows, st.toString)
+    assert(st.batches >= 4, s"bounded admission not honored: $st")
+    assert(st.steadyAvgBatchMs > 0 && st.steadyRowsPerSec > 0,
+      s"steady-state stats not populated: $st")
   }
 
   test("StreamingDedup: per-micro-batch probe equals the batch operator across 2 triggers") {
@@ -315,5 +331,57 @@ class StreamingSpec extends SparkSuite {
     // and the unrelated doc stays admitted
     assert(verdicts(3L) == ((-1L, 0L)), s"doc 3: ${verdicts(3L)}")
     assert(verdicts.size == 3 && buf.size == 3)
+  }
+
+  test("StreamingDedup external index: closed-loop verdicts; REPLAYED batch does not double-append") {
+    import spark.implicits._
+    val store = graft.ops.Scratch.dir("dedup_store").toString + "/idx"
+    val base = "the quick brown fox jumps over the lazy dog again and again until dawn breaks"
+    val indexSh = graft.ops.Dedup.shingles(
+      Seq((900L, "entirely different static corpus content with no overlap at all here truly"))
+        .toDF("doc_id", "text")).cache()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, _) =>
+      buf.synchronized {
+        buf ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+    def run(batchId: Long, docs: StreamingDedup.Doc*): Unit =
+      StreamingDedup.externalBatch(docs.toDS(), batchId, indexSh, store, sink, 500000L, 256)
+    // batch 0 admits a novel doc; batch 1's near-copy must match it from
+    // the STORE (closed loop through external state, not session memory)
+    run(0L, StreamingDedup.Doc(1L, base))
+    run(1L, StreamingDedup.Doc(2L, base + " with one extra tail"),
+      StreamingDedup.Doc(3L, "totally novel second batch material unrelated to anything before"))
+    val verdicts = buf.map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(verdicts(1L) == ((-1L, 0L)) && verdicts(2L) == ((1L, 1L)) &&
+      verdicts(3L) == ((-1L, 0L)), verdicts.toString)
+    val storeAfter = StreamingDedup.readIndexStore(spark, store)
+    val rowsAfter = storeAfter.count()
+    val batchesAfter = storeAfter.select("batch_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(batchesAfter == Set(0L, 1L), s"store partitions: $batchesAfter")
+    // REPLAY batch 1 (restart-after-sink-failure shape): verdicts identical
+    // (probe excluded its own partition) and the store is byte-for-byte the
+    // same rowset — overwrite-by-partition, not append
+    buf.clear()
+    run(1L, StreamingDedup.Doc(2L, base + " with one extra tail"),
+      StreamingDedup.Doc(3L, "totally novel second batch material unrelated to anything before"))
+    val replayVerdicts = buf.map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(replayVerdicts == Map(2L -> ((1L, 1L)), 3L -> ((-1L, 0L))), replayVerdicts.toString)
+    // fresh read: the pre-replay frame's file listing is stale after the
+    // partition overwrite (exactly the property under test)
+    val storeReplayed = StreamingDedup.readIndexStore(spark, store)
+    assert(storeReplayed.count() == rowsAfter,
+      "replay double-appended the index store")
+    // compaction folds batches <= 1 into one partition, preserving the rowset
+    val compacted = graft.ops.Scratch.dir("dedup_store_c").toString + "/idx"
+    val n = StreamingDedup.compactIndexStore(spark, store, compacted, upToBatchId = 1L)
+    assert(n == rowsAfter)
+    val cStore = StreamingDedup.readIndexStore(spark, compacted)
+    assert(cStore.count() == rowsAfter)
+    assert(cStore.select("batch_id").distinct().collect().map(_.getLong(0)).toSet == Set(1L))
+    // the compacted store serves the same probe state: doc/shingle pairs equal
+    assert(cStore.select("doc_id", "shingle").except(
+      storeReplayed.select("doc_id", "shingle")).count() == 0)
   }
 }
