@@ -751,7 +751,14 @@ class OpsSpec extends SparkSuite {
 
   test("revenue percentiles: discrete positions recompute from a driver-side sort") {
     import spark.implicits._
-    val out = Analytics.revenuePercentiles(spark, sf).collect()
+    val df = Analytics.revenuePercentiles(spark, sf)
+    // distributed-selection shape: the only rank window partitions by
+    // (segment, bucket) — a window keyed on the segment alone would mean
+    // one task per segment owns a whole-segment sort again
+    val win = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("row_number()")).mkString("\n")
+    assert(win.contains("bucket"), s"rank window lost its bucket key:\n$win")
+    val out = df.collect()
     val vals = Tables.orders(spark, sf)
       .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), Exact.c2(col("o_totalprice")).as("c2"))
