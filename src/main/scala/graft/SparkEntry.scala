@@ -36,7 +36,11 @@ object SparkEntry {
     // the BPE merge loop has no SQL form (BpeSpec carries the parity gate)
     "bpe_vocab", "bpe_token_counts", "batch_packing_bpe",
     // engine-specific quantile sketch; error-evidence columns + spec bound
-    "revenue_percentiles_approx")
+    "revenue_percentiles_approx",
+    // Misra-Gries summary is engine-specific (decrement rounds depend on
+    // partition iteration order); exact counts ride as evidence columns and
+    // FrequentSpec pins the containment + deficit laws
+    "frequent_tokens_approx")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- CDC pipeline operators (SURVEY.md §2, OP-n) ---
@@ -141,6 +145,11 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
     "binary_content" -> ((s, d) => TextOps.binaryContent(s, d)),
     "quality_filter" -> ((s, d) => TextOps.qualityFilter(s, d)),
+    // per-language RELATIVE length cuts via exact distributed selection
+    "length_percentile_filter" -> ((s, d) => TextOps.lengthPercentileFilter(s, d)),
+    // corpus heavy hitters: exact groupBy gate + Misra-Gries mergeable twin
+    "frequent_tokens" -> ((s, d) => Frequent.frequentTokens(s, d)),
+    "frequent_tokens_approx" -> ((s, d) => Frequent.frequentTokensApprox(s, d)),
     "pii_redaction" -> ((s, d) => TextOps.redactPii(s, d)),
     "corpus_curation" -> ((s, d) => TextOps.curateCorpus(s, d)),
     "train_test_split" -> ((s, d) => TextOps.trainTestSplit(s, d)),
@@ -1055,6 +1064,36 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct
         |  FROM documents
         |) ORDER BY doc_id""".stripMargin,
+    "length_percentile_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, n_tokens,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM t
+        |), th AS (
+        |  SELECT lang,
+        |    MAX(CASE WHEN rn = (n + 9) // 10 THEN n_tokens END) AS p10_tokens,
+        |    MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_tokens END) AS p90_tokens
+        |  FROM r GROUP BY lang
+        |)
+        |SELECT t.doc_id AS doc_id, t.lang AS lang, t.n_tokens AS n_tokens,
+        |  th.p10_tokens AS p10_tokens, th.p90_tokens AS p90_tokens,
+        |  CAST(t.n_tokens >= th.p10_tokens AND t.n_tokens <= th.p90_tokens AS BIGINT) AS keep
+        |FROM t JOIN th USING (lang) ORDER BY doc_id""".stripMargin,
+    "frequent_tokens" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS w FROM documents
+        |), c AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY w
+        |), t AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c
+        |)
+        |SELECT c.w AS w, c.cnt AS cnt, t.n_total AS n_total
+        |FROM c, t WHERE c.cnt * 200 > t.n_total ORDER BY w""".stripMargin,
     "pii_redaction" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,

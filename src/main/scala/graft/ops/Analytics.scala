@@ -201,84 +201,18 @@ object Analytics {
         .persist()
     }
 
-  /** Bit-exact percentiles WITHOUT a whole-segment sort task — two-pass
-    * distributed selection (the classic TeraSort-style rank split),
-    * replacing the `Window.partitionBy(segment)` rank whose one-task-per-
-    * segment shape measured 2.19× at 10× data:
-    *
-    *  1. BOUNDARIES — uniform-width value cuts from one min/max pass,
-    *     applied per row with the codegen'd O(1) `width_bucket` (a sketch
-    *     could place smarter cuts, but per-row cut lookup must stay O(1)
-    *     and codegen'd — a 63-literal-array HOF fold measured slower than
-    *     the sort it replaced). The cuts only steer data DISTRIBUTION;
-    *     exactness never depends on them (a skewed distribution just means
-    *     uneven buckets). Equal values share a bucket, so a value's
-    *     multiset is never split.
-    *  2. HISTOGRAM — per (segment, bucket) counts: a map-side-combined
-    *     groupBy whose result is bounded by |segments|·nBuckets rows (a
-    *     documented bounded collect, same contract as the BPE vocab), from
-    *     which the driver locates, for each exact integer rank position
-    *     ((n+1) div 2 etc.), the ONE bucket holding it and the residual
-    *     rank inside that bucket.
-    *  3. SELECT — rank ONLY inside the candidate buckets (each ≈
-    *     n/nBuckets rows): the row_number window partitions by (segment,
-    *     bucket), so no task ever owns a whole segment; matched rows pivot
-    *     back to the (p50, p90, p99) columns.
-    *
-    * Same exact discrete-value semantics as before (value AT rank k in the
-    * multiset — tie order irrelevant), so the DuckDB oracle is unchanged.
-    * Skew caveat: a single value with overwhelming multiplicity makes its
-    * bucket large (selection degrades toward a big sort only for that
-    * bucket); raising nBuckets narrows every other bucket regardless.
+  /** Bit-exact percentiles WITHOUT a whole-segment sort task — the
+    * [[DistributedSelect.exactGroupPercentiles]] two-pass selection (see
+    * its scaladoc for the plan shape), replacing the
+    * `Window.partitionBy(segment)` rank whose one-task-per-segment shape
+    * measured 2.19× at 10× data (now 1.2×, docs/TUNING.md). Same discrete
+    * value-at-rank semantics, so the DuckDB oracle is unchanged.
     */
-  def revenuePercentiles(spark: SparkSession, d: String, nBuckets: Int = 256): DataFrame = {
-    import spark.implicits._
-    val vals = segmentC2(spark, d)
-    val mm = vals.agg(min(col("c2")).as("lo"), max(col("c2")).as("hi")).head()
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    val bucketed =
-      if (lo == hi) vals.withColumn("bucket", lit(0L)) // degenerate: one value
-      else vals.withColumn("bucket",
-        expr(s"width_bucket(c2, ${lo}D, ${hi + 1}D, $nBuckets)"))
-    val hist = bucketed.groupBy(col("c_mktsegment"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val targets = hist.groupBy(_._1).toSeq.flatMap { case (seg, rows) =>
-      val n = rows.map(_._3).sum
-      val sorted = rows.sortBy(_._2)
-      def locate(k: Long): (Long, Long) = {
-        var cum = 0L
-        var res: (Long, Long) = null
-        val it = sorted.iterator
-        while (res == null && it.hasNext) {
-          val (_, b, c) = it.next()
-          if (k <= cum + c) res = (b, k - cum) else cum += c
-        }
-        require(res != null, s"rank $k beyond histogram for segment $seg")
-        res
-      }
-      Seq(("p50_c2", (n + 1) / 2), ("p90_c2", (9 * n + 9) / 10),
-        ("p99_c2", (99 * n + 99) / 100)).map { case (p, k) =>
-        val (b, r) = locate(k); (seg, b, r, p, n)
-      }
-    }
-    val targetsDf = targets.toDF("t_seg", "t_bucket", "resid", "pct", "n_orders")
-    val wBucket = Window.partitionBy(col("c_mktsegment"), col("bucket")).orderBy(col("c2"))
-    bucketed
-      .join(broadcast(targetsDf.select(col("t_seg"), col("t_bucket")).distinct()),
-        col("c_mktsegment") === col("t_seg") && col("bucket") === col("t_bucket"),
-        "left_semi")
-      .withColumn("rn", row_number().over(wBucket).cast("long"))
-      .join(broadcast(targetsDf),
-        col("c_mktsegment") === col("t_seg") && col("bucket") === col("t_bucket") &&
-          col("rn") === col("resid"))
-      .groupBy(col("c_mktsegment"))
-      .agg(max(col("n_orders")).as("n_orders"),
-        max(when(col("pct") === "p50_c2", col("c2"))).as("p50_c2"),
-        max(when(col("pct") === "p90_c2", col("c2"))).as("p90_c2"),
-        max(when(col("pct") === "p99_c2", col("c2"))).as("p99_c2"))
+  def revenuePercentiles(spark: SparkSession, d: String, nBuckets: Int = 256): DataFrame =
+    DistributedSelect.exactGroupPercentiles(segmentC2(spark, d), "c_mktsegment", "c2",
+      Seq(("p50_c2", 1L, 2L), ("p90_c2", 9L, 10L), ("p99_c2", 99L, 100L)), nBuckets)
+      .withColumnRenamed("n_rows", "n_orders")
       .orderBy("c_mktsegment")
-  }
 
   /** The sketch twin of [[revenuePercentiles]] — `percentile_approx`
     * (Spark's mergeable KLL-style quantile sketch: constant memory,

@@ -244,6 +244,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** DISTRIBUTION-RELATIVE length curation — trim each language's bottom
+    * and top token-count decile (Gopher §A1.1 does this with absolute
+    * bounds; production multilingual pipelines use per-language RELATIVE
+    * cuts because "too short" in Chinese is not "too short" in German).
+    * Thresholds are EXACT integer value-at-rank percentiles per language
+    * via [[DistributedSelect.exactGroupPercentiles]] (no whole-language
+    * sort task — the same selection core as `revenue_percentiles`), then
+    * one broadcast join applies the verdict; every doc exports its
+    * language's thresholds and a 0/1 `keep`.
+    *
+    * Scale shape: the value frame is a 2-column projection persisted for
+    * the selection's three bounded passes, the threshold table is
+    * |languages| rows broadcast, and the verdict pass is narrow. Keep rule
+    * is inclusive at both cut values (value-at-rank members stay).
+    */
+  def lengthPercentileFilter(spark: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .withColumn("ts", graft.functions.TextFunctions.text_scan(col("text")))
+      .select(col("doc_id"), col("lang"), col("ts.n_tokens").as("n_tokens"))
+    val vals = toks.select(col("lang"), col("n_tokens")).persist()
+    val th =
+      try DistributedSelect.exactGroupPercentiles(vals, "lang", "n_tokens",
+        Seq(("p10_tokens", 1L, 10L), ("p90_tokens", 9L, 10L)))
+        .select(col("lang"), col("p10_tokens"), col("p90_tokens"))
+        // |languages| rows — materialize so unpersisting vals is safe
+        .collect().toSeq
+      finally { vals.unpersist(); () }
+    import spark.implicits._
+    val thDf = th.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toDF("lang", "p10_tokens", "p90_tokens")
+    toks.join(broadcast(thDf), "lang")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("p10_tokens"), col("p90_tokens"),
+        (col("n_tokens") >= col("p10_tokens") &&
+          col("n_tokens") <= col("p90_tokens")).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source statistics + cap outcome: doc count, kept-under-cap count,
     * exact char volume, and quality-rule pass count per domain — the
     * monitoring table a per-domain curation run reports (the per-source

@@ -802,6 +802,38 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("length percentile filter: per-language decile cuts recompute from a driver-side sort") {
+    import spark.implicits._
+    val rows = TextOps.lengthPercentileFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val re = java.util.regex.Pattern.compile("[A-Za-z0-9]+")
+    def nTokens(t: String): Long = {
+      if (t == null) return 0L
+      val m = re.matcher(t); var n = 0L; while (m.find()) n += 1; n
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect()
+      .map { case (id, l, t) => (id, l, nTokens(t)) }
+    val byLang = docs.groupBy(_._2)
+    val th = byLang.map { case (l, ds) =>
+      val sorted = ds.map(_._3).sorted
+      val n = sorted.length.toLong
+      def at(num: Long, den: Long) = sorted((((num * n + den - 1) / den) - 1).toInt)
+      l -> ((at(1, 10), at(9, 10)))
+    }
+    assert(rows.length == docs.length)
+    rows.foreach { r =>
+      val (lo, hi) = th(r.getString(1))
+      assert(r.getLong(3) == lo && r.getLong(4) == hi,
+        s"${r.getString(1)}: thresholds (${r.getLong(3)}, ${r.getLong(4)}) vs ($lo, $hi)")
+      val keep = if (r.getLong(2) >= lo && r.getLong(2) <= hi) 1L else 0L
+      assert(r.getLong(5) == keep, s"doc ${r.getLong(0)}: keep ${r.getLong(5)} vs $keep")
+    }
+    // the trim genuinely removes something at both ends per language
+    val kept = rows.count(_.getLong(5) == 1L)
+    assert(kept > 0 && kept < rows.length, s"vacuous trim: $kept of ${rows.length}")
+  }
+
   test("pagerank: integer iteration recomputes exactly driver-side; mass bounded") {
     import spark.implicits._
     val out = Graph.pagerankBipartite(spark, sf, iters = 3).collect()
