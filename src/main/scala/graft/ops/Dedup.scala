@@ -348,24 +348,49 @@ object Dedup {
       spark: SparkSession,
       d: String,
       maxHamming: Int = 3,
-      maxBucket: Int = 4096): DataFrame = {
-    val fp = simhashFingerprints(spark, d)
-    val banded0 = fp.select(col("doc_id"), col("simhash"),
-      posexplode(expr("transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
+      maxBucket: Int = 4096): DataFrame =
+    hammingPairs64(
+      simhashFingerprints(spark, d)
+        .select(col("doc_id").as("id"), col("simhash").as("fp")),
+      maxHamming, maxBucket)
+      .orderBy("a", "b")
+
+  /** Banded Hamming pair mining over ANY 64-bit fingerprint frame — the
+    * candidate-generation core shared by [[simhashPairs]] (text) and
+    * [[graft.multimodal.ImageDedup.imageDedupPairs]] (perceptual image
+    * hash). Bands the fingerprint into 4 disjoint 16-bit chunks: a pair
+    * within hamming 3 differs in at most 3 chunks, so by pigeonhole it
+    * SHARES at least one — candidate generation is COMPLETE for
+    * `maxHamming <= 3` (the require), which is what lets a DuckDB all-pairs
+    * oracle certify the banded plan's output exactly.
+    *
+    * Scale shape: the self-join runs per (chunk, chunk_val) bucket —
+    * singleton buckets (the majority) are pruned and hot buckets capped
+    * before the join squares them ([[keepPairableBuckets]]); nothing is
+    * ever all-pairs across the corpus.
+    *
+    * @param fps (id BIGINT, fp BIGINT) — one 64-bit fingerprint per id
+    * @return (a, b, hamming) with a < b and hamming <= maxHamming, unordered
+    */
+  private[graft] def hammingPairs64(
+      fps: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16-bit banding is only pigeonhole-complete for hamming <= 3, got $maxHamming")
+    val banded0 = fps.select(col("id"), col("fp"),
+      posexplode(expr("transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535)"))
         .as(Seq("chunk", "chunk_val")))
-    // same hot-bucket guard as minhashLsh (a 16-bit chunk value shared by a
+    // hot-bucket guard as in minhashLsh (a 16-bit chunk value shared by a
     // boilerplate cluster would otherwise square inside one task)
     val banded = keepPairableBuckets(banded0, Seq("chunk", "chunk_val"), maxBucket)
-    val l = banded.select(col("chunk"), col("chunk_val"), col("doc_id").as("a"), col("simhash").as("sh_a"))
-    val r = banded.select(col("chunk"), col("chunk_val"), col("doc_id").as("b"), col("simhash").as("sh_b"))
+    val l = banded.select(col("chunk"), col("chunk_val"), col("id").as("a"), col("fp").as("fp_a"))
+    val r = banded.select(col("chunk"), col("chunk_val"), col("id").as("b"), col("fp").as("fp_b"))
     l.join(r, Seq("chunk", "chunk_val"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sh_a"), col("sh_b"))
+      .select(col("a"), col("b"), col("fp_a"), col("fp_b"))
       .distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
-      .orderBy("a", "b")
   }
 
   /** Near-dup CLUSTERS: connected components over the jaccard pair graph,

@@ -35,7 +35,11 @@ import org.apache.spark.sql.functions._
 object DistributedSelect {
 
   /** @param df     input frame; consumed by THREE actions — callers with an
-    *               expensive lineage should pass a persisted frame
+    *               expensive lineage should pass a persisted frame.
+    *               CONTRACT: `group` and `value` must be NON-NULL — a null
+    *               group never matches the final equi-join (the group would
+    *               silently vanish) and a null value breaks the bucket
+    *               histogram; the histogram pass fails loudly on either.
     * @param group  string-typed grouping column name
     * @param value  BIGINT-typed value column name (a plain column, not an
     *               expression — it is spliced into `width_bucket`)
@@ -57,7 +61,13 @@ object DistributedSelect {
         expr(s"width_bucket($value, ${lo}D, ${hi + 1}D, $nBuckets)"))
     val hist = bucketed.groupBy(col(group), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .collect().map { r =>
+        // loud failure per the non-null contract (a null group would
+        // otherwise be dropped by the equi-join, a null value mis-bucketed)
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"exactGroupPercentiles: null $group or $value in input")
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      }
     val targets = hist.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
       val n = rows.map(_._3).sum
       val sorted = rows.sortBy(_._2)
