@@ -71,12 +71,17 @@ object Bench {
     // each query k times and reports the MIN wall per query — the number
     // that measures the code, not whoever else had the box — with rep 1
     // kept as its own cold_s column (cold still carries real information:
-    // codegen + first-touch costs). Metrics snapshots come from the min
-    // rep; shuffle/spill bytes are plan-deterministic, so any rep agrees.
-    // DEFAULT 2, not 1: the gate artifact is produced by an unattended
-    // driver run — it must prove or rule out contention by itself
-    // (min≪cold on many queries = someone else had the cores).
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    // codegen + first-touch costs). Metrics snapshots come from REP 1, not
+    // the min rep (r9/r10 verdicts): Memo-backed queries skip upstream
+    // shuffles on warm reps, so a min-rep snapshot under-reports the cold
+    // shuffle/spill/cpu a fresh cluster run would pay — cold metrics pair
+    // with the cold_s column (same rep), min wall stays the headline.
+    // DEFAULT 3, not 2 (r9 item 7, landed r11): with two samples,
+    // min-of-2 cannot separate "someone else had the box for 5 minutes"
+    // from "the plan got slower" — r10's 3.3x pagerank artifact regression
+    // was exactly this ambiguity. Three samples make a sustained-contention
+    // run self-evident (all reps slow) vs a transient (min recovers).
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // the timed window is the query body ONLY — ScopedMetrics' post-body
       // listener drain (up to 30 s on a stalled bus) must not inflate the
@@ -92,8 +97,8 @@ object Bench {
         }
         (sec, snap)
       }
-      val (minSec, minSnap) = runs.minBy(_._1)
-      name -> ((minSec, minSnap, runs.head._1))
+      val minSec = runs.map(_._1).min
+      name -> ((minSec, runs.head._2, runs.head._1))
     }
     val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

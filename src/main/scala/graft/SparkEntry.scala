@@ -172,6 +172,10 @@ object SparkEntry {
     // --- LLM-data-pipeline: dedup family ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    // exact cross-doc substring runs (Lee et al. direction): positions +
+    // run lengths of verbatim shared >=14-token spans, gaps-and-islands on
+    // the positional shingle index
+    "repeated_substrings" -> ((s, d) => Dedup.repeatedSubstrings(s, d)),
     "eval_contamination" -> ((s, d) => Dedup.evalContamination(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     // incremental form of dedup_ngram_jaccard: new CDC batch probed against
@@ -191,6 +195,12 @@ object SparkEntry {
     "audio_meta" -> ((s, d) => graft.multimodal.Audio.audioMeta(s, d)),
     // full-raster decode evidence: channel sums over EVERY pixel
     "image_channel_stats" -> ((s, d) => graft.multimodal.Images.imageChannelStats(s, d)),
+    // perceptual image dedup: integer-exact aHash over the decoded raster
+    // (oracle recomputes every sampled pixel arithmetically) + banded
+    // Hamming pairs over a near-dup corpus — banding is pigeonhole-complete
+    // at hamming<=3, so DuckDB's brute-force all-pairs certifies the plan
+    "image_phash" -> ((s, d) => graft.multimodal.ImageDedup.imagePhash(s, d)),
+    "image_dedup_pairs" -> ((s, d) => graft.multimodal.ImageDedup.imageDedupPairs(s, d)),
     // full-payload decode evidence: sum over EVERY PCM sample
     "audio_sample_stats" -> ((s, d) => graft.multimodal.Audio.audioSampleStats(s, d)),
     // real JDK multi-page TIFF decode (the "video" modality): frame counts,
@@ -1085,7 +1095,7 @@ object SparkEntry {
         |  CAST(t.n_tokens >= th.p10_tokens AND t.n_tokens <= th.p90_tokens AS BIGINT) AS keep
         |FROM t JOIN th USING (lang) ORDER BY doc_id""".stripMargin,
     "frequent_tokens" ->
-      """WITH w AS (
+      s"""WITH w AS (
         |  SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS w FROM documents
         |), c AS (
         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY w
@@ -1093,7 +1103,7 @@ object SparkEntry {
         |  SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c
         |)
         |SELECT c.w AS w, c.cnt AS cnt, t.n_total AS n_total
-        |FROM c, t WHERE c.cnt * 200 > t.n_total ORDER BY w""".stripMargin,
+        |FROM c, t WHERE c.cnt * ${ops.Frequent.DefaultK} > t.n_total ORDER BY w""".stripMargin,
     "pii_redaction" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
@@ -1206,6 +1216,30 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
         |ORDER BY a, b""".stripMargin,
+    "repeated_substrings" ->
+      """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |ps AS (
+        |  SELECT doc_id, i AS pos,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM docs WHERE len(w) >= 5)
+        |),
+        |-- occurrence cap mirrors the engine's maxDf stop-shingle rule
+        |ok AS (SELECT shingle FROM ps GROUP BY 1 HAVING count(*) BETWEEN 2 AND 64),
+        |m AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+        |  FROM ps x JOIN ps y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  JOIN ok ON x.shingle = ok.shingle
+        |),
+        |isl AS (
+        |  SELECT a, b, pa, pb, pa - pb AS diag,
+        |    pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS island
+        |  FROM m
+        |)
+        |SELECT a, b, CAST(min(pa) AS BIGINT) AS start_a, CAST(min(pb) AS BIGINT) AS start_b,
+        |  CAST(count(*) AS BIGINT) AS run_ngrams, CAST(count(*) + 4 AS BIGINT) AS run_tokens
+        |FROM isl GROUP BY a, b, diag, island
+        |HAVING count(*) >= 10
+        |ORDER BY a, b, start_a, start_b""".stripMargin,
     "incremental_dedup" ->
       """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |sh AS (
@@ -1545,6 +1579,54 @@ object SparkEntry {
         |  CAST((doc_id * 1103515245) % 16777216 AS BIGINT) AS pixel00,
         |  CAST(NULL AS VARCHAR) AS decode_error
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "image_phash" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 32 AS w, 8 + doc_id % 16 AS h FROM documents),
+        |g AS (SELECT doc_id, w, h, unnest(range(0, 64)) AS b FROM d),
+        |px AS (
+        |  SELECT doc_id, b,
+        |    ((doc_id * 1103515245) + (((b % 8) * w) // 8) * 65537
+        |       + (((b // 8) * h) // 8) * 257) % 16777216 AS p
+        |  FROM g
+        |),
+        |gr AS (SELECT doc_id, b, (p // 65536) + ((p // 256) % 256) + (p % 256) AS gray FROM px),
+        |t AS (SELECT doc_id, SUM(gray) AS total FROM gr GROUP BY doc_id)
+        |SELECT gr.doc_id,
+        |  CAST(SUM(CASE WHEN gray * 64 > total AND b >= 32
+        |                THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS fp_hi,
+        |  CAST(SUM(CASE WHEN gray * 64 > total AND b < 32
+        |                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS fp_lo,
+        |  CAST(NULL AS VARCHAR) AS decode_error
+        |FROM gr JOIN t USING (doc_id)
+        |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin,
+    "image_dedup_pairs" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS seed, doc_id % 4 AS v FROM documents),
+        |dm AS (SELECT doc_id, v, seed, 16 + seed % 32 AS w, 8 + seed % 16 AS h FROM d),
+        |g AS (SELECT doc_id, v, seed, w, h, unnest(range(0, 64)) AS b FROM dm),
+        |sc AS (SELECT doc_id, v, (((b % 8) * w) // 8) AS sx, (((b // 8) * h) // 8) AS sy,
+        |       seed, b FROM g),
+        |fx AS (
+        |  SELECT doc_id, v, b,
+        |    ((seed * 1103515245) + sx * 65537 + sy * 257) % 16777216 AS f1,
+        |    ((seed * 2654435761) + sx * 257 + sy * 65537) % 16777216 AS f2
+        |  FROM sc
+        |),
+        |px AS (SELECT doc_id, v, b, (f1 * f2 + f1 + f2) % 16777216 AS p FROM fx),
+        |gr AS (SELECT doc_id, b, CASE WHEN b < v THEN 765
+        |  ELSE (p // 65536) + ((p // 256) % 256) + (p % 256) END AS gray FROM px),
+        |t AS (SELECT doc_id, SUM(gray) AS total FROM gr GROUP BY doc_id),
+        |fp AS (
+        |  SELECT gr.doc_id,
+        |    SUM(CASE WHEN gray * 64 > total AND b >= 32
+        |             THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS hi,
+        |    SUM(CASE WHEN gray * 64 > total AND b < 32
+        |             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS lo
+        |  FROM gr JOIN t USING (doc_id) GROUP BY gr.doc_id
+        |)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS BIGINT) AS hamming
+        |FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
+        |ORDER BY a, b""".stripMargin,
     "video_meta" ->
       """SELECT doc_id,
         |  CAST(4 + doc_id % 6 AS BIGINT) AS n_frames,

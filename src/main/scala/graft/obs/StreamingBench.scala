@@ -3,7 +3,7 @@ package graft.obs
 import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, explode, expr, lit}
 
 import graft.attr.{Json, JsonParser}
 import graft.cdc.{CdcConfig, CdcPipeline}
@@ -119,14 +119,24 @@ object StreamingBench {
     * and discards them — sink I/O is not the thing under measurement.
     */
   def dedupE2e(spark: SparkSession, d: String, nFiles: Int = 8,
-      maxFilesPerTrigger: Int = 1): StreamStats = {
+      maxFilesPerTrigger: Int = 1, arrivalCopies: Int = 64): StreamStats = {
     import spark.implicits._
     val base = graft.ops.Scratch.dir("graft_dedupbench")
     val in = s"$base/in"
     // the arriving stream: every 10th doc (the incremental_dedup batch
-    // convention); the remaining 90% are the static admitted corpus
+    // convention); the remaining 90% are the static admitted corpus.
+    // Each arrival is replicated `arrivalCopies` times under fresh doc_ids
+    // with a one-token text perturbation (r10 verdict: 500 docs total =
+    // ~62/trigger measured TRIGGER OVERHEAD, not the probe join — sf0.1 now
+    // drives 32k docs = ~4k/trigger, so steady_rows_per_sec is the shingle
+    // probe-join number a production admission stream would see).
     val docs = graft.ops.Tables.documents(spark, d).select(col("doc_id"), col("text"))
-    docs.filter(col("doc_id") % 10 === 0).repartition(nFiles)
+    docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("rep", explode(expr(s"sequence(0, ${arrivalCopies - 1})")))
+      .select(
+        (col("doc_id") + col("rep").cast("long") * lit(1000000L)).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"))
+      .repartition(nFiles)
       .write.mode("overwrite").json(in)
     val inputRows = spark.read.json(in).count()
     val indexSh = graft.ops.Dedup.shingles(docs.filter(col("doc_id") % 10 =!= 0)).persist()

@@ -65,33 +65,117 @@ object Dedup {
       .toDF("doc_id", "shingle")
   }
 
-  /** Distinct xxhash64(seed 42) hashes of word n-grams, matching the Spark
-    * SQL `split(trim(text), ' ')` tokenization exactly (space-only trim,
-    * empty tokens KEPT — regex split semantics).
+  /** `split(trim(text), ' ')` tokenization shared by every shingle path
+    * (space-only trim, empty tokens KEPT — regex split semantics).
     */
-  private[ops] def shingleHashes(text: String, n: Int): Array[Long] = {
+  private def spaceTokens(text: String): Array[String] = {
     var s = 0
     var e = text.length
     while (s < e && text.charAt(s) == ' ') s += 1
     while (e > s && text.charAt(e - 1) == ' ') e -= 1
-    val w = text.substring(s, e).split(" ", -1)
+    text.substring(s, e).split(" ", -1)
+  }
+
+  /** xxhash64(seed 42) of the space-joined n-gram starting at word i. */
+  private def ngramHash(w: Array[String], i: Int, n: Int): Long = {
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j < n) { if (j > 0) sb.append(' '); sb.append(w(i + j)); j += 1 }
+    val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        bytes.length, 42L)
+  }
+
+  /** Distinct xxhash64(seed 42) hashes of word n-grams, matching the Spark
+    * SQL `split(trim(text), ' ')` tokenization exactly.
+    */
+  private[ops] def shingleHashes(text: String, n: Int): Array[Long] = {
+    val w = spaceTokens(text)
     if (w.length < n) return Array.emptyLongArray
     val set = new java.util.HashSet[java.lang.Long]()
     val out = Array.newBuilder[Long]
-    val sb = new java.lang.StringBuilder
     var i = 0
     while (i <= w.length - n) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) { if (j > 0) sb.append(' '); sb.append(w(i + j)); j += 1 }
-      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-          bytes.length, 42L)
+      val h = ngramHash(w, i, n)
       if (set.add(h)) out += h
       i += 1
     }
     out.result()
+  }
+
+  /** POSITIONAL shingle index `(doc_id, pos, shingle)` — one row per n-gram
+    * OCCURRENCE (not per distinct shingle like [[shingles]]), pos 1-based to
+    * match DuckDB list indexing. [[cachedShingles]] can't back substring-run
+    * detection: set-similarity only needs membership, runs need WHERE each
+    * shingle sits. Same narrow per-doc flatMap, memoized+persisted once per
+    * session.
+    */
+  def cachedPosShingles(spark: SparkSession, d: String, n: Int = 5): DataFrame =
+    Memo(spark, s"posshingles|$d|$n") {
+      posShingles(Tables.documents(spark, d), n).persist()
+    }
+
+  def posShingles(docs: DataFrame, n: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Nil
+        else {
+          val w = spaceTokens(text)
+          if (w.length < n) Nil
+          else (0 to w.length - n).map(i => (id, (i + 1).toLong, ngramHash(w, i, n)))
+        }
+      }
+      .toDF("doc_id", "pos", "shingle")
+  }
+
+  /** EXACT repeated-substring detection across documents (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" direction):
+    * maximal runs of >= minRun consecutive shared word 5-grams between two
+    * docs, with positions — i.e. verbatim cross-doc substrings of
+    * `minRun + 4` tokens or longer, the exact-substring contamination that
+    * set-similarity dedup (Jaccard/MinHash) cannot localize.
+    *
+    * Shape: positional-index self-join on the shingle hash (stop-shingle
+    * occurrence cap `maxDf`, mirrored in the oracle, keeps boilerplate
+    * shingles from squaring a task at web scale), then gaps-and-islands on
+    * each (a, b, diagonal = pa - pb): consecutive pa values on one diagonal
+    * are one run, found with a single row_number window — no per-pair
+    * iteration, no driver logic. Two shuffles total (shingle, then pair
+    * diagonal); output is pure integer columns.
+    *
+    * @return (a, b, start_a, start_b, run_ngrams, run_tokens), a < b,
+    *         unique on (a, b, start_a, start_b)
+    */
+  def repeatedSubstrings(spark: SparkSession, d: String,
+      minRun: Int = 10, maxDf: Int = 64, n: Int = 5): DataFrame =
+    substringRuns(cachedPosShingles(spark, d, n), minRun, maxDf, n)
+
+  /** Run mining over a `(doc_id, pos, shingle)` positional index. */
+  def substringRuns(ps: DataFrame, minRun: Int, maxDf: Int, n: Int): DataFrame = {
+    // occurrence cap (not distinct-doc cap): join fan-out is occ_x * occ_y
+    // per shingle, so occurrences are what must be bounded
+    val ok = ps.groupBy("shingle").agg(count(lit(1)).as("occ"))
+      .filter(col("occ").between(2, maxDf))
+      .select("shingle")
+    val capped = ps.join(ok, Seq("shingle"), "left_semi")
+    val l = capped.select(col("shingle"), col("doc_id").as("a"), col("pos").as("pa"))
+    val r = capped.select(col("shingle"), col("doc_id").as("b"), col("pos").as("pb"))
+    val matches = l.join(r, Seq("shingle")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    val w = Window.partitionBy(col("a"), col("b"), col("diag")).orderBy(col("pa"))
+    matches
+      .withColumn("island", col("pa") - row_number().over(w))
+      .groupBy(col("a"), col("b"), col("diag"), col("island"))
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        count(lit(1)).as("run_ngrams"))
+      .filter(col("run_ngrams") >= minRun)
+      .select(col("a"), col("b"), col("start_a"), col("start_b"),
+        col("run_ngrams"), (col("run_ngrams") + lit((n - 1).toLong)).as("run_tokens"))
+      .orderBy("a", "b", "start_a", "start_b")
   }
 
   /** Eval-set CONTAMINATION audit — the pre-training hygiene step (GPT-3

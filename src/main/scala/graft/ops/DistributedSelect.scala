@@ -56,7 +56,11 @@ object DistributedSelect {
     require(!mm.isNullAt(0), "exactGroupPercentiles: empty input")
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val bucketed =
-      if (lo == hi) df.withColumn("bucket", lit(0L)) // degenerate: one value
+      // degenerate: one distinct value — but keep null values null (not
+      // bucket 0) so the loud-failure non-null contract below holds in
+      // this branch too; width_bucket nulls them for free in the main one
+      if (lo == hi) df.withColumn("bucket",
+        when(col(value).isNull, lit(null)).otherwise(lit(0L)))
       else df.withColumn("bucket",
         expr(s"width_bucket($value, ${lo}D, ${hi + 1}D, $nBuckets)"))
     val hist = bucketed.groupBy(col(group), col("bucket"))

@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object Frequent {
 
+  /** Heavy-hitter threshold denominator (tokens above 1/DefaultK of all
+    * positions). ONE constant, TWO readers: the Scala defaults below and
+    * the `frequent_tokens` DuckDB oracle in SparkEntry interpolate it —
+    * never hardcode 200 on one side only (r10 verdict: desync risk).
+    */
+  val DefaultK: Int = 200
+
   /** One row per token occurrence. The token class is the engine-wide
     * `[A-Za-z0-9]+` (same as `text_stats` n_tokens), applied with Spark's
     * codegen'd `regexp_extract_all` so the DuckDB side is the identical
@@ -48,7 +55,7 @@ object Frequent {
     * scan); the one-row total rides a broadcast cross join so the threshold
     * comparison stays in the plan (no driver scalar).
     */
-  def frequentTokens(spark: SparkSession, d: String, k: Int = 200): DataFrame = {
+  def frequentTokens(spark: SparkSession, d: String, k: Int = Frequent.DefaultK): DataFrame = {
     val counts = tokenCounts(spark, d)
     val tot = counts.agg(sum(col("cnt")).cast("long").as("n_total"))
     counts.crossJoin(broadcast(tot))
@@ -62,7 +69,7 @@ object Frequent {
     * given the deficit bound, with exact-count evidence columns:
     * (w, est_cnt, exact_cnt, deficit, bound, n_total, is_exact_hh).
     */
-  def frequentTokensApprox(spark: SparkSession, d: String, k: Int = 200,
+  def frequentTokensApprox(spark: SparkSession, d: String, k: Int = Frequent.DefaultK,
       sketchK: Int = 1024): DataFrame =
     frequentApproxWords(words(spark, d), tokenCounts(spark, d), k, sketchK)
 

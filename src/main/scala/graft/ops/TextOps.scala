@@ -254,10 +254,12 @@ object TextOps {
     * one broadcast join applies the verdict; every doc exports its
     * language's thresholds and a 0/1 `keep`.
     *
-    * Scale shape: the value frame is a 2-column projection persisted for
-    * the selection's three bounded passes, the threshold table is
-    * |languages| rows broadcast, and the verdict pass is narrow. Keep rule
-    * is inclusive at both cut values (value-at-rank members stay).
+    * Scale shape: the Memo-persisted 3-column (doc_id, lang, n_tokens)
+    * token frame is built by ONE text_scan over the corpus and shared by
+    * the selection's bounded passes AND the final verdict join; the
+    * threshold table is |languages| rows broadcast, and the verdict pass
+    * is narrow. Keep rule is inclusive at both cut values (value-at-rank
+    * members stay).
     */
   def lengthPercentileFilter(spark: SparkSession, d: String): DataFrame = {
     // Memo-persisted (doc_id, lang, n_tokens) — ~24 bytes/row — so the

@@ -1,0 +1,58 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class ImageDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("aHash64 matches the id-derived pixel formula without decoding") {
+    // recompute the hash from Images.pixelOf arithmetic alone (the oracle's
+    // view) and require the decode path to agree — certifies the real
+    // PNG round-trip feeding the fingerprint
+    def expected(id: Long): Long = {
+      val w = Images.widthOf(id); val h = Images.heightOf(id)
+      val grays = (0 until 64).map { b =>
+        val p = Images.pixelOf(id, ((b % 8) * w) / 8, ((b / 8) * h) / 8)
+        ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+      }
+      val total = grays.map(_.toLong).sum
+      (0 until 64).foldLeft(0L) { (fp, b) =>
+        if (grays(b).toLong * 64L > total) fp | (1L << b) else fp
+      }
+    }
+    Seq(0L, 1L, 7L, 42L, 123L).foreach { id =>
+      val img = Images.decodeImage(Images.pngBytes(id)).toOption.get
+      assert(ImageDedup.aHash64(img) === expected(id), s"id=$id")
+    }
+  }
+
+  test("banded pair mining is complete vs brute force at hamming <= 3") {
+    val fps = ImageDedup.phashDs(ImageDedup.dedupImages(spark, sf))
+      .filter(col("decode_error").isNull)
+      .select(col("doc_id"), col("fp")).as[(Long, Long)].collect().toSeq
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      ham = java.lang.Long.bitCount(fa ^ fb) if ham <= 3
+    } yield (a, b, ham.toLong)).sortBy(p => (p._1, p._2))
+    val banded = ImageDedup.imageDedupPairs(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(banded === brute)
+    assert(brute.nonEmpty, "near-dup corpus must plant at least one pair")
+  }
+
+  test("within-group variants pair up; corrupt blob takes the dead-letter lane") {
+    // v=0 vs v=1 differ by one whitened sampled pixel: hamming is small by
+    // construction (one forced bit + threshold drift), so group (0,1) of the
+    // seed-0 images must appear among the mined pairs at some hamming <= 3
+    val pairs = ImageDedup.imageDedupPairs(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists { case (a, b, _) => a / 4 == b / 4 },
+      "expected at least one within-group perceptual pair")
+    val corrupt = Seq(Images.ImageRecord(99L, Array[Byte](1, 2, 3))).toDS()
+    val out = ImageDedup.phashDs(corrupt).collect().head
+    assert(out.isNullAt(out.fieldIndex("fp")))
+    assert(out.getString(out.fieldIndex("decode_error")) != null)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSuite
+
+class SubstringRunsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def doc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+
+  test("planted verbatim span is found at exact positions and length") {
+    val shared = (0 until 15).map(i => s"s$i") // 15-token verbatim span
+    val a = doc(1L, (0 until 20).map(i => s"a$i") ++ shared ++ (0 until 10).map(i => s"b$i"))
+    val b = doc(2L, (0 until 5).map(i => s"c$i") ++ shared ++ (0 until 7).map(i => s"d$i"))
+    val docs = Seq(a, b).toDF("doc_id", "text")
+    val runs = Dedup.substringRuns(Dedup.posShingles(docs), minRun = 5, maxDf = 64, n = 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // 15 shared tokens = 11 aligned 5-grams; spans start at word 21 in doc 1
+    // (1-based, after the 20-token prefix) and word 6 in doc 2
+    assert(runs === Seq((1L, 2L, 21L, 6L, 11L, 15L)))
+  }
+
+  test("disjoint spans yield separate runs; short spans fall below minRun") {
+    val s1 = (0 until 9).map(i => s"x$i")  // 9 tokens = 5 five-grams
+    val s2 = (0 until 8).map(i => s"y$i")  // 8 tokens = 4 five-grams (below minRun=5)
+    val a = doc(1L, s1 ++ (0 until 6).map(i => s"p$i") ++ s2)
+    val b = doc(2L, (0 until 3).map(i => s"q$i") ++ s1 ++ (0 until 4).map(i => s"r$i") ++ s2)
+    val docs = Seq(a, b).toDF("doc_id", "text")
+    val runs = Dedup.substringRuns(Dedup.posShingles(docs), minRun = 5, maxDf = 64, n = 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(runs === Seq((1L, 2L, 1L, 4L, 5L, 9L)))
+    // lowering minRun to 4 surfaces the second (disjoint) span too
+    val runs4 = Dedup.substringRuns(Dedup.posShingles(docs), minRun = 4, maxDf = 64, n = 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(runs4.size === 2 && runs4.contains((1L, 2L, 16L, 13L, 4L, 8L)))
+  }
+
+  test("stop-shingle occurrence cap drops boilerplate from candidate generation") {
+    val boiler = (0 until 12).map(i => s"h$i") // shared by ALL docs
+    val docs = (1L to 6L).map(id => doc(id, boiler ++ Seq(s"u$id"))).toDF("doc_id", "text")
+    // every boiler shingle occurs 6 times > maxDf=4 → no candidates at all
+    val capped = Dedup.substringRuns(Dedup.posShingles(docs), minRun = 5, maxDf = 4, n = 5)
+    assert(capped.count() === 0)
+    // raising the cap re-admits them: every one of the 15 doc pairs shares the span
+    val open = Dedup.substringRuns(Dedup.posShingles(docs), minRun = 5, maxDf = 64, n = 5)
+    assert(open.count() === 15)
+  }
+
+  test("corpus query returns rows and respects ordering contract") {
+    val out = Dedup.repeatedSubstrings(spark, sf).collect()
+    val key = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(key.toSeq === key.toSeq.sorted, "ordered by (a,b,start_a,start_b)")
+    assert(key.distinct.length === key.length, "output key is unique")
+  }
+}
