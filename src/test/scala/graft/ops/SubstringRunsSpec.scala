@@ -31,7 +31,8 @@ class SubstringRunsSpec extends SparkSuite {
     // lowering minRun to 4 surfaces the second (disjoint) span too
     val runs4 = Dedup.substringRuns(Dedup.posShingles(docs), minRun = 4, maxDf = 64, n = 5)
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
-    assert(runs4.size === 2 && runs4.contains((1L, 2L, 16L, 13L, 4L, 8L)))
+    // s2 in doc b sits after 3 q-tokens + 9 s1-tokens + 4 r-tokens = 1-based pos 17
+    assert(runs4.size === 2 && runs4.contains((1L, 2L, 16L, 17L, 4L, 8L)))
   }
 
   test("stop-shingle occurrence cap drops boilerplate from candidate generation") {
