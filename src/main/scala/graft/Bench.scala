@@ -82,7 +82,16 @@ object Bench {
     // was exactly this ambiguity. Three samples make a sustained-contention
     // run self-evident (all reps slow) vs a transient (min recovers).
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Experiment hooks (diagnosis runs, not the driver's round artifact):
+    // FILTER runs only queries whose name matches the regex — the bisection
+    // tool for "is q5 slow alone, or only after its 80 predecessors?" —
+    // and NOSTREAM skips the streaming sections so a filtered run measures
+    // just the queries under test. The driver sets neither.
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    val noStream = sys.env.contains("SPARK_GRAFT_BENCH_NOSTREAM")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
+      .map { case (name, fn) =>
       // the timed window is the query body ONLY — ScopedMetrics' post-body
       // listener drain (up to 30 s on a stalled bus) must not inflate the
       // query's seconds (a timed-out drain undercounts that query's MB
@@ -167,7 +176,8 @@ object Bench {
           s""""$key":{"err":"$msg"},"""
       }
     val streamingJson =
-      streamSection("streaming")(graft.obs.StreamingBench.cdcE2e(spark, sfDir)) +
+      if (noStream) ""
+      else streamSection("streaming")(graft.obs.StreamingBench.cdcE2e(spark, sfDir)) +
         streamSection("streaming_dedup")(graft.obs.StreamingBench.dedupE2e(spark, sfDir))
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""cpu_s":$cp,"gc_ms":$gcq,"jvm_gc_ms_total":$jvmGcMs,""" +

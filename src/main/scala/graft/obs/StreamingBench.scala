@@ -3,7 +3,7 @@ package graft.obs
 import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, concat, explode, expr, lit}
+import org.apache.spark.sql.functions.{col, concat, explode, expr, lit, shiftleft}
 
 import graft.attr.{Json, JsonParser}
 import graft.cdc.{CdcConfig, CdcPipeline}
@@ -129,12 +129,15 @@ object StreamingBench {
     // with a one-token text perturbation (r10 verdict: 500 docs total =
     // ~62/trigger measured TRIGGER OVERHEAD, not the probe join — sf0.1 now
     // drives 32k docs = ~4k/trigger, so steady_rows_per_sec is the shingle
-    // probe-join number a production admission stream would see).
+    // probe-join number a production admission stream would see). The rep
+    // lives in bits 40+ so replica ids can never alias corpus doc_ids
+    // (< 2^40) or each other — an additive 1e6 offset did, on any corpus
+    // with doc_id >= 1e6, silently deflating unique arrivals (r11 ADVICE).
     val docs = graft.ops.Tables.documents(spark, d).select(col("doc_id"), col("text"))
     docs.filter(col("doc_id") % 10 === 0)
       .withColumn("rep", explode(expr(s"sequence(0, ${arrivalCopies - 1})")))
       .select(
-        (col("doc_id") + col("rep").cast("long") * lit(1000000L)).as("doc_id"),
+        (col("doc_id") + shiftleft(col("rep").cast("long"), 40)).as("doc_id"),
         concat(col("text"), lit(" rep"), col("rep")).as("text"))
       .repartition(nFiles)
       .write.mode("overwrite").json(in)

@@ -32,6 +32,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object AnnStore {
 
+  /** Number of store BUILDS this JVM has performed (loads don't count).
+    * Test observable: AnnStoreSpec asserts a Memo-cleared "fresh session"
+    * serves its index without bumping this — i.e. it truly loaded.
+    */
+  private[graft] val buildCount = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Resolution order: `graft.ann.dir` system property (tests), then the
     * `SPARK_GRAFT_ANN_DIR` environment (deployments), then the JVM tmpdir.
     */
@@ -54,6 +60,7 @@ object AnnStore {
     val target = new Path(dir)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(dir, "_SUCCESS"))) {
+      buildCount.incrementAndGet()
       val tmp = new Path(dir + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       build.write.mode("overwrite").parquet(tmp.toString)
       fs.mkdirs(target.getParent)

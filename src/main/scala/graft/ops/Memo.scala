@@ -30,4 +30,15 @@ object Memo {
       _ => { lazy val v: AnyRef = f; () => v })
     cell().asInstanceOf[T]
   }
+
+  /** Drop every memo of `spark`'s application — the cache state a FRESH
+    * driver run starts from. Test hook (AnnStoreSpec simulates a new session
+    * against a warm [[AnnStore]] without forking a JVM); cached RDD blocks
+    * of dropped frames are left to LRU eviction, exactly as after a real
+    * driver exit.
+    */
+  private[graft] def clear(spark: SparkSession): Unit = {
+    val prefix = spark.sparkContext.applicationId + "|"
+    m.keySet.removeIf(_.startsWith(prefix))
+  }
 }
