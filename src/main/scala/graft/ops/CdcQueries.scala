@@ -155,7 +155,7 @@ object CdcQueries {
   def ttlExpiry(spark: SparkSession, sfDir: String): DataFrame = {
     val cutoffMs = 1705276800000L // 2024-01-15T00:00:00Z
     Tables.events(spark, sfDir)
-      .filter(Sessions.nanosToMsFloor < cutoffMs)
+      .filter(Sessions.msFloor(spark, sfDir) < cutoffMs)
       .select(col("event_id"), lit("REMOVE").as("operation"),
         concat(lit("USER#"), col("user_id")).as("pk"))
       .orderBy("event_id")

@@ -160,8 +160,8 @@ object Layout {
       // scratch layout, not a deliverable — removed on JVM exit
       val tmp = Scratch.dir("graft_zorder")
       val ev = Tables.events(spark, d)
-        .withColumn("ms", expr("(ts - pmod(ts, 1000000)) div 1000000"))
-        .select(col("user_id").as("u"), Sessions.nanosToDayIdx.as("v"),
+        .withColumn("ms", Sessions.msFloor(spark, d))
+        .select(col("user_id").as("u"), Sessions.dayIdx(spark, d).as("v"),
           // floor (not truncating) division at BOTH steps — the CLAUDE.md
           // negative-timestamp invariant; ms div 3600000 alone truncates
           // toward zero for pre-1970 rows

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** Event-stream windowing ops (the streaming-adjacent batch surface of
   * SURVEY.md §2.1): gap-based sessionization and per-type rollups. Time
-  * arithmetic is epoch-ms on the BIGINT nanos column (see [[Tables.events]]).
+  * arithmetic is epoch-ms on the raw BIGINT tick column, unit footer-detected
+  * (see [[Tables.events]] / [[Tables.tsTicksPerMs]]).
   */
 object Sessions {
 
@@ -17,7 +18,7 @@ object Sessions {
   def sessionize(spark: SparkSession, d: String, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     Tables.events(spark, d)
-      .withColumn("ms", Sessions.nanosToMsFloor)
+      .withColumn("ms", Sessions.msFloor(spark, d))
       .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
@@ -49,7 +50,7 @@ object Sessions {
     */
   def dailyCounts(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
-      .withColumn("ms", Sessions.nanosToMsFloor)
+      .withColumn("ms", Sessions.msFloor(spark, d))
       .withColumn("day_ms", ((col("ms") - pmod(col("ms"), lit(86400000L))) / 86400000L)
         .cast("long") * 86400000L)
       .groupBy(col("day_ms"), col("event_type"))
@@ -92,20 +93,31 @@ object Sessions {
       .orderBy(desc("n_events"), asc("user_id"))
       .limit(k)
 
-  /** Floor(ts / 10^6), nanos → epoch-ms, exact for NEGATIVE (pre-1970) nanos
-    * too: `pmod` is non-negative, so `ts - pmod(ts, 1e6)` is the largest
-    * multiple of 10^6 ≤ ts, and the remaining `div` is exact (no truncation
-    * bias, no double rounding — ts exceeds 2^53). Matches DuckDB `epoch_ms`.
+  /** Floor(ts / T), raw ticks → epoch-ms for T ticks per ms, exact for
+    * NEGATIVE (pre-1970) timestamps too: `pmod` is non-negative, so
+    * `ts - pmod(ts, T)` is the largest multiple of T ≤ ts, and the remaining
+    * `div` is exact (no truncation bias, no double rounding — nanos exceed
+    * 2^53). Matches DuckDB `epoch_ms` for every parquet timestamp unit.
     */
-  private[ops] def nanosToMsFloor: org.apache.spark.sql.Column =
-    expr("(ts - pmod(ts, 1000000)) div 1000000")
+  private[ops] def msFloorExpr(ticksPerMs: Long): org.apache.spark.sql.Column =
+    expr(s"(ts - pmod(ts, ${ticksPerMs}L)) div ${ticksPerMs}L")
 
-  /** Day index from the nanos column: ms div 86400000. The outer `div`
-    * TRUNCATES toward zero on both engines (Spark `div` == DuckDB `//`),
-    * so the two agree for all epochs; truncation == floor for the
-    * post-1970 event data. Shared so a future change to the nanos rule
-    * can't silently miss a hand-inlined copy.
+  /** Epoch-ms of `events.ts` with the tick unit read from the parquet footer
+    * ([[Tables.tsTicksPerMs]]) — the ONLY sanctioned ms derivation; the
+    * testdata's physical unit has changed across generations (nanos →
+    * micros), so no call site may hard-code a divisor.
     */
-  private[ops] def nanosToDayIdx: org.apache.spark.sql.Column =
-    expr("((ts - pmod(ts, 1000000)) div 1000000) div 86400000")
+  private[ops] def msFloor(spark: SparkSession, d: String): org.apache.spark.sql.Column =
+    msFloorExpr(Tables.tsTicksPerMs(spark, d))
+
+  /** Day index: ms div 86400000. The outer `div` TRUNCATES toward zero on
+    * both engines (Spark `div` == DuckDB `//`), so the two agree for all
+    * epochs; truncation == floor for the post-1970 event data. Shared so a
+    * future change to the unit rule can't silently miss a hand-inlined copy.
+    */
+  private[ops] def dayIdxExpr(ticksPerMs: Long): org.apache.spark.sql.Column =
+    expr(s"((ts - pmod(ts, ${ticksPerMs}L)) div ${ticksPerMs}L) div 86400000")
+
+  private[ops] def dayIdx(spark: SparkSession, d: String): org.apache.spark.sql.Column =
+    dayIdxExpr(Tables.tsTicksPerMs(spark, d))
 }

@@ -15,23 +15,26 @@ object Tables {
   def nation(spark: SparkSession, d: String): DataFrame = apply(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = apply(spark, d, "region")
   def part(spark: SparkSession, d: String): DataFrame = apply(spark, d, "part")
-  /** `events.ts` is parquet TIMESTAMP(NANOS); schema INFERENCE rejects that
-    * annotation, so the read supplies an explicit schema with `ts: LONG`
-    * (epoch nanos) — the EXPLICIT SCHEMA alone is the whole mechanism: the
-    * scan-time updater decodes NANOS→long whenever the requested Spark type
-    * is LongType, no conf needed (verified empirically; a per-read
-    * `nanosAsLong` option is inert because the scan's hadoopConf overwrites
-    * that key from the session conf). No session conf is mutated, so
-    * concurrent readers are untouched (spec'd in OpsSpec) — and skipping
-    * footer-sampling inference is the right posture at scale anyway.
-    * All time arithmetic on events therefore uses epoch milliseconds via
-    * floor division `(ts - pmod(ts, 1000000)) div 1000000` (see
-    * [[Sessions.nanosToMsFloor]]), which agrees exactly with DuckDB's
-    * `epoch_ms(ts)` for negative (pre-1970) nanos too.
+  /** `events.ts` is a parquet TIMESTAMP whose unit has CHANGED across
+    * testdata generations (NANOS through round 13, MICROS from round 14) —
+    * so the unit is read from the file footer, never assumed. The read
+    * itself supplies an explicit schema with `ts: LONG`: the scan-time
+    * updater hands over the RAW int64 whenever the requested Spark type is
+    * LongType, regardless of the timestamp annotation, no conf needed
+    * (verified empirically; a per-read `nanosAsLong` option is inert because
+    * the scan's hadoopConf overwrites that key from the session conf). No
+    * session conf is mutated, so concurrent readers are untouched (spec'd in
+    * OpsSpec) — and skipping footer-sampling inference is the right posture
+    * at scale anyway.
+    * All time arithmetic on events uses epoch milliseconds via unit-aware
+    * floor division `(ts - pmod(ts, T)) div T` with T = [[tsTicksPerMs]]
+    * (see [[Sessions.msFloor]]), which agrees exactly with DuckDB's
+    * `epoch_ms(ts)` — DuckDB decodes the annotation natively, so the oracle
+    * SQL is unit-independent by construction.
     */
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) decoded as epoch nanos
+    StructField("ts", LongType), // raw int64 ticks; unit via tsTicksPerMs
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -41,6 +44,43 @@ object Tables {
     spark.read
       .schema(eventsSchema)
       .parquet(s"$d/events.parquet")
+
+  /** Ticks of `events.ts` per millisecond (NANOS → 1e6, MICROS → 1e3,
+    * MILLIS → 1), read once per path from the parquet FOOTER's logical-type
+    * annotation and cached for the JVM. Footer-only — no data pages are
+    * touched, so this is O(1) per table at any scale. A raw INT64 column
+    * (no timestamp annotation) falls back to the original nanos contract.
+    */
+  def tsTicksPerMs(spark: SparkSession, d: String): Long =
+    tsUnitCache.computeIfAbsent(s"$d/events.parquet", { path =>
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).map(_.getPath)
+            .filter(p => !p.getName.startsWith("_")).minBy(_.getName.toString)
+        else root
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      val ticks: Long =
+        try {
+          reader.getFooter.getFileMetaData.getSchema.getType(Seq("ts"): _*)
+            .asPrimitiveType().getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.NANOS  => 1000000L
+                case LogicalTypeAnnotation.TimeUnit.MICROS => 1000L
+                case LogicalTypeAnnotation.TimeUnit.MILLIS => 1L
+              }
+            case _ => 1000000L
+          }
+        } finally reader.close()
+      java.lang.Long.valueOf(ticks)
+    }).longValue()
+  private val tsUnitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   def documents(spark: SparkSession, d: String): DataFrame = apply(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = apply(spark, d, "embeddings")
 }

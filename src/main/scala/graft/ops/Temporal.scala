@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.DecimalType
   * materialization to the subscriber; these operators are that subscriber).
   *
   * All time arithmetic is epoch-ms on the BIGINT nanos column (see
-  * [[Tables.events]] / [[Sessions.nanosToMsFloor]]).
+  * [[Tables.events]] / [[Sessions.msFloor]]).
   */
 object Temporal {
 
@@ -31,7 +31,7 @@ object Temporal {
   def scd2Dimension(spark: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     Tables.events(spark, d)
-      .withColumn("ms", Sessions.nanosToMsFloor)
+      .withColumn("ms", Sessions.msFloor(spark, d))
       .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
       .withColumn("valid_to_ms", lead(col("ms"), 1).over(byUser))
@@ -57,7 +57,7 @@ object Temporal {
     // it (Memo, single-query) keeps the raw log to ONE scan+aggregation.
     val daily = Memo(spark, s"gapfill_daily|$d") {
       Tables.events(spark, d)
-        .withColumn("day_idx", Sessions.nanosToDayIdx)
+        .withColumn("day_idx", Sessions.dayIdx(spark, d))
         .groupBy(col("event_type"), col("day_idx"))
         .agg(count(lit(1)).as("n"),
           Exact.sumLong(Exact.c2(col("value"))).as("total_value_c2"))
@@ -86,7 +86,7 @@ object Temporal {
     val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
       .rangeBetween(-6, Window.currentRow)
     Tables.events(spark, d)
-      .withColumn("day_idx", Sessions.nanosToDayIdx)
+      .withColumn("day_idx", Sessions.dayIdx(spark, d))
       .groupBy(col("event_type"), col("day_idx"))
       .agg(Exact.sumLong(Exact.c2(col("value"))).as("day_c2"))
       .withColumn("rolling_7d_c2",
@@ -109,15 +109,16 @@ object Temporal {
                    t1Ms: Long = 1705276800000L, // 2024-01-15T00:00Z
                    t2Ms: Long = 1706572800000L, // 2024-01-30T00:00Z
                    ttlMs: Long = 7L * 86400000L): DataFrame = {
+    val ticks = Tables.tsTicksPerMs(spark, d)
     def snapshotAt(tMs: Long): DataFrame = {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
-      // The liveness window is expressed directly on the RAW nanos column,
-      // not on the derived ms: floor(ts/1e6) > m  ⟺  ts > m*1e6 + 999999
+      // The liveness window is expressed directly on the RAW tick column,
+      // not on the derived ms: floor(ts/T) > m  ⟺  ts > m*T + (T-1)
       // (exact, negatives included), and a plain ts range predicate reaches
       // the parquet scan's PushedFilters — zone maps then skip every row
       // group outside the 7-day window instead of scanning all history.
-      val lo = (tMs - ttlMs) * 1000000L + 999999L
-      val hi = tMs * 1000000L + 999999L
+      val lo = (tMs - ttlMs) * ticks + (ticks - 1)
+      val hi = tMs * ticks + (ticks - 1)
       Tables.events(spark, d)
         .filter(col("ts") > lo && col("ts") <= hi)
         .withColumn("rn", row_number().over(byUser))
@@ -148,7 +149,7 @@ object Temporal {
     def firstOf(t: String): Column =
       min(when(col("event_type") === t, col("ms"))).as(s"t_$t")
     val perUser = Tables.events(spark, d)
-      .withColumn("ms", Sessions.nanosToMsFloor)
+      .withColumn("ms", Sessions.msFloor(spark, d))
       .groupBy(col("user_id"))
       .agg(firstOf(stages.head), stages.tail.map(firstOf): _*)
     // reached(n) = reached(n-1) AND first(n) strictly after first(n-1);

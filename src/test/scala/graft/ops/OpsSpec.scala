@@ -444,14 +444,32 @@ class OpsSpec extends SparkSuite {
     assert(sql == jvm)
   }
 
-  test("nanosToMsFloor floors negative (pre-1970) nanos like DuckDB epoch_ms") {
+  test("msFloorExpr floors negative (pre-1970) ticks like DuckDB epoch_ms, per unit") {
     import spark.implicits._
-    val nanos = Seq(-1L, -999999L, -1000000L, -1000001L, 0L, 1L, 999999L,
+    val ticks = Seq(-1L, -999999L, -1000000L, -1000001L, 0L, 1L, 999999L,
       1705276800000000000L, -1705276800000000001L)
-    val got = nanos.toDF("ts").select(Sessions.nanosToMsFloor.as("ms"))
-      .as[Long].collect().toSeq
-    val expected = nanos.map(Math.floorDiv(_, 1000000L))
-    assert(got == expected, s"$got != $expected")
+    for (t <- Seq(1000000L, 1000L, 1L)) {
+      val got = ticks.toDF("ts").select(Sessions.msFloorExpr(t).as("ms"))
+        .as[Long].collect().toSeq
+      val expected = ticks.map(Math.floorDiv(_, t))
+      assert(got == expected, s"unit=$t: $got != $expected")
+    }
+  }
+
+  test("tsTicksPerMs: footer unit turns raw ts into sane epoch-ms") {
+    // The driver has regenerated testdata with different ts units (NANOS
+    // through round 13, MICROS from round 14). Whatever the current file
+    // says, the detected unit must map every event into a plausible epoch
+    // window — the failure mode being guarded is a silent 1000× skew that
+    // empties every time-window query.
+    import spark.implicits._
+    val t = Tables.tsTicksPerMs(spark, sf)
+    assert(Set(1L, 1000L, 1000000L).contains(t), s"unexpected unit $t")
+    val Seq((lo, hi)) = Tables.events(spark, sf)
+      .select(Sessions.msFloor(spark, sf).as("ms"))
+      .agg(min($"ms"), max($"ms")).as[(Long, Long)].collect().toSeq
+    val y2000 = 946684800000L; val y2100 = 4102444800000L
+    assert(lo >= y2000 && hi <= y2100, s"ms range [$lo,$hi] out of epoch bounds")
   }
 
   test("plan: range join executes as an equi-join on (key, bucket), not NLJ") {

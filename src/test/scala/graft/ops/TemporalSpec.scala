@@ -52,7 +52,7 @@ class TemporalSpec extends SparkSuite {
         if (r.isNullAt(2)) None else Some(r.getLong(2)),
         if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
     val events = Tables.events(spark, sf)
-      .select(col("user_id"), col("event_id"), Sessions.nanosToMsFloor.as("ms"))
+      .select(col("user_id"), col("event_id"), Sessions.msFloor(spark, sf).as("ms"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     def snap(t: Long): Map[Long, Long] = events
       .filter(e => e._3 > t - 7L * 86400000L && e._3 <= t)
