@@ -45,12 +45,70 @@ class AnnStoreSpec extends SparkSuite {
     assert(r2.toSeq == r1.toSeq)
   }
 
+  test("publish loses a race gracefully: no nesting inside an existing store") {
+    // ADVICE r13 (medium): FileSystem.rename into an existing directory
+    // MOVES the tmp dir inside it (returning true) — the loser's dataset
+    // would nest under the winner's and corrupt every later read. publish()
+    // must detect the existing target, delete its own attempt, and report
+    // the loss.
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_race").toString
+    val target = new Path(s"$base/store")
+    val fs = target.getFileSystem(conf)
+    fs.mkdirs(target)
+    val marker = new Path(target, "_SUCCESS")
+    fs.create(marker).close() // the winner's published store
+    val tmp = new Path(s"$base/store.build-loser")
+    fs.mkdirs(tmp)
+    fs.create(new Path(tmp, "part-0.parquet")).close()
+
+    assert(!AnnStore.publish(fs, conf, tmp, target), "must report the lost race")
+    assert(!fs.exists(tmp), "loser's tmp must be deleted")
+    assert(fs.exists(marker), "winner's store must be untouched")
+    val nested = fs.listStatus(target).map(_.getPath.getName).toSet
+    assert(nested == Set("_SUCCESS"), s"nothing may nest inside the store: $nested")
+  }
+
+  test("stale .build-* orphans are swept on load; corpus fingerprint keys the path") {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+
+    // fingerprint: metadata-derived, so touching the corpus file's mtime
+    // must move the store path (ADVICE r13: a regenerated corpus at the
+    // same path must never be served the old index)
+    val corpus = java.nio.file.Files.createTempDirectory("graft_ann_fp")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+      corpus.resolve("embeddings.parquet"))
+    val p1 = AnnStore.path(spark, "t-v1", corpus.toString, "x")
+    java.nio.file.Files.setLastModifiedTime(corpus.resolve("embeddings.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(12345678L))
+    val p2 = AnnStore.path(spark, "t-v1", corpus.toString, "x")
+    assert(p1 != p2, "corpus fingerprint must change with the corpus data")
+
+    // orphan sweep: an abandoned tmp older than the TTL disappears on the
+    // next successful loadOrBuild of the same target; a FRESH one survives
+    // (it may belong to a live builder)
+    val dir = AnnStore.path(spark, "t-v1", corpus.toString, "sweep")
+    val fs = new Path(dir).getFileSystem(conf)
+    val stale = new Path(dir + ".build-stale")
+    val fresh = new Path(dir + ".build-fresh")
+    fs.mkdirs(stale); fs.mkdirs(fresh)
+    fs.setTimes(stale, System.currentTimeMillis() - AnnStore.OrphanTtlMs - 60000L, -1)
+    AnnStore.loadOrBuild(spark, dir) {
+      spark.range(3).toDF("id")
+    }.collect()
+    assert(!fs.exists(stale), "stale orphan must be swept")
+    assert(fs.exists(fresh), "fresh tmp may belong to a live builder — keep it")
+  }
+
   test("store round-trip preserves the LSH index rows exactly") {
     // the frame annTopK consumes vs the raw parquet it was published from:
     // identical row multisets, embedding floats compared bit-for-bit
     val idx = Similarity.lshIndex(spark, sf, nTables = 6)
     val stored = spark.read.parquet(
-      AnnStore.path("lsh-v1", sf, "6-6-2"))
+      AnnStore.path(spark, Similarity.LshKind, sf, "6-6-2"))
     def key(r: org.apache.spark.sql.Row): (Long, Int, Int, Long, String, Long) = (
       r.getAs[Long]("vec_id"), r.getAs[Int]("table"), r.getAs[Int]("probe"),
       r.getAs[Long]("bucket"),
