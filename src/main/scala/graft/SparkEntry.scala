@@ -176,6 +176,8 @@ object SparkEntry {
     // run lengths of verbatim shared >=14-token spans, gaps-and-islands on
     // the positional shingle index
     "repeated_substrings" -> ((s, d) => Dedup.repeatedSubstrings(s, d)),
+    // remediation: cut every flagged run from the higher-id doc, md5-certified
+    "substring_dedup_clean" -> ((s, d) => Dedup.substringClean(s, d)),
     "eval_contamination" -> ((s, d) => Dedup.evalContamination(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     // incremental form of dedup_ngram_jaccard: new CDC batch probed against
@@ -201,6 +203,8 @@ object SparkEntry {
     // at hamming<=3, so DuckDB's brute-force all-pairs certifies the plan
     "image_phash" -> ((s, d) => graft.multimodal.ImageDedup.imagePhash(s, d)),
     "image_dedup_pairs" -> ((s, d) => graft.multimodal.ImageDedup.imageDedupPairs(s, d)),
+    // pair -> cluster -> canonical: same min-label CC path as dedup_clusters
+    "image_dedup_clusters" -> ((s, d) => graft.multimodal.ImageDedup.imageDedupClusters(s, d)),
     // full-payload decode evidence: sum over EVERY PCM sample
     "audio_sample_stats" -> ((s, d) => graft.multimodal.Audio.audioSampleStats(s, d)),
     // real JDK multi-page TIFF decode (the "video" modality): frame counts,
@@ -1240,6 +1244,71 @@ object SparkEntry {
         |FROM isl GROUP BY a, b, diag, island
         |HAVING count(*) >= 10
         |ORDER BY a, b, start_a, start_b""".stripMargin,
+    "substring_dedup_clean" ->
+      """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |ps AS (
+        |  SELECT doc_id, i AS pos,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM docs WHERE len(w) >= 5)
+        |),
+        |ok AS (SELECT shingle FROM ps GROUP BY 1 HAVING count(*) BETWEEN 2 AND 64),
+        |m AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+        |  FROM ps x JOIN ps y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  JOIN ok ON x.shingle = ok.shingle
+        |),
+        |isl AS (
+        |  SELECT a, b, pa, pb, pa - pb AS diag,
+        |    pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS island
+        |  FROM m
+        |),
+        |runs AS (
+        |  SELECT b, min(pb) AS start_b, count(*) + 4 AS run_tokens
+        |  FROM isl GROUP BY a, b, diag, island HAVING count(*) >= 10
+        |),
+        |spans AS (SELECT b AS doc_id, start_b AS s, start_b + run_tokens - 1 AS e FROM runs),
+        |ms AS (
+        |  SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mep
+        |  FROM spans
+        |),
+        |isl2 AS (
+        |  SELECT doc_id, s, e, sum(CASE WHEN mep IS NULL OR s > mep + 1 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM ms
+        |),
+        |mg AS (SELECT doc_id, island, min(s) AS s, max(e) AS e FROM isl2 GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS tokens_removed
+        |  FROM mg GROUP BY 1
+        |),
+        |pos AS (
+        |  SELECT d.doc_id, len(d.w) AS n_tokens, unnest(range(1, len(d.w) + 1)) AS p
+        |  FROM docs d JOIN agg USING (doc_id)
+        |),
+        |keep AS (
+        |  SELECT pos.doc_id, p FROM pos
+        |  LEFT JOIN mg ON pos.doc_id = mg.doc_id AND p BETWEEN mg.s AND mg.e
+        |  WHERE mg.doc_id IS NULL
+        |),
+        |-- LEFT JOIN so a FULLY-removed doc still emits (0 kept, md5(''))
+        |clean AS (
+        |  SELECT a.doc_id, len(d.w) AS n_tokens, coalesce(u.n_clean, 0) AS n_clean,
+        |    coalesce(u.ct, '') AS ct
+        |  FROM agg a JOIN docs d ON a.doc_id = d.doc_id
+        |  LEFT JOIN (
+        |    SELECT k.doc_id, count(*) AS n_clean,
+        |      string_agg(d2.w[k.p], ' ' ORDER BY k.p) AS ct
+        |    FROM keep k JOIN docs d2 ON k.doc_id = d2.doc_id GROUP BY k.doc_id
+        |  ) u ON a.doc_id = u.doc_id
+        |)
+        |SELECT c.doc_id, CAST(c.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(a.n_spans AS BIGINT) AS n_spans,
+        |  CAST(a.tokens_removed AS BIGINT) AS tokens_removed,
+        |  CAST(c.n_clean AS BIGINT) AS n_tokens_clean,
+        |  md5(c.ct) AS clean_md5
+        |FROM clean c JOIN agg a ON c.doc_id = a.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
     "incremental_dedup" ->
       """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |sh AS (
@@ -1627,6 +1696,48 @@ object SparkEntry {
         |FROM fp x JOIN fp y ON x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
         |ORDER BY a, b""".stripMargin,
+    "image_dedup_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, doc_id // 4 AS seed, doc_id % 4 AS v FROM documents),
+        |dm AS (SELECT doc_id, v, seed, 16 + seed % 32 AS w, 8 + seed % 16 AS h FROM d),
+        |g AS (SELECT doc_id, v, seed, w, h, unnest(range(0, 64)) AS b FROM dm),
+        |sc AS (SELECT doc_id, v, (((b % 8) * w) // 8) AS sx, (((b // 8) * h) // 8) AS sy,
+        |       seed, b FROM g),
+        |fx AS (
+        |  SELECT doc_id, v, b,
+        |    ((seed * 1103515245) + sx * 65537 + sy * 257) % 16777216 AS f1,
+        |    ((seed * 2654435761) + sx * 257 + sy * 65537) % 16777216 AS f2
+        |  FROM sc
+        |),
+        |px AS (SELECT doc_id, v, b, (f1 * f2 + f1 + f2) % 16777216 AS p FROM fx),
+        |gr AS (SELECT doc_id, b, CASE WHEN b < v THEN 765
+        |  ELSE (p // 65536) + ((p // 256) % 256) + (p % 256) END AS gray FROM px),
+        |t AS (SELECT doc_id, SUM(gray) AS total FROM gr GROUP BY doc_id),
+        |fp AS (
+        |  SELECT gr.doc_id,
+        |    SUM(CASE WHEN gray * 64 > total AND b >= 32
+        |             THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS hi,
+        |    SUM(CASE WHEN gray * 64 > total AND b < 32
+        |             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS lo
+        |  FROM gr JOIN t USING (doc_id) GROUP BY gr.doc_id
+        |),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
+        |),
+        |edges AS (
+        |  SELECT a AS node, b AS nbr FROM pairs
+        |  UNION SELECT b, a FROM pairs
+        |  UNION SELECT a, a FROM pairs
+        |  UNION SELECT b, b FROM pairs
+        |),
+        |reach AS (
+        |  SELECT node, nbr AS anc FROM edges
+        |  UNION
+        |  SELECT r.node, e.nbr FROM reach r JOIN edges e ON r.anc = e.node
+        |)
+        |SELECT node AS doc_id, CAST(min(anc) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "video_meta" ->
       """SELECT doc_id,
         |  CAST(4 + doc_id % 6 AS BIGINT) AS n_frames,

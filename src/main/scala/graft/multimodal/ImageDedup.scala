@@ -161,4 +161,22 @@ object ImageDedup {
       .select(col("doc_id").as("id"), col("fp"))
     Dedup.hammingPairs64(fps, maxHamming, maxBucket).orderBy("a", "b")
   }
+
+  /** Oracled query: pair → CLUSTER composition for the image family —
+    * connected components over the perceptual pair graph via the shared
+    * [[Dedup.clusterPairs]] min-label machinery, exactly the path text
+    * dedup takes (`dedup_clusters`). Pairs alone under-dedup transitive
+    * variant chains: v0~v1 and v1~v2 can both hold while (v0, v2) drifts
+    * past the hamming bound, and canonical selection must still keep ONE
+    * representative for the whole chain. Output is (doc_id, cluster_id =
+    * min doc_id of the component) for every image that appears in at least
+    * one pair; the component label is the canonical survivor.
+    */
+  def imageDedupClusters(
+      spark: SparkSession,
+      d: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 4096): DataFrame =
+    Dedup.clusterPairs(
+      imageDedupPairs(spark, d, maxHamming, maxBucket).select(col("a"), col("b")))
 }

@@ -178,6 +178,61 @@ object Dedup {
       .orderBy("a", "b", "start_a", "start_b")
   }
 
+  /** Remediation half of [[repeatedSubstrings]] (Lee et al. 2022 direction:
+    * after FINDING verbatim cross-doc substrings, CUT them, keeping one
+    * copy): every flagged run is removed from the HIGHER-id doc of its pair
+    * — the lower id keeps the canonical copy, so each duplicated span
+    * survives exactly once corpus-wide per pair chain. Overlapping and
+    * adjacent cuts are coalesced per doc (one gaps-and-islands window over
+    * the tiny span set), and the cleaned text is re-emitted with its md5 so
+    * the oracle certifies the token-level reconstruction byte-for-byte.
+    *
+    * Scale shape: the span set is the run-mining output (orders of
+    * magnitude smaller than the corpus); the merge is one window on
+    * (doc_id); the rewrite is a per-row higher-order expression over the
+    * token array — no explode, no extra shuffle beyond the mining itself.
+    * Output covers AFFECTED docs only; unaffected docs pass through any
+    * real pipeline untouched.
+    *
+    * @return (doc_id, n_tokens, n_spans, tokens_removed, n_tokens_clean,
+    *         clean_md5), unique on doc_id
+    */
+  def substringClean(spark: SparkSession, d: String,
+      minRun: Int = 10, maxDf: Int = 64, n: Int = 5): DataFrame =
+    substringCleanOf(Tables.documents(spark, d),
+      repeatedSubstrings(spark, d, minRun, maxDf, n))
+
+  /** Frame-parameterized core of [[substringClean]] (spec surface). */
+  def substringCleanOf(docs: DataFrame, runs: DataFrame): DataFrame = {
+    val spans = runs.select(col("b").as("doc_id"), col("start_b").as("s"),
+      (col("start_b") + col("run_tokens") - 1).as("e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val merged = spans
+      .withColumn("mep", max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nw",
+        when(col("mep").isNull || col("s") > col("mep") + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("nw")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val agg = merged.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("e") - col("s") + lit(1L)).as("tokens_removed"),
+      collect_list(struct(col("s"), col("e"))).as("spans"))
+    docs.select(col("doc_id"), col("text"))
+      .join(agg, Seq("doc_id"))
+      .withColumn("w", split(trim(col("text")), " "))
+      .withColumn("kept", expr(
+        "transform(filter(transform(w, (t, i) -> named_struct('t', t, 'p', cast(i + 1 as bigint))), " +
+          "s -> NOT exists(spans, r -> s.p >= r.s AND s.p <= r.e)), s -> s.t)"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        col("n_spans"),
+        col("tokens_removed"),
+        size(col("kept")).cast("long").as("n_tokens_clean"),
+        md5(array_join(col("kept"), " ").cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Eval-set CONTAMINATION audit — the pre-training hygiene step (GPT-3
     * appendix C shape): flag every training document sharing at least one
     * word 5-gram with the held-out eval slice, with the containment ratio

@@ -42,6 +42,29 @@ class ImageDedupSpec extends SparkSuite {
     assert(brute.nonEmpty, "near-dup corpus must plant at least one pair")
   }
 
+  test("imageDedupClusters equals union-find over the mined pairs") {
+    val pairs = ImageDedup.imageDedupPairs(spark, sf)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSeq
+    // independent reference: driver union-find with min-id roots
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val want = parent.keys.map(n => (n, find(n))).toSeq.sorted
+    val got = ImageDedup.imageDedupClusters(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == want)
+    // the composition is doing real work: clusters are transitive closures,
+    // so every cluster label is <= all members and some cluster has >= 2 docs
+    assert(want.nonEmpty && want.forall { case (n, c) => c <= n })
+    assert(want.groupBy(_._2).exists(_._2.size >= 2))
+  }
+
   test("within-group variants pair up; corrupt blob takes the dead-letter lane") {
     // v=0 vs v=1 differ by one whitened sampled pixel: hamming is small by
     // construction (one forced bit + threshold drift), so group (0,1) of the

@@ -46,6 +46,38 @@ class SubstringRunsSpec extends SparkSuite {
     assert(open.count() === 15)
   }
 
+  test("substringCleanOf cuts the planted span from the higher-id doc only") {
+    val shared = (0 until 15).map(i => s"s$i")
+    val aWords = (0 until 20).map(i => s"a$i") ++ shared ++ (0 until 10).map(i => s"b$i")
+    val bWords = (0 until 5).map(i => s"c$i") ++ shared ++ (0 until 7).map(i => s"d$i")
+    val docs = Seq(doc(1L, aWords), doc(2L, bWords)).toDF("doc_id", "text")
+    val runs = Dedup.substringRuns(Dedup.posShingles(docs), minRun = 5, maxDf = 64, n = 5)
+    val out = Dedup.substringCleanOf(docs, runs)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    // only doc 2 (the higher id) is touched; the span (15 tokens at pos 6..20)
+    // is removed whole, doc 1 keeps the canonical copy
+    val expectClean = ((0 until 5).map(i => s"c$i") ++ (0 until 7).map(i => s"d$i")).mkString(" ")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expectClean.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out === Seq((2L, 27L, 1L, 15L, 12L, md)))
+  }
+
+  test("substringCleanOf coalesces overlapping spans from different partners") {
+    // doc 3 shares tokens 1..13 with doc 1 and tokens 5..17 with doc 2:
+    // two flagged spans overlap in doc 3 and must merge into ONE cut 1..17
+    val core = (0 until 17).map(i => s"z$i")
+    val d1 = doc(1L, core.take(13) ++ (0 until 6).map(i => s"e$i"))
+    val d2 = doc(2L, (0 until 6).map(i => s"f$i") ++ core.drop(4))
+    val d3 = doc(3L, core ++ (0 until 5).map(i => s"g$i"))
+    val docs = Seq(d1, d2, d3).toDF("doc_id", "text")
+    val runs = Dedup.substringRuns(Dedup.posShingles(docs), minRun = 5, maxDf = 64, n = 5)
+    val out = Dedup.substringCleanOf(docs, runs)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    val row3 = out.find(_._1 == 3L).get
+    assert(row3._3 == 1L, s"overlapping spans must coalesce to one: $row3")
+    assert(row3._4 == 17L && row3._5 == row3._2 - 17L)
+  }
+
   test("corpus query returns rows and respects ordering contract") {
     val out = Dedup.repeatedSubstrings(spark, sf).collect()
     val key = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
