@@ -21,6 +21,21 @@ import org.apache.spark.sql.SparkSession
   * run while writing nothing.
   */
 object Bench {
+
+  /** 1-minute host load average, snapshotted at bench start and end into
+    * the artifact. Co-tenant evidence: a run where every query slows
+    * uniformly, wall >> cpu, and loadavg >> this JVM's core budget is the
+    * BOX, not a plan regression — the r10/r11/r13 weak clusters took three
+    * rounds to attribute because the artifact carried no host signal
+    * (docs/TUNING.md, "Bench variance" postmortem).
+    */
+  private def loadAvg(): Double =
+    try {
+      val v = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      math.rint(v * 100) / 100.0
+    } catch { case NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default 32 per the bench contract (local[32] on a 32-core box). The
@@ -28,6 +43,7 @@ object Bench {
     // machine — r2's variant_props "11.1s outlier" was 1.3s of CPU work
     // spread over 4 cores. Env override kept for experiments.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val load0 = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -181,6 +197,7 @@ object Bench {
         streamSection("streaming_dedup")(graft.obs.StreamingBench.dedupE2e(spark, sfDir))
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""cpu_s":$cp,"gc_ms":$gcq,"jvm_gc_ms_total":$jvmGcMs,""" +
+      s""""loadavg_start":$load0,"loadavg_end":${loadAvg()},""" +
       s""""shuffle_write_mb":$sh,"spill_mb":$sp,$coldJson$streamingJson"sf":"$sfDir"}"""
     val outPath = if (args.nonEmpty) args(0) else "BENCH.json"
     Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
