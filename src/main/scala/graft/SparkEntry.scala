@@ -30,7 +30,7 @@ object SparkEntry {
     "zorder_layout",
     "approx_event_stats", "approx_event_stats_check",
     "dedup_minhash_lsh", "dedup_simhash", "simhash_pairs",
-    "ann_topk_lsh", "ann_topk_lsh_recall",
+    "ann_topk_lsh", "ann_topk_lsh_recall", "incremental_ann",
     "ivf_topk", "ivf_topk_recall",
     "dedup_embedding",
     // the BPE merge loop has no SQL form (BpeSpec carries the parity gate)
@@ -219,6 +219,9 @@ object SparkEntry {
     // quality evidence (recall_e6 vs exact brute force on the bounded query
     // set); their bench time includes that brute-force pass by design.
     "ann_topk_lsh" -> ((s, d) => Similarity.annTopK(s, d, recallQueries = 0)), // approx: rows-only
+    // incremental probe of a new vector batch vs the persisted old-slice
+    // index (approx: rows-only; recall_e6 evidence on the panel)
+    "incremental_ann" -> ((s, d) => Similarity.incrementalAnnTopK(s, d)),
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, withRecallCol = false)), // approx: rows-only
     "ann_topk_lsh_recall" -> ((s, d) => Similarity.annTopK(s, d)), // approx: rows-only
     "ivf_topk_recall" -> ((s, d) => Similarity.ivfTopK(s, d)), // approx: rows-only

@@ -141,6 +141,51 @@ class OpsSpec extends SparkSuite {
     assert(unmeasured.forall(_.isNullAt(0)))
   }
 
+  test("incremental ANN: slice discipline, exact rerank parity, panel recall") {
+    import spark.implicits._
+    val out = Similarity.incrementalAnnTopK(spark, sf).collect()
+    assert(out.nonEmpty)
+    // queries come from the NEW batch, candidates only from the OLD corpus
+    out.foreach { r =>
+      assert(r.getLong(0) % 10 == 0, s"qid must be new-batch: $r")
+      assert(r.getLong(2) % 10 != 0, s"cid must be old-corpus: $r")
+    }
+    // exact rerank parity: the reported sim is the exact cosine of the raw
+    // vectors (the probe approximates candidate GENERATION, never the score)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    out.foreach { r =>
+      val want = cos(emb(r.getLong(0)), emb(r.getLong(2)))
+      assert(math.abs(r.getDouble(3) - want) <= 1e-6, s"sim mismatch at $r")
+    }
+    // recall evidence: present exactly on the panel (first 8 new ids),
+    // NULL beyond it, and equal to the recall computed here from brute force
+    val old = emb.filter(_._1 % 10 != 0)
+    val got = out.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { r =>
+      val q = r.getLong(0)
+      if (q < 80) {
+        val exact = old.toSeq.map { case (c, e) => (c, cos(emb(q), e)) }
+          .sortBy { case (c, s) => (-s, c) }.take(5).map(_._1).toSet
+        val computed = math.floor(exact.count(got(q).contains).toDouble * 1e6 / 5.0).toLong
+        assert(!r.isNullAt(4) && r.getLong(4) == computed,
+          s"qid $q: exported ${r.get(4)} != computed $computed")
+      } else assert(r.isNullAt(4), s"non-panel qid $q must carry NULL recall")
+    }
+  }
+
   test("ivf_topk recall vs brute force; exported recall_e6 matches") {
     val exact = Similarity.bruteForceTopK(spark, sf, nQueries = 8, k = 5)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
