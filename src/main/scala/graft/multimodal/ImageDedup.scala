@@ -155,12 +155,22 @@ object ImageDedup {
       spark: SparkSession,
       d: String,
       maxHamming: Int = 3,
-      maxBucket: Int = 4096): DataFrame = {
-    val fps = phashDs(dedupImages(spark, d))
-      .filter(col("decode_error").isNull)
-      .select(col("doc_id").as("id"), col("fp"))
-    Dedup.hammingPairs64(fps, maxHamming, maxBucket).orderBy("a", "b")
-  }
+      maxBucket: Int = 4096): DataFrame =
+    minedPairs(spark, d, maxHamming, maxBucket).orderBy("a", "b")
+
+  /** The mined pair set, session-memoized: [[imageDedupPairs]] and
+    * [[imageDedupClusters]] are views over the same decode + banding work,
+    * which should run once per session, not once per consumer. Unordered —
+    * each consumer applies its own contract.
+    */
+  private def minedPairs(
+      spark: SparkSession, d: String, maxHamming: Int, maxBucket: Int): DataFrame =
+    Memo(spark, s"imagepairs|$d|$maxHamming|$maxBucket") {
+      val fps = phashDs(dedupImages(spark, d))
+        .filter(col("decode_error").isNull)
+        .select(col("doc_id").as("id"), col("fp"))
+      Dedup.hammingPairs64(fps, maxHamming, maxBucket).persist()
+    }
 
   /** Oracled query: pair → CLUSTER composition for the image family —
     * connected components over the perceptual pair graph via the shared
@@ -178,5 +188,5 @@ object ImageDedup {
       maxHamming: Int = 3,
       maxBucket: Int = 4096): DataFrame =
     Dedup.clusterPairs(
-      imageDedupPairs(spark, d, maxHamming, maxBucket).select(col("a"), col("b")))
+      minedPairs(spark, d, maxHamming, maxBucket).select(col("a"), col("b")))
 }

@@ -32,6 +32,7 @@ object Warm {
     // the CDC synth frames, charging its creation to image_meta would time
     // input generation, not the decode operator
     graft.multimodal.Images.images(spark, d).count()
+    graft.multimodal.ImageDedup.dedupImages(spark, d).count() // pairs + clusters
     graft.multimodal.Audio.audio(spark, d).count()
     graft.multimodal.Video.videos(spark, d).count()
     // BPE merge learning (word-count agg + driver loop) — ingest-time
