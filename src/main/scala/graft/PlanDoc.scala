@@ -161,7 +161,26 @@ object PlanDoc {
       "once, the |V|-row rank table broadcast per round so each round is one partial-sum " +
       "exchange keyed by destination, every round persisted (lazy chains re-execute all " +
       "predecessors per action). Integer e9 ranks with floor-division contributions keep the " +
-      "iteration bit-exact cross-engine."))
+      "iteration bit-exact cross-engine."),
+    "repeated_substrings" -> ("Exact verbatim-run mining with NO per-pair iteration: the " +
+      "positional shingle self-join is occurrence-capped (stop-shingles dropped by a " +
+      "pre-aggregated semi join BEFORE pair explosion), and maximal runs fall out of one " +
+      "gaps-and-islands row_number window on (a, b, diagonal) — two shuffles total, output " +
+      "pure integers."),
+    "substring_dedup_clean" -> ("Remediation rides the mining cost: flagged spans (a tiny " +
+      "relation) merge per doc via one window, aggregate to a per-doc span array, and the " +
+      "token-level cut is a single codegen'd higher-order projection over the text — no " +
+      "explode of the corpus, no extra shuffle; affected docs only reach the join."),
+    "image_dedup_pairs" -> ("Perceptual near-dup pairs without all-pairs: batch-shaped decode " +
+      "(one codec per partition, dead-letter column) feeds 4x16-bit pigeonhole banding — " +
+      "candidates are per-band bucket self-joins with singleton pruning and hot-bucket caps, " +
+      "complete at hamming <= 3 by construction, which is why DuckDB's brute force " +
+      "hash-matches it."),
+    "incremental_ann" -> ("Admission-time ANN: the new batch's multi-probe buckets join the " +
+      "persisted old-slice index's home rows on (table, bucket) — never new x old — with " +
+      "embeddings riding the index rows so the rerank needs zero joins back to the corpus; " +
+      "per-batch cost is O(batch x tables x (1+probes) x bucket) at ANY corpus size, and a " +
+      "fresh session LOADS the AnnStore parquet instead of rebuilding."))
 
   /** Strip run-nondeterministic tokens (JVM lambda addresses, object
     * hashes, AQE plan/stage ids, expression ids) so a regenerated PLANS.md
