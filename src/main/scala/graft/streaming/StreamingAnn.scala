@@ -61,4 +61,41 @@ object StreamingAnn {
         batchId)
       finally cached.unpersist()
     }
+
+  /** [[admissionStream]] with a GROWING index: every trigger's arrivals are
+    * appended (as home-bucket rows) to the index before the next trigger,
+    * so a later arrival finds an earlier one among its neighbors — the
+    * closed-loop form a continuously-ingesting corpus needs (a stream that
+    * near-duplicates ITSELF is searchable too, not just stream-vs-corpus).
+    * Unlike dedup there is no admit/reject gate: every arriving vector
+    * joins the index, exactly as every admitted document's embedding would.
+    *
+    * foreachBatch runs triggers sequentially, so the index handoff is
+    * race-free; each round's index is persisted and the previous round's
+    * cache dropped (bounded lineage — the union chain would otherwise
+    * re-hash every prior batch per trigger). Session-local, like
+    * [[StreamingDedup.admissionStreamGrowing]]; the batch_id-partitioned
+    * external-store pattern there is the replay-safe production form and
+    * composes identically here.
+    */
+  def admissionStreamGrowing(vecs: Dataset[Vec], initialIdxHome: DataFrame,
+      sink: (DataFrame, Long) => Unit,
+      nTables: Int = Similarity.DefaultTables, bits: Int = 5,
+      probes: Int = Similarity.DefaultProbes, k: Int = 5,
+      broadcastIdx: Boolean = true): DataStreamWriter[Vec] = {
+    var index = initialIdxHome
+    var indexPersisted = false
+    vecs.writeStream.foreachBatch { (batch: Dataset[Vec], batchId: Long) =>
+      val cached = batch.persist()
+      try {
+        sink(probeBatch(cached, index, nTables, bits, probes, k, broadcastIdx), batchId)
+        val prev = index
+        index = prev.unionAll(
+          Similarity.homeRowsOf(cached.toDF(), nTables, bits)).persist()
+        index.count()
+        if (indexPersisted) prev.unpersist()
+        indexPersisted = true
+      } finally cached.unpersist()
+    }
+  }
 }
