@@ -45,6 +45,20 @@ class AnnStoreSpec extends SparkSuite {
     assert(r2.toSeq == r1.toSeq)
   }
 
+  test("sliced (excludeMod) index: fresh-session incremental ANN loads, bit-identical") {
+    val before = AnnStore.buildCount.get()
+    val r1 = Similarity.incrementalAnnTopK(spark, sf, nTables = 7, recallQueries = 0).collect()
+    val afterBuild = AnnStore.buildCount.get()
+    assert(afterBuild > before, "cold sliced store must build+publish")
+    assert(r1.nonEmpty)
+
+    Memo.clear(spark)
+    val r2 = Similarity.incrementalAnnTopK(spark, sf, nTables = 7, recallQueries = 0).collect()
+    assert(AnnStore.buildCount.get() == afterBuild,
+      "fresh session must LOAD the sliced store, not rebuild it")
+    assert(r2.toSeq == r1.toSeq)
+  }
+
   test("publish loses a race gracefully: no nesting inside an existing store") {
     // ADVICE r13 (medium): FileSystem.rename into an existing directory
     // MOVES the tmp dir inside it (returning true) — the loser's dataset
