@@ -89,8 +89,20 @@ object AnnStore {
     java.lang.Long.toHexString(h)
   }
 
-  def path(spark: SparkSession, kind: String, corpusDir: String, params: String): String =
-    s"$root/${sanitize(corpusDir)}-${corpusFingerprint(spark, corpusDir)}/$kind-$params"
+  /** Store path for one (corpus identity, artifact kind, parameter point).
+    * `corpusTable` names the SOURCE TABLE the artifact derives from and is
+    * part of the identity twice over: it drives [[corpusFingerprint]] (so a
+    * regenerated source invalidates exactly the artifacts built from it)
+    * and it is folded into the subtree name (so artifacts of two tables in
+    * the same corpus dir never alias). Callers MUST pass the table their
+    * build actually reads — the default matches the two embedding-derived
+    * ANN artifacts; a documents- or orders-derived artifact that leaves the
+    * default silently keys its staleness check to the wrong table.
+    */
+  def path(spark: SparkSession, kind: String, corpusDir: String, params: String,
+      corpusTable: String = "embeddings"): String =
+    s"$root/${sanitize(corpusDir)}-${sanitize(corpusTable)}-" +
+      s"${corpusFingerprint(spark, corpusDir, corpusTable)}/$kind-$params"
 
   /** Load the artifact at `dir`, building and publishing it first if absent.
     * BOTH paths return a parquet read of the published store — the building
@@ -140,7 +152,12 @@ object AnnStore {
     * [[OrphanTtlMs]] — crashed builders leak them and they would otherwise
     * accumulate in the store root forever. The age guard keeps a LIVE
     * concurrent builder's tmp safe: deleting it mid-write would turn that
-    * builder's graceful lost-race into a job failure.
+    * builder's graceful lost-race into a job failure. Age is judged by the
+    * NEWEST mtime anywhere INSIDE the tmp dir, not the dir's own mtime
+    * (ADVICE r14): a live writer keeps creating files under the tree, so
+    * its newest entry stays fresh for the whole build, however long a
+    * large-corpus build runs — while the top-level dir's mtime only moves
+    * when a direct child is added and can go stale mid-write.
     */
   private[graft] val OrphanTtlMs: Long = 60L * 60 * 1000
   private def cleanOrphans(fs: FileSystem, target: Path): Unit =
@@ -150,9 +167,25 @@ object AnnStore {
         val pfx = target.getName + ".build-"
         val cutoff = System.currentTimeMillis() - OrphanTtlMs
         fs.listStatus(parent).foreach { st =>
-          if (st.getPath.getName.startsWith(pfx) && st.getModificationTime < cutoff)
+          if (st.getPath.getName.startsWith(pfx) && newestMtime(fs, st) < cutoff)
             fs.delete(st.getPath, true)
         }
       }
     } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Newest modification time of `st` or any file beneath it (recursive
+    * listing — the sweep only reaches here for `.build-*` candidates, so
+    * the walk is over one in-flight artifact, not the store).
+    */
+  private def newestMtime(fs: FileSystem, st: org.apache.hadoop.fs.FileStatus): Long = {
+    var newest = st.getModificationTime
+    try {
+      val it = fs.listFiles(st.getPath, true)
+      while (it.hasNext) {
+        val t = it.next().getModificationTime
+        if (t > newest) newest = t
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    newest
+  }
 }

@@ -46,22 +46,29 @@ object Tables {
       .parquet(s"$d/events.parquet")
 
   /** Ticks of `events.ts` per millisecond (NANOS → 1e6, MICROS → 1e3,
-    * MILLIS → 1), read once per path from the parquet FOOTER's logical-type
-    * annotation and cached for the JVM. Footer-only — no data pages are
-    * touched, so this is O(1) per table at any scale. A raw INT64 column
-    * (no timestamp annotation) falls back to the original nanos contract.
+    * MILLIS → 1), read once per (path, footer-file length, footer-file
+    * mtime) from the parquet FOOTER's logical-type annotation and cached for
+    * the JVM. The cache key carries the footer file's (length, mtime) — the
+    * same metadata-only identity [[AnnStore.corpusFingerprint]] uses — so a
+    * driver that REGENERATES testdata mid-JVM with a different unit (the
+    * exact r14 precedent this accessor defends against) gets a fresh footer
+    * read, never a stale divisor; the stat per call is O(1). Footer-only —
+    * no data pages are touched. A raw INT64 column (no timestamp
+    * annotation) falls back to the original nanos contract.
     */
-  def tsTicksPerMs(spark: SparkSession, d: String): Long =
-    tsUnitCache.computeIfAbsent(s"$d/events.parquet", { path =>
+  def tsTicksPerMs(spark: SparkSession, d: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    val fs = root.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => !p.getName.startsWith("_")).minBy(_.getName.toString)
+      else root
+    val st = fs.getFileStatus(file)
+    val key = s"$file|${st.getLen}|${st.getModificationTime}"
+    tsUnitCache.computeIfAbsent(key, { _ =>
       import org.apache.parquet.schema.LogicalTypeAnnotation
-      val conf = spark.sessionState.newHadoopConf()
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(conf)
-      val file =
-        if (fs.getFileStatus(root).isDirectory)
-          fs.listStatus(root).map(_.getPath)
-            .filter(p => !p.getName.startsWith("_")).minBy(_.getName.toString)
-        else root
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
       val ticks: Long =
@@ -79,6 +86,7 @@ object Tables {
         } finally reader.close()
       java.lang.Long.valueOf(ticks)
     }).longValue()
+  }
   private val tsUnitCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   def documents(spark: SparkSession, d: String): DataFrame = apply(spark, d, "documents")
