@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.ops.Similarity
+import graft.ops.{AnnStore, Similarity}
 
 /** STREAMING admission-time similarity — the Structured Streaming form of
   * [[graft.ops.Similarity.incrementalAnnTopK]], completing the triad the
@@ -98,4 +99,115 @@ object StreamingAnn {
       } finally cached.unpersist()
     }
   }
+
+  /** The EXTERNALLY-STORED growing index — the production form of
+    * [[admissionStreamGrowing]], completing the symmetry with
+    * [[StreamingDedup.admissionStreamExternal]] (r14 VERDICT item 1): every
+    * admitted vector's HOME-BUCKET rows ([[Similarity.homeRowsOf]] — the
+    * exact shape [[Similarity.indexHome]] serves) live in a parquet
+    * directory PARTITIONED BY `batch_id`, and each trigger (re)writes only
+    * its own partition via dynamic partition overwrite. A restart therefore
+    * loses NOTHING (the r14 gap: the session-local form forgot every
+    * admitted vector), and a REPLAYED micro-batch (the at-least-once window
+    * foreachBatch leaves open) overwrites its previous attempt instead of
+    * double-appending — idempotent, completing the exactly-once story the
+    * verdict sink already has via its batchId key.
+    *
+    * Replay safety in the PROBE too: the batch's own partition is excluded
+    * from the index it probes, so attempt 2 of batch k scores against
+    * exactly the state attempt 1 saw — verdicts are replay-stable.
+    *
+    * Scale shape: per trigger, one bounded partition write (a trigger's
+    * vectors × nTables home rows) + one partition-discovered store read;
+    * the probe is unchanged (candidates ~nTables × (1+probes) ×
+    * targetBucket per arriving vector). Small per-batch files accumulate —
+    * [[compactIndexStore]] is the LSM-style maintenance counterpart. House
+    * the store under [[storeDirFor]] to key it by corpus identity + LSH
+    * generation token like every other persisted ANN artifact.
+    */
+  def admissionStreamExternal(vecs: Dataset[Vec], initialIdxHome: DataFrame,
+      storeDir: String, sink: (DataFrame, Long) => Unit,
+      nTables: Int = Similarity.DefaultTables, bits: Int = 5,
+      probes: Int = Similarity.DefaultProbes, k: Int = 5,
+      broadcastIdx: Boolean = true): DataStreamWriter[Vec] =
+    vecs.writeStream.foreachBatch { (batch: Dataset[Vec], batchId: Long) =>
+      externalBatch(batch, batchId, initialIdxHome, storeDir, sink,
+        nTables, bits, probes, k, broadcastIdx)
+    }
+
+  /** One trigger's work for [[admissionStreamExternal]] — exposed so the
+    * replay and fresh-session-continuation specs can drive batches exactly
+    * as a (restarted) stream would, batchIds included.
+    */
+  private[graft] def externalBatch(batch: Dataset[Vec], batchId: Long,
+      initialIdxHome: DataFrame, storeDir: String, sink: (DataFrame, Long) => Unit,
+      nTables: Int, bits: Int, probes: Int, k: Int, broadcastIdx: Boolean): Unit = {
+    val spark = batch.sparkSession
+    val cached = batch.persist()
+    try {
+      // exclude THIS batch's own partition: on replay the probe must see
+      // the pre-attempt state, not the previous attempt's output
+      val stored = readIndexStore(spark, storeDir)
+        .filter(col("batch_id") =!= batchId).drop("batch_id")
+      sink(probeBatch(cached, initialIdxHome.unionAll(stored),
+        nTables, bits, probes, k, broadcastIdx), batchId)
+      // no admit/reject gate (unlike dedup): every arriving vector joins
+      // the index, exactly as every admitted document's embedding would.
+      // Dynamic partition overwrite: ONLY batch_id=<this batch> is
+      // replaced; every other batch's partition is untouched
+      Similarity.homeRowsOf(cached.toDF(), nTables, bits)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(storeDir)
+    } finally { cached.unpersist(); () }
+  }
+
+  /** Read the admitted home-row store: `(table, bucket, cid, ce, cn,
+    * batch_id)`; empty before the first trigger commits.
+    */
+  def readIndexStore(spark: SparkSession, storeDir: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id=")))
+      // partition discovery infers batch_id from directory names as INT —
+      // cast back to the long the writers put in
+      spark.read.parquet(storeDir)
+        .select(col("table"), col("bucket"), col("cid"), col("ce"), col("cn"),
+          col("batch_id").cast("long").as("batch_id"))
+    else
+      Seq.empty[(Int, Long, Long, Array[Float], Double, Long)]
+        .toDF("table", "bucket", "cid", "ce", "cn", "batch_id")
+  }
+
+  /** LSM-style maintenance: fold every partition with `batch_id <=
+    * upToBatchId` into ONE partition (keyed at `upToBatchId`) with
+    * `targetPartitions` files, leaving later partitions untouched. Written
+    * to a NEW directory (compact → repoint → retire — rewriting in place
+    * would race a live stream's next trigger), and only ever called with a
+    * fold point at or below the stream checkpoint's committed horizon: a
+    * replay BELOW it would otherwise overwrite the folded partition with
+    * one batch's worth of rows. Returns rows written.
+    */
+  def compactIndexStore(spark: SparkSession, storeDir: String, outDir: String,
+      upToBatchId: Long, targetPartitions: Int = 1): Long = {
+    val all = readIndexStore(spark, storeDir)
+    val folded = all.withColumn("batch_id",
+      when(col("batch_id") <= upToBatchId, lit(upToBatchId)).otherwise(col("batch_id")))
+    val n = folded.count()
+    folded.repartition(targetPartitions)
+      .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+    n
+  }
+
+  /** Canonical store location for a growing index over corpus `d`: under
+    * the [[AnnStore]] subtree, keyed by corpus identity and the SAME LSH
+    * generation token as the static index ([[Similarity.LshKind]]) — a
+    * hyperplane-recipe change or corpus regeneration moves the path, so a
+    * store hashed with old planes is never probed by new-plane queries.
+    */
+  def storeDirFor(spark: SparkSession, d: String, nTables: Int, bits: Int): String =
+    AnnStore.path(spark, Similarity.LshKind + "-grow", d, s"$nTables-$bits")
 }

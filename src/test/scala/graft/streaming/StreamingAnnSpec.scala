@@ -36,10 +36,12 @@ class StreamingAnnSpec extends SparkSuite {
     val want = Similarity.incrementalAnnTopK(spark, sf, recallQueries = 0).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(buf.toSet == want, s"stream ${buf.size} rows vs batch ${want.size}")
+    // every streamed qid is exactly an arrived vec_id that has >= 1
+    // candidate in the batch result — no subset escape hatch (the previous
+    // `subsetOf(arrived)` disjunct was always true and made this vacuous)
     val qids = buf.map(_._1).toSet
-    assert(qids == newVecs.map(_.vec_id).toSet.filter(id =>
-      want.exists(_._1 == id)) || qids.subsetOf(newVecs.map(_.vec_id).toSet),
-      "stream produced rows for vectors that never arrived")
+    assert(qids == newVecs.map(_.vec_id).toSet.filter(id => want.exists(_._1 == id)),
+      "stream qids must equal the arrived vec_ids with candidates")
   }
 
   test("StreamingAnn growing index: batch 2 finds batch 1's arrival as its neighbor") {
@@ -73,5 +75,80 @@ class StreamingAnnSpec extends SparkSuite {
     // batch 1 could not have seen A' (it arrived later)
     assert(!buf.exists(v => v._1 == 100L && v._3 == 200L),
       "batch 1 verdict impossibly references a later arrival")
+  }
+
+  test("StreamingAnn external store: closed loop, replay-stable, survives a fresh session, compacts") {
+    import spark.implicits._
+    val store = graft.ops.Scratch.dir("ann_store_ext").toString + "/idx"
+    def unit(i: Int): Array[Float] = Array.tabulate(64)(j => if (j == i) 1f else 0f)
+    val corpus = (1L to 4L).map(i => StreamingAnn.Vec(i, unit(i.toInt)))
+    val idx0 = Similarity.homeRowsOf(
+      corpus.toDF("vec_id", "embedding"), nTables = 8, bits = 3).cache()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, _) =>
+      buf.synchronized {
+        buf ++= df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      }
+    def run(batchId: Long, vs: StreamingAnn.Vec*): Unit =
+      StreamingAnn.externalBatch(vs.toDS(), batchId, idx0, store, sink,
+        nTables = 8, bits = 3, probes = 2, k = 2, broadcastIdx = true)
+
+    // batch 0 admits A; batch 1's exact copy A' must find it FROM THE STORE
+    // (closed loop through external state, not session memory), and a novel
+    // orthogonal B must not match A at sim 1.0
+    run(0L, StreamingAnn.Vec(100L, unit(10)))
+    run(1L, StreamingAnn.Vec(200L, unit(10)), StreamingAnn.Vec(300L, unit(20)))
+    val aPrime = buf.filter(_._1 == 200L).sortBy(_._2)
+    assert(aPrime.nonEmpty && aPrime.head._3 == 100L &&
+      math.abs(aPrime.head._4 - 1.0) < 1e-9,
+      s"A' must find A at sim 1.0 via the external store: $aPrime")
+    assert(!buf.exists(v => v._1 == 300L && math.abs(v._4 - 1.0) < 1e-9),
+      "orthogonal B cannot have a sim-1.0 neighbor")
+    val batch1Verdicts = buf.filter(v => v._1 == 200L || v._1 == 300L).toSet
+    val rowsAfter = StreamingAnn.readIndexStore(spark, store).count()
+    assert(StreamingAnn.readIndexStore(spark, store)
+      .select("batch_id").distinct().collect().map(_.getLong(0)).toSet == Set(0L, 1L))
+
+    // REPLAY batch 1 (restart-after-sink-failure shape): verdicts identical
+    // (probe excluded its own partition) and the store row count unchanged —
+    // overwrite-by-partition, not append
+    buf.clear()
+    run(1L, StreamingAnn.Vec(200L, unit(10)), StreamingAnn.Vec(300L, unit(20)))
+    assert(buf.toSet == batch1Verdicts, "replayed batch verdicts must be stable")
+    assert(StreamingAnn.readIndexStore(spark, store).count() == rowsAfter,
+      "replay double-appended the index store")
+
+    // FRESH SESSION continuation: externalBatch holds no session state —
+    // everything batch 2 knows about batches 0/1 comes off disk, exactly
+    // what a restarted driver sees. A'' must find BOTH prior arrivals.
+    buf.clear()
+    run(2L, StreamingAnn.Vec(400L, unit(10)))
+    val aSecond = buf.filter(_._1 == 400L).sortBy(_._2)
+    assert(aSecond.map(v => (v._2, v._3)).take(2) == Seq((1L, 100L), (2L, 200L)),
+      s"A'' must find A then A' from the store grown by prior sessions: $aSecond")
+
+    // compaction folds batches <= 2 into one partition preserving the row
+    // set, and the compacted store serves the SAME probe state
+    val compacted = graft.ops.Scratch.dir("ann_store_c").toString + "/idx"
+    val total = StreamingAnn.readIndexStore(spark, store).count()
+    val n = StreamingAnn.compactIndexStore(spark, store, compacted, upToBatchId = 2L)
+    assert(n == total)
+    val cStore = StreamingAnn.readIndexStore(spark, compacted)
+    assert(cStore.count() == total)
+    assert(cStore.select("batch_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(2L))
+    val probeOrig = StreamingAnn.probeBatch(
+      Seq(StreamingAnn.Vec(500L, unit(10))).toDS(),
+      idx0.unionAll(StreamingAnn.readIndexStore(spark, store).drop("batch_id")),
+      nTables = 8, bits = 3, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val probeCompact = StreamingAnn.probeBatch(
+      Seq(StreamingAnn.Vec(500L, unit(10))).toDS(),
+      idx0.unionAll(cStore.drop("batch_id")),
+      nTables = 8, bits = 3, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(probeOrig == probeCompact && probeOrig.nonEmpty,
+      "compacted store must serve bit-identical probe results")
   }
 }
