@@ -180,7 +180,13 @@ object PlanDoc {
       "persisted old-slice index's home rows on (table, bucket) — never new x old — with " +
       "embeddings riding the index rows so the rerank needs zero joins back to the corpus; " +
       "per-batch cost is O(batch x tables x (1+probes) x bucket) at ANY corpus size, and a " +
-      "fresh session LOADS the AnnStore parquet instead of rebuilding."))
+      "fresh session LOADS the AnnStore parquet instead of rebuilding."),
+    "incremental_ivf" -> ("IVF parity for the incremental path: the new batch is assigned to " +
+      "PERSISTED old-slice centroids (one narrow map, centroids in the closure) and probes " +
+      "nProbe cells of the persisted assignment-home store — an equi-join on the cell id, " +
+      "never new x old; candidates carry embedding+norm on the store rows so the exact " +
+      "rerank joins nothing back, and a (qid,cid) pair can appear only once (one cell per " +
+      "cid), so top-k needs no post-rank dedup."))
 
   /** Strip run-nondeterministic tokens (JVM lambda addresses, object
     * hashes, AQE plan/stage ids, expression ids) so a regenerated PLANS.md

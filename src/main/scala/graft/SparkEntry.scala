@@ -31,7 +31,7 @@ object SparkEntry {
     "approx_event_stats", "approx_event_stats_check",
     "dedup_minhash_lsh", "dedup_simhash", "simhash_pairs",
     "ann_topk_lsh", "ann_topk_lsh_recall", "incremental_ann",
-    "ivf_topk", "ivf_topk_recall",
+    "ivf_topk", "ivf_topk_recall", "incremental_ivf",
     "dedup_embedding",
     // the BPE merge loop has no SQL form (BpeSpec carries the parity gate)
     "bpe_vocab", "bpe_token_counts", "batch_packing_bpe",
@@ -222,6 +222,10 @@ object SparkEntry {
     // incremental probe of a new vector batch vs the persisted old-slice
     // index (approx: rows-only; recall_e6 evidence on the panel)
     "incremental_ann" -> ((s, d) => Similarity.incrementalAnnTopK(s, d)),
+    // IVF parity for the incremental path: new batch assigned to persisted
+    // old-slice centroids, probes nProbe cells of the persisted assignment
+    // store (approx: rows-only; recall_e6 evidence on the panel)
+    "incremental_ivf" -> ((s, d) => Similarity.incrementalIvfTopK(s, d)),
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, withRecallCol = false)), // approx: rows-only
     "ann_topk_lsh_recall" -> ((s, d) => Similarity.annTopK(s, d)), // approx: rows-only
     "ivf_topk_recall" -> ((s, d) => Similarity.ivfTopK(s, d)), // approx: rows-only
@@ -1514,10 +1518,64 @@ object SparkEntry {
         |  LEFT JOIN contaminated x ON q.doc_id = x.doc_id
         |  WHERE l.doc_id IS NULL AND x.doc_id IS NULL AND q.doc_id % 97 <> 0
         |),
+        |-- repeated-substring remediation (mirrors substring_dedup_clean):
+        |-- surviving AFFECTED docs chunk their CLEANED text
+        |ps AS (
+        |  SELECT doc_id, i AS pos,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM docs WHERE len(w) >= 5)
+        |),
+        |okp AS (SELECT shingle FROM ps GROUP BY 1 HAVING count(*) BETWEEN 2 AND 64),
+        |mr AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+        |  FROM ps x JOIN ps y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  JOIN okp ON x.shingle = okp.shingle
+        |),
+        |risl AS (
+        |  SELECT a, b, pa, pb, pa - pb AS diag,
+        |    pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS island
+        |  FROM mr
+        |),
+        |runs2 AS (
+        |  SELECT b, min(pb) AS start_b, count(*) + 4 AS run_tokens
+        |  FROM risl GROUP BY a, b, diag, island HAVING count(*) >= 10
+        |),
+        |spans2 AS (SELECT b AS doc_id, start_b AS s, start_b + run_tokens - 1 AS e FROM runs2),
+        |ms2 AS (
+        |  SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mep
+        |  FROM spans2
+        |),
+        |isl3 AS (
+        |  SELECT doc_id, s, e, sum(CASE WHEN mep IS NULL OR s > mep + 1 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM ms2
+        |),
+        |mg2 AS (SELECT doc_id, island, min(s) AS s, max(e) AS e FROM isl3 GROUP BY 1, 2),
+        |affected AS (SELECT DISTINCT doc_id FROM mg2),
+        |pos2 AS (
+        |  SELECT d.doc_id, unnest(range(1, len(d.w) + 1)) AS p
+        |  FROM docs d JOIN affected USING (doc_id)
+        |),
+        |keep2 AS (
+        |  SELECT pos2.doc_id, p FROM pos2
+        |  LEFT JOIN mg2 ON pos2.doc_id = mg2.doc_id AND p BETWEEN mg2.s AND mg2.e
+        |  WHERE mg2.doc_id IS NULL
+        |),
+        |-- LEFT JOIN so a FULLY-removed doc still carries ct = '' (0 chars)
+        |cleanw AS (
+        |  SELECT a.doc_id, coalesce(u.ct, '') AS ct FROM affected a
+        |  LEFT JOIN (
+        |    SELECT k.doc_id, string_agg(d2.w[k.p], ' ' ORDER BY k.p) AS ct
+        |    FROM keep2 k JOIN docs d2 ON k.doc_id = d2.doc_id GROUP BY k.doc_id
+        |  ) u ON a.doc_id = u.doc_id
+        |),
         |chunked AS (
-        |  SELECT d.doc_id, d.n_chars,
-        |    CASE WHEN d.n_chars <= 500 THEN 1 ELSE (d.n_chars - 51) // 450 + 1 END AS n_chunks
+        |  SELECT d.doc_id, coalesce(length(c.ct), d.n_chars) AS n_chars,
+        |    CASE WHEN coalesce(length(c.ct), d.n_chars) <= 500 THEN 1
+        |      ELSE (coalesce(length(c.ct), d.n_chars) - 51) // 450 + 1 END AS n_chunks
         |  FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+        |  LEFT JOIN cleanw c ON d.doc_id = c.doc_id
         |),
         |e3 AS (SELECT doc_id, n_chars, unnest(range(0, n_chunks)) AS i FROM chunked)
         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,

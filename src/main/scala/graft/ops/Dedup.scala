@@ -151,7 +151,12 @@ object Dedup {
     */
   def repeatedSubstrings(spark: SparkSession, d: String,
       minRun: Int = 10, maxDf: Int = 64, n: Int = 5): DataFrame =
-    substringRuns(cachedPosShingles(spark, d, n), minRun, maxDf, n)
+    // memoized: the mined run set backs three registered queries
+    // (repeated_substrings, substring_dedup_clean, and training_set_build's
+    // remediation stage) — sorted bench order charges the mining here once
+    Memo(spark, s"subruns|$d|$minRun|$maxDf|$n") {
+      substringRuns(cachedPosShingles(spark, d, n), minRun, maxDf, n).persist()
+    }
 
   /** Run mining over a `(doc_id, pos, shingle)` positional index. */
   def substringRuns(ps: DataFrame, minRun: Int, maxDf: Int, n: Int): DataFrame = {
@@ -203,7 +208,32 @@ object Dedup {
       repeatedSubstrings(spark, d, minRun, maxDf, n))
 
   /** Frame-parameterized core of [[substringClean]] (spec surface). */
-  def substringCleanOf(docs: DataFrame, runs: DataFrame): DataFrame = {
+  def substringCleanOf(docs: DataFrame, runs: DataFrame): DataFrame =
+    cleanTokens(docs, runs)
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        col("n_spans"),
+        col("tokens_removed"),
+        size(col("kept")).cast("long").as("n_tokens_clean"),
+        md5(array_join(col("kept"), " ").cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  /** Cleaned-TEXT view of the remediation — what a composed pipeline feeds
+    * downstream ([[graft.ops.TextOps.trainingSetBuild]] chunks it): one
+    * `(doc_id, clean_text)` row per AFFECTED doc, `clean_text` the kept
+    * tokens rejoined on single spaces (the exact string whose md5 the
+    * oracled [[substringClean]] certifies byte-for-byte).
+    */
+  def substringCleanText(spark: SparkSession, d: String,
+      minRun: Int = 10, maxDf: Int = 64, n: Int = 5): DataFrame =
+    cleanTokens(Tables.documents(spark, d), repeatedSubstrings(spark, d, minRun, maxDf, n))
+      .select(col("doc_id"), array_join(col("kept"), " ").as("clean_text"))
+
+  /** Shared remediation core: merged cut spans per affected doc + the kept
+    * token array after the cuts. Output columns `(doc_id, text, n_spans,
+    * tokens_removed, w, kept)`; affected docs only.
+    */
+  private def cleanTokens(docs: DataFrame, runs: DataFrame): DataFrame = {
     val spans = runs.select(col("b").as("doc_id"), col("start_b").as("s"),
       (col("start_b") + col("run_tokens") - 1).as("e"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
@@ -224,13 +254,6 @@ object Dedup {
       .withColumn("kept", expr(
         "transform(filter(transform(w, (t, i) -> named_struct('t', t, 'p', cast(i + 1 as bigint))), " +
           "s -> NOT exists(spans, r -> s.p >= r.s AND s.p <= r.e)), s -> s.t)"))
-      .select(col("doc_id"),
-        size(col("w")).cast("long").as("n_tokens"),
-        col("n_spans"),
-        col("tokens_removed"),
-        size(col("kept")).cast("long").as("n_tokens_clean"),
-        md5(array_join(col("kept"), " ").cast("binary")).as("clean_md5"))
-      .orderBy("doc_id")
   }
 
   /** Eval-set CONTAMINATION audit — the pre-training hygiene step (GPT-3

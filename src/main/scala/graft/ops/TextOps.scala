@@ -355,11 +355,20 @@ object TextOps {
     * dominates the training mix) → eval-slice exclusion + contamination
     * removal (docs with ≥10% eval 5-gram containment drop) → cluster-keyed
     * train split ([[trainTestSplit]] — near-dups land on one side) →
-    * context-window chunking ([[docChunks]]). Every stage is an
-    * independently-oracled operator, and the composition is oracled END TO
-    * END, so the driver gate certifies the whole pipeline's row set, not
-    * just its parts. All joins are on the single long doc key; the chunk
-    * explosion happens only for surviving documents.
+    * repeated-substring REMEDIATION ([[Dedup.substringCleanText]] — a
+    * surviving doc whose cross-doc verbatim runs were cut chunks its
+    * CLEANED text, r14 VERDICT item 5) → context-window chunking
+    * ([[docChunks]]). Every stage is an independently-oracled operator, and
+    * the composition is oracled END TO END, so the driver gate certifies
+    * the whole pipeline's row set, not just its parts.
+    *
+    * Stage ordering: curation/dedup/split decisions are DOC-level and run
+    * on the original text (a doc's identity, quality, and cluster are
+    * judged before surgery); the span-level cut applies at the text
+    * boundary feeding chunking, so offsets index the text that actually
+    * trains. All joins are on the single long doc key; the chunk explosion
+    * happens only for surviving documents, and the remediation join is
+    * span-set-sized (affected docs only).
     */
   def trainingSetBuild(spark: SparkSession, d: String, evalMod: Int = 97,
       contaminationE6: Long = 100000L, trainPct: Int = 90,
@@ -376,8 +385,18 @@ object TextOps {
       .join(train, Seq("doc_id"), "left_semi")
     // filter BEFORE the chunk explosion — a semi join cannot push below the
     // Generate, so chunking first would explode the whole corpus only to
-    // discard the dropped docs' chunks
-    chunkDocs(Tables.documents(spark, d).join(kept, Seq("doc_id"), "left_semi"))
+    // discard the dropped docs' chunks. Affected survivors swap in their
+    // cleaned text (and its recomputed char length); everyone else keeps
+    // the stored text + n_chars untouched.
+    val cleaned = Dedup.substringCleanText(spark, d)
+    val chunkIn = Tables.documents(spark, d)
+      .join(kept, Seq("doc_id"), "left_semi")
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), col("text")).as("text"),
+        coalesce(length(col("clean_text")).cast("long"),
+          col("n_chars").cast("long")).as("n_chars"))
+    chunkDocs(chunkIn)
       .select(col("doc_id"), col("chunk_idx"), col("start_off"), col("end_off"))
       .orderBy("doc_id", "chunk_idx")
   }

@@ -117,6 +117,35 @@ class AnnStoreSpec extends SparkSuite {
     assert(fs.exists(fresh), "fresh tmp may belong to a live builder — keep it")
   }
 
+  test("incremental IVF: fresh session loads sliced centroids + home store, bit-identical") {
+    val before = AnnStore.buildCount.get()
+    val r1 = Similarity.incrementalIvfTopK(spark, sf, nCells = 24, recallQueries = 0).collect()
+    val afterBuild = AnnStore.buildCount.get()
+    assert(afterBuild > before, "cold sliced IVF stores must build+publish")
+    assert(r1.nonEmpty)
+
+    Memo.clear(spark)
+    val r2 = Similarity.incrementalIvfTopK(spark, sf, nCells = 24, recallQueries = 0).collect()
+    assert(AnnStore.buildCount.get() == afterBuild,
+      "fresh session must LOAD centroids and the assignment store, not rebuild")
+    assert(r2.toSeq == r1.toSeq)
+  }
+
+  test("bloom sketch: fresh session loads the published bytes, verdicts identical") {
+    // warm the store (may build, or load one published earlier this JVM —
+    // the gate is the FRESH-session behavior, not who built it)
+    val r1 = Incremental.bloomPrunedSemiJoin(spark, sf).collect()
+    assert(r1.nonEmpty)
+    val builds = AnnStore.buildCount.get()
+    Memo.clear(spark) // the fresh-driver cache state
+    val r2 = Incremental.bloomPrunedSemiJoin(spark, sf).collect()
+    assert(AnnStore.buildCount.get() == builds,
+      "fresh session must LOAD the sketch bytes, not re-aggregate orders")
+    assert(r2.toSeq == r1.toSeq)
+    // and the cached-sketch plan still equals the unpruned reference
+    assert(r2.toSeq == Incremental.plainSemiJoin(spark, sf).collect().toSeq)
+  }
+
   test("store round-trip preserves the LSH index rows exactly") {
     // the frame annTopK consumes vs the raw parquet it was published from:
     // identical row multisets, embedding floats compared bit-for-bit

@@ -186,6 +186,56 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("incremental IVF: slice discipline, exact rerank parity, panel recall floor") {
+    import spark.implicits._
+    val out = Similarity.incrementalIvfTopK(spark, sf).collect()
+    assert(out.nonEmpty)
+    // queries come from the NEW batch, candidates only from the OLD corpus
+    out.foreach { r =>
+      assert(r.getLong(0) % 10 == 0, s"qid must be new-batch: $r")
+      assert(r.getLong(2) % 10 != 0, s"cid must be old-corpus: $r")
+    }
+    // exact rerank parity: the probe approximates candidate GENERATION
+    // (which cells), never the score
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    out.foreach { r =>
+      val want = cos(emb(r.getLong(0)), emb(r.getLong(2)))
+      assert(math.abs(r.getDouble(3) - want) <= 1e-6, s"sim mismatch at $r")
+    }
+    // recall evidence: present exactly on the panel, NULL beyond, equal to
+    // the recall computed here from new x old brute force, mean above the
+    // floor the operating point is chosen for
+    val old = emb.filter(_._1 % 10 != 0)
+    val got = out.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val panelRecalls = scala.collection.mutable.Map.empty[Long, Long]
+    out.foreach { r =>
+      val q = r.getLong(0)
+      if (q < 80) {
+        val exact = old.toSeq.map { case (c, e) => (c, cos(emb(q), e)) }
+          .sortBy { case (c, s) => (-s, c) }.take(5).map(_._1).toSet
+        val computed = math.floor(exact.count(got(q).contains).toDouble * 1e6 / 5.0).toLong
+        assert(!r.isNullAt(4) && r.getLong(4) == computed,
+          s"qid $q: exported ${r.get(4)} != computed $computed")
+        panelRecalls(q) = computed
+      } else assert(r.isNullAt(4), s"non-panel qid $q must carry NULL recall")
+    }
+    val mean = panelRecalls.values.sum.toDouble / math.max(1, panelRecalls.size)
+    assert(mean >= 600000.0, s"panel mean recall_e6 $mean below the 0.6 floor")
+  }
+
   test("ivf_topk recall vs brute force; exported recall_e6 matches") {
     val exact = Similarity.bruteForceTopK(spark, sf, nQueries = 8, k = 5)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -804,12 +854,31 @@ class OpsSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSet
     val capped = TextOps.sourceCaps(spark, sf).select("doc_id").as[Long].collect().toSet
     val kept = curated.filter(id => id % 97 != 0 && !contaminated(id) && train(id) && capped(id))
-    val expected = TextOps.docChunks(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .filter(t => kept(t._1)).sortBy(t => (t._1, t._2)).toSeq
+    // remediation stage: affected survivors chunk their CLEANED length;
+    // chunk boundaries recomputed here from chunkDocs' documented integer
+    // arithmetic (size 500, overlap 50), not by calling the operator again
+    val cleanedLen = Dedup.substringCleanText(spark, sf)
+      .select(col("doc_id"), length(col("clean_text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val nChars = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val expected = kept.toSeq.sorted.flatMap { id =>
+      val n = cleanedLen.getOrElse(id, nChars(id))
+      val chunks = if (n <= 500) 1L else (n - 51) / 450 + 1
+      (0L until chunks).map(i => (id, i, i * 450, math.min(i * 450 + 500, n)))
+    }
     assert(built.nonEmpty && built == expected)
     // the composition genuinely filters: strictly fewer docs than curation alone
     assert(built.map(_._1).distinct.size < curated.size)
+    // and the remediation path is really wired: any affected survivor's
+    // chunks must cover its CLEANED length, not the stored n_chars
+    val affectedKept = kept.filter(cleanedLen.contains)
+    affectedKept.foreach { id =>
+      val maxEnd = built.filter(_._1 == id).map(_._4).max
+      assert(maxEnd == cleanedLen(id),
+        s"doc $id chunks must end at the cleaned length, got $maxEnd vs ${cleanedLen(id)}")
+    }
   }
 
   test("revenue percentiles: discrete positions recompute from a driver-side sort") {
