@@ -194,10 +194,24 @@ object Bench {
     val streamingJson =
       if (noStream) ""
       else streamSection("streaming")(graft.obs.StreamingBench.cdcE2e(spark, sfDir)) +
-        streamSection("streaming_dedup")(graft.obs.StreamingBench.dedupE2e(spark, sfDir))
+        streamSection("streaming_dedup")(graft.obs.StreamingBench.dedupE2e(spark, sfDir)) +
+        streamSection("streaming_ann")(graft.obs.StreamingBench.annE2e(spark, sfDir))
+    // Contention self-flag (r14 VERDICT item 6): the artifact announces its
+    // own invalidity instead of waiting for a postmortem. Two one-sided
+    // signals, either trips it:
+    //  - loadavg_start > 2: sampled BEFORE this JVM does any Spark work, so
+    //    it is purely co-tenant load (the TUNING.md quiet-box bar);
+    //  - loadavg_end > cpus: the end sample includes this bench's own
+    //    executor threads (legitimately ~5-10 on local[32]), so only load
+    //    beyond the JVM's entire core budget is unambiguous co-tenancy.
+    // A false negative is possible (a co-tenant can finish before the end
+    // sample); the flag is evidence of invalidity, never proof of validity —
+    // TUNING.md's arms (b)/(c) still apply to unflagged weak clusters.
+    val loadEnd = loadAvg()
+    val contended = load0 > 2.0 || loadEnd > cpus.toDouble
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""cpu_s":$cp,"gc_ms":$gcq,"jvm_gc_ms_total":$jvmGcMs,""" +
-      s""""loadavg_start":$load0,"loadavg_end":${loadAvg()},""" +
+      s""""loadavg_start":$load0,"loadavg_end":$loadEnd,"contended":$contended,""" +
       s""""shuffle_write_mb":$sh,"spill_mb":$sp,$coldJson$streamingJson"sf":"$sfDir"}"""
     val outPath = if (args.nonEmpty) args(0) else "BENCH.json"
     Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))

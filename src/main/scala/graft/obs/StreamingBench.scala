@@ -118,6 +118,77 @@ object StreamingBench {
     * carries the verdict-row count (== docs probed); the sink counts rows
     * and discards them — sink I/O is not the thing under measurement.
     */
+  /** Streaming-ANN admission throughput (the `streaming_ann` section —
+    * r14 VERDICT item 7): vectors arrive as a bounded parquet file stream
+    * and each micro-batch probes the static corpus LSH index via the REAL
+    * streaming operator ([[graft.streaming.StreamingAnn.admissionStream]]
+    * — the foreachBatch form spec-pinned bit-identical to the batch
+    * `incremental_ann`). Arrival replication mirrors [[dedupE2e]]: every
+    * 10th vector (the incremental-batch convention) replicated
+    * `arrivalCopies` times under fresh vec_ids in bits 40+ (replica ids can
+    * never alias corpus ids or each other), so steady_rows_per_sec measures
+    * the probe join at a per-trigger volume a production admission stream
+    * would see, not trigger overhead. The index is pre-materialized state
+    * (ingest-time work), not per-trigger cost; the sink counts verdict rows
+    * and discards them.
+    */
+  def annE2e(spark: SparkSession, d: String, nFiles: Int = 8,
+      maxFilesPerTrigger: Int = 1, arrivalCopies: Int = 64): StreamStats = {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val base = graft.ops.Scratch.dir("graft_annbench")
+    val in = s"$base/in"
+    val emb = graft.ops.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+    emb.filter(col("vec_id") % 10 === 0)
+      .withColumn("rep", explode(expr(s"sequence(0, ${arrivalCopies - 1})")))
+      .select(
+        (col("vec_id") + shiftleft(col("rep").cast("long"), 40)).as("vec_id"),
+        col("embedding"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(in)
+    val inputRows = spark.read.parquet(in).count()
+    val corpusN = emb.count()
+    val bits = Similarity.adaptiveBits(corpusN)
+    // same stats gate as the batch probe: home rows carry the 64-float
+    // embedding (~300 B each), broadcast only while the index side fits
+    val broadcastIdx = corpusN * Similarity.DefaultTables * 300L < 50L * 1024 * 1024
+    val idxHome = Similarity.indexHome(Similarity.lshIndex(spark, d,
+      Similarity.DefaultTables, bits, Similarity.DefaultProbes, excludeMod = 10)).persist()
+    idxHome.count() // the stored index is pre-materialized state, not per-trigger cost
+
+    val schema = org.apache.spark.sql.Encoders
+      .product[graft.streaming.StreamingAnn.Vec].schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(in).as[graft.streaming.StreamingAnn.Vec]
+    val verdictCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    val t0 = System.nanoTime()
+    val q = graft.streaming.StreamingAnn.admissionStream(stream, idxHome,
+      (df, _) => { verdictCount.addAndGet(df.count()); () },
+      bits = bits, broadcastIdx = broadcastIdx)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toSeq
+    val batches = Option(q.lastProgress).map(_.batchId + 1)
+      .getOrElse(progress.size.toLong)
+    val batchMs = progress.flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+    val (steadyRps, steadyMs) = steadyStats(progress)
+    idxHome.unpersist()
+    StreamStats(
+      inputRows = inputRows,
+      busRows = verdictCount.get(),
+      batches = batches,
+      wallSec = wall,
+      rowsPerSec = if (wall > 0) inputRows / wall else 0.0,
+      avgBatchMs = if (batchMs.nonEmpty) batchMs.sum.toDouble / batchMs.size else 0.0,
+      steadyRowsPerSec = steadyRps,
+      steadyAvgBatchMs = steadyMs)
+  }
+
   def dedupE2e(spark: SparkSession, d: String, nFiles: Int = 8,
       maxFilesPerTrigger: Int = 1, arrivalCopies: Int = 64): StreamStats = {
     import spark.implicits._

@@ -276,6 +276,17 @@ class StreamingSpec extends SparkSuite {
       s"steady-state stats not populated: $st")
   }
 
+  test("StreamingBench admission-ANN stats populate (the streaming_ann section)") {
+    val st = graft.obs.StreamingBench.annE2e(spark, sf, nFiles = 4, maxFilesPerTrigger = 1)
+    assert(st.inputRows > 0, "no stream vectors written")
+    // every arriving vector gets at most k verdict rows (0 if no candidate
+    // shares a probed bucket); some must land for the section to mean much
+    assert(st.busRows > 0, st.toString)
+    assert(st.batches >= 4, s"bounded admission not honored: $st")
+    assert(st.steadyAvgBatchMs > 0 && st.steadyRowsPerSec > 0,
+      s"steady-state stats not populated: $st")
+  }
+
   test("StreamingDedup: per-micro-batch probe equals the batch operator across 2 triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
