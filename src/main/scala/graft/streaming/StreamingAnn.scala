@@ -210,4 +210,26 @@ object StreamingAnn {
     */
   def storeDirFor(spark: SparkSession, d: String, nTables: Int, bits: Int): String =
     AnnStore.path(spark, Similarity.LshKind + "-grow", d, s"$nTables-$bits")
+
+  /** IVF form of [[admissionStream]] — both scale paths now run the full
+    * batch/persisted/incremental/streaming ladder: each micro-batch is
+    * assigned to the PERSISTED centroids and probes `nProbe` cells of the
+    * static assignment-home store via the SAME probe core the oracled
+    * incremental operator runs ([[Similarity.probeIvfTopK]]), so stream
+    * and batch verdicts are bit-identical by construction (spec-pinned).
+    * The centroids ride each task's closure (a few KB) and the home store
+    * broadcasts under the caller's stats gate — per-trigger cost is one
+    * narrow assignment map + one cell-keyed equi-join, candidates
+    * ~nProbe/nCells of the corpus per arriving vector.
+    */
+  def admissionStreamIvf(vecs: Dataset[Vec], idxHome: DataFrame,
+      cents: Array[Array[Float]], sink: (DataFrame, Long) => Unit,
+      nProbe: Int = 24, k: Int = 5,
+      broadcastIdx: Boolean = true): DataStreamWriter[Vec] =
+    vecs.writeStream.foreachBatch { (batch: Dataset[Vec], batchId: Long) =>
+      val cached = batch.persist()
+      try sink(Similarity.probeIvfTopK(cached.toDF(), idxHome, cents,
+        nProbe, k, broadcastIdx), batchId)
+      finally cached.unpersist()
+    }
 }

@@ -77,6 +77,35 @@ class StreamingAnnSpec extends SparkSuite {
       "batch 1 verdict impossibly references a later arrival")
   }
 
+  test("StreamingAnn IVF: per-micro-batch probe equals the batch operator across 2 triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cents = Similarity.ivfCentroids(spark, sf, 64, excludeMod = 10)
+    val idxHome = Similarity.ivfIndexHome(spark, sf, nCells = 64, batchMod = 10)
+    val newVecs = Tables.embeddings(spark, sf)
+      .filter($"vec_id" % 10 === 0)
+      .select($"vec_id", $"embedding").as[StreamingAnn.Vec].collect()
+    assert(newVecs.nonEmpty)
+
+    val stream = MemoryStream[StreamingAnn.Vec]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val q = StreamingAnn.admissionStreamIvf(stream.toDS(), idxHome, cents, (df, _) =>
+      buf.synchronized {
+        buf ++= df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      }).start()
+    // two triggers: the index is static, so top-k must not depend on how
+    // the arrivals are split across micro-batches
+    val (b1, b2) = newVecs.splitAt(newVecs.length / 2)
+    stream.addData(b1.toSeq); q.processAllAvailable()
+    stream.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+
+    val want = Similarity.incrementalIvfTopK(spark, sf, recallQueries = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(buf.toSet == want, s"stream ${buf.size} rows vs batch ${want.size}")
+  }
+
   test("StreamingAnn external store: closed loop, replay-stable, survives a fresh session, compacts") {
     import spark.implicits._
     val store = graft.ops.Scratch.dir("ann_store_ext").toString + "/idx"
