@@ -130,10 +130,14 @@ object StreamingBench {
     * the probe join at a per-trigger volume a production admission stream
     * would see, not trigger overhead. The index is pre-materialized state
     * (ingest-time work), not per-trigger cost; the sink counts verdict rows
-    * and discards them.
+    * and discards them. `arrivalCopies` 256 (not dedup's 64): the
+    * embeddings new-slice is ~16× smaller than the documents one, so the
+    * higher replication puts the two sections at comparable PER-TRIGGER
+    * volume — their steady rows/s then compare like for like instead of
+    * reading trigger overhead amortized over different batch sizes.
     */
   def annE2e(spark: SparkSession, d: String, nFiles: Int = 8,
-      maxFilesPerTrigger: Int = 1, arrivalCopies: Int = 64): StreamStats = {
+      maxFilesPerTrigger: Int = 1, arrivalCopies: Int = 256): StreamStats = {
     import spark.implicits._
     import graft.ops.Similarity
     val base = graft.ops.Scratch.dir("graft_annbench")
