@@ -36,6 +36,21 @@ object Bench {
       math.rint(v * 100) / 100.0
     } catch { case NonFatal(_) => -1.0 }
 
+  /** 5-minute host load average (/proc/loadavg field 2; -1 off-Linux).
+    * The contended-flag's start arm reads THIS, not the 1-minute figure:
+    * the sbt/scalac activity that just launched the bench can push the
+    * 1-minute average past any reasonable bar on an otherwise idle box (a
+    * false self-invalidation), while a brief launcher spike mostly decays
+    * out of the 5-minute window — and the sustained co-tenancy the flag
+    * exists for (r13: a whole round's bench under load) dominates it.
+    */
+  private def loadAvg5(): Double =
+    try {
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim.split("\\s+")
+      math.rint(parts(1).toDouble * 100) / 100.0
+    } catch { case NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default 32 per the bench contract (local[32] on a 32-core box). The
@@ -44,6 +59,7 @@ object Bench {
     // spread over 4 cores. Env override kept for experiments.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val load0 = loadAvg()
+    val load5 = loadAvg5()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -199,19 +215,23 @@ object Bench {
     // Contention self-flag (r14 VERDICT item 6): the artifact announces its
     // own invalidity instead of waiting for a postmortem. Two one-sided
     // signals, either trips it:
-    //  - loadavg_start > 2: sampled BEFORE this JVM does any Spark work, so
-    //    it is purely co-tenant load (the TUNING.md quiet-box bar);
+    //  - loadavg5_start > 2: the 5-minute average sampled before this JVM
+    //    does any Spark work — sustained co-tenant load (the TUNING.md
+    //    quiet-box bar), robust to the launcher's own brief compile spike
+    //    which a 1-minute figure would mislabel as a busy box;
     //  - loadavg_end > cpus: the end sample includes this bench's own
     //    executor threads (legitimately ~5-10 on local[32]), so only load
     //    beyond the JVM's entire core budget is unambiguous co-tenancy.
-    // A false negative is possible (a co-tenant can finish before the end
-    // sample); the flag is evidence of invalidity, never proof of validity —
-    // TUNING.md's arms (b)/(c) still apply to unflagged weak clusters.
+    // A false negative is possible (a co-tenant can start mid-run and end
+    // before the sample); the flag is evidence of invalidity, never proof
+    // of validity — TUNING.md's arms (b)/(c) still apply to unflagged weak
+    // clusters.
     val loadEnd = loadAvg()
-    val contended = load0 > 2.0 || loadEnd > cpus.toDouble
+    val contended = load5 > 2.0 || loadEnd > cpus.toDouble
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""cpu_s":$cp,"gc_ms":$gcq,"jvm_gc_ms_total":$jvmGcMs,""" +
-      s""""loadavg_start":$load0,"loadavg_end":$loadEnd,"contended":$contended,""" +
+      s""""loadavg_start":$load0,"loadavg5_start":$load5,""" +
+      s""""loadavg_end":$loadEnd,"contended":$contended,""" +
       s""""shuffle_write_mb":$sh,"spill_mb":$sp,$coldJson$streamingJson"sf":"$sfDir"}"""
     val outPath = if (args.nonEmpty) args(0) else "BENCH.json"
     Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))

@@ -43,6 +43,33 @@ object StreamingBench {
       if (ms.nonEmpty) totalMs / ms.size else 0.0)
   }
 
+  /** Assemble [[StreamStats]] from a drained query's progress ring — the
+    * one copy of the batches/latency/steady-state derivation all three
+    * bench sections share. `recentProgress` is a ring capped at
+    * numRecentProgressUpdates (100), so the true batch COUNT comes from
+    * the last batchId; avgBatchMs averages over the retained tail — fine
+    * for latency evidence, and exact whenever the run fits the ring (it
+    * does at the bench scales).
+    */
+  private def statsFrom(q: org.apache.spark.sql.streaming.StreamingQuery,
+      wall: Double, inputRows: Long, busRows: Long): StreamStats = {
+    val progress = q.recentProgress.toSeq
+    val batches = Option(q.lastProgress).map(_.batchId + 1)
+      .getOrElse(progress.size.toLong)
+    val batchMs = progress.flatMap(p =>
+      Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+    val (steadyRps, steadyMs) = steadyStats(progress)
+    StreamStats(
+      inputRows = inputRows,
+      busRows = busRows,
+      batches = batches,
+      wallSec = wall,
+      rowsPerSec = if (wall > 0) inputRows / wall else 0.0,
+      avgBatchMs = if (batchMs.nonEmpty) batchMs.sum.toDouble / batchMs.size else 0.0,
+      steadyRowsPerSec = steadyRps,
+      steadyAvgBatchMs = steadyMs)
+  }
+
   /** Serialize a synth [[graft.cdc.CdcRecord]] back to the stream-record
     * wire shape (FIXTURES.md §A1): Keys/Images are nested JSON OBJECTS on
     * the wire, which [[CdcSynth.records]] carries as marshalled strings.
@@ -87,25 +114,7 @@ object StreamingBench {
       maxFilesPerTrigger = maxFilesPerTrigger).start()
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
-    // recentProgress is a ring capped at numRecentProgressUpdates (100), so
-    // the true batch COUNT comes from the last batchId; avgBatchMs is an
-    // average over the retained tail — fine for latency evidence, and exact
-    // whenever the run fits the ring (it does at the bench scales)
-    val progress = q.recentProgress.toSeq
-    val batches = Option(q.lastProgress).map(_.batchId + 1)
-      .getOrElse(progress.size.toLong)
-    val batchMs = progress.flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-    val busRows = spark.read.parquet(s"$base/bus").count()
-    val (steadyRps, steadyMs) = steadyStats(progress)
-    StreamStats(
-      inputRows = inputRows,
-      busRows = busRows,
-      batches = batches,
-      wallSec = wall,
-      rowsPerSec = if (wall > 0) inputRows / wall else 0.0,
-      avgBatchMs = if (batchMs.nonEmpty) batchMs.sum.toDouble / batchMs.size else 0.0,
-      steadyRowsPerSec = steadyRps,
-      steadyAvgBatchMs = steadyMs)
+    statsFrom(q, wall, inputRows, busRows = spark.read.parquet(s"$base/bus").count())
   }
 
   /** Admission-dedup throughput: documents arrive as a bounded file stream
@@ -176,21 +185,8 @@ object StreamingBench {
       .start()
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
-    val progress = q.recentProgress.toSeq
-    val batches = Option(q.lastProgress).map(_.batchId + 1)
-      .getOrElse(progress.size.toLong)
-    val batchMs = progress.flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-    val (steadyRps, steadyMs) = steadyStats(progress)
     idxHome.unpersist()
-    StreamStats(
-      inputRows = inputRows,
-      busRows = verdictCount.get(),
-      batches = batches,
-      wallSec = wall,
-      rowsPerSec = if (wall > 0) inputRows / wall else 0.0,
-      avgBatchMs = if (batchMs.nonEmpty) batchMs.sum.toDouble / batchMs.size else 0.0,
-      steadyRowsPerSec = steadyRps,
-      steadyAvgBatchMs = steadyMs)
+    statsFrom(q, wall, inputRows, busRows = verdictCount.get())
   }
 
   def dedupE2e(spark: SparkSession, d: String, nFiles: Int = 8,
@@ -233,20 +229,7 @@ object StreamingBench {
       .start()
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
-    val progress = q.recentProgress.toSeq
-    val batches = Option(q.lastProgress).map(_.batchId + 1)
-      .getOrElse(progress.size.toLong)
-    val batchMs = progress.flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-    val (steadyRps, steadyMs) = steadyStats(progress)
     indexSh.unpersist()
-    StreamStats(
-      inputRows = inputRows,
-      busRows = verdictCount.get(),
-      batches = batches,
-      wallSec = wall,
-      rowsPerSec = if (wall > 0) inputRows / wall else 0.0,
-      avgBatchMs = if (batchMs.nonEmpty) batchMs.sum.toDouble / batchMs.size else 0.0,
-      steadyRowsPerSec = steadyRps,
-      steadyAvgBatchMs = steadyMs)
+    statsFrom(q, wall, inputRows, busRows = verdictCount.get())
   }
 }

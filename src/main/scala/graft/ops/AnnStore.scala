@@ -63,7 +63,7 @@ object AnnStore {
       .getOrElse(new java.io.File(
         sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_ann_store").getPath)
 
-  private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
+  private[graft] def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Identity of the corpus DATA (not just its path): an FNV-1a fold over
     * the corpus parquet's file names, byte lengths, and modification times.

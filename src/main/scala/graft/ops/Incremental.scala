@@ -213,13 +213,19 @@ object Incremental {
     */
   private[graft] def bloomSketchBytes(spark: SparkSession, d: String): Array[Byte] =
     Memo(spark, s"bloomsketch|$d") {
-      val expected = bloomExpectedItems(spark, d)
+      // params carry only the fpp design point: expectedNumItems is
+      // DATA-derived (bloomExpectedItems — a distributed count), and baking
+      // it into the path would force every fresh session to re-run that
+      // count just to locate the store, costing the orders scan the cache
+      // exists to avoid. The fingerprint already re-keys the path when the
+      // data changes, and the count runs only inside the cold build.
       val stored = AnnStore.loadOrBuild(spark,
-        AnnStore.path(spark, BloomKind, d, s"$expected-p01", corpusTable = "orders")) {
+        AnnStore.path(spark, BloomKind, d, "p01", corpusTable = "orders")) {
         import spark.implicits._
         val bloom = Tables.orders(spark, d)
           .filter(col("o_orderpriority") === "1-URGENT")
-          .stat.bloomFilter("o_orderkey", expectedNumItems = expected, fpp = 0.01)
+          .stat.bloomFilter("o_orderkey",
+            expectedNumItems = bloomExpectedItems(spark, d), fpp = 0.01)
         val bos = new java.io.ByteArrayOutputStream()
         bloom.writeTo(bos)
         Seq(Tuple1(bos.toByteArray)).toDF("sketch")

@@ -46,29 +46,34 @@ object Tables {
       .parquet(s"$d/events.parquet")
 
   /** Ticks of `events.ts` per millisecond (NANOS → 1e6, MICROS → 1e3,
-    * MILLIS → 1), read once per (path, footer-file length, footer-file
-    * mtime) from the parquet FOOTER's logical-type annotation and cached for
-    * the JVM. The cache key carries the footer file's (length, mtime) — the
-    * same metadata-only identity [[AnnStore.corpusFingerprint]] uses — so a
+    * MILLIS → 1), read from the parquet FOOTER's logical-type annotation
+    * and cached for the JVM per (path, root length, root mtime) — the same
+    * metadata-only identity idea as [[AnnStore.corpusFingerprint]] — so a
     * driver that REGENERATES testdata mid-JVM with a different unit (the
-    * exact r14 precedent this accessor defends against) gets a fresh footer
-    * read, never a stale divisor; the stat per call is O(1). Footer-only —
-    * no data pages are touched. A raw INT64 column (no timestamp
-    * annotation) falls back to the original nanos contract.
+    * exact r14 precedent this accessor defends against) gets a fresh
+    * footer read, never a stale divisor; the steady-state cost is ONE stat
+    * per call. Footer-only — no data pages are touched. A raw INT64 column
+    * (no timestamp annotation) falls back to the original nanos contract.
     */
   def tsTicksPerMs(spark: SparkSession, d: String): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
     val fs = root.getFileSystem(conf)
-    val file =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).map(_.getPath)
-          .filter(p => !p.getName.startsWith("_")).minBy(_.getName.toString)
-      else root
-    val st = fs.getFileStatus(file)
-    val key = s"$file|${st.getLen}|${st.getModificationTime}"
+    // ONE stat per call: the cache key carries the ROOT's (isDir, length,
+    // mtime) — a regeneration rewrites the table path (directory mtime
+    // moves when part files are replaced; a single file changes len/mtime),
+    // so staleness is caught without paying the directory LISTING on every
+    // call (that listing is O(part files) — fine once, wrong per-call at an
+    // object-store 100 TB table). The listing + footer read run on miss.
+    val rootSt = fs.getFileStatus(root)
+    val key = s"$root|${rootSt.isDirectory}|${rootSt.getLen}|${rootSt.getModificationTime}"
     tsUnitCache.computeIfAbsent(key, { _ =>
       import org.apache.parquet.schema.LogicalTypeAnnotation
+      val file =
+        if (rootSt.isDirectory)
+          fs.listStatus(root).map(_.getPath)
+            .filter(p => !p.getName.startsWith("_")).minBy(_.getName.toString)
+        else root
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
       val ticks: Long =

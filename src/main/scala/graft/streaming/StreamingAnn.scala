@@ -122,8 +122,9 @@ object StreamingAnn {
     * the probe is unchanged (candidates ~nTables × (1+probes) ×
     * targetBucket per arriving vector). Small per-batch files accumulate —
     * [[compactIndexStore]] is the LSM-style maintenance counterpart. House
-    * the store under [[storeDirFor]] to key it by corpus identity + LSH
-    * generation token like every other persisted ANN artifact.
+    * the store under [[storeDirFor]] to key it by the LSH generation
+    * token (NOT the corpus fingerprint — admitted stream state must
+    * survive a corpus regeneration; see [[storeDirFor]]).
     */
   def admissionStreamExternal(vecs: Dataset[Vec], initialIdxHome: DataFrame,
       storeDir: String, sink: (DataFrame, Long) => Unit,
@@ -203,13 +204,20 @@ object StreamingAnn {
   }
 
   /** Canonical store location for a growing index over corpus `d`: under
-    * the [[AnnStore]] subtree, keyed by corpus identity and the SAME LSH
-    * generation token as the static index ([[Similarity.LshKind]]) — a
-    * hyperplane-recipe change or corpus regeneration moves the path, so a
-    * store hashed with old planes is never probed by new-plane queries.
+    * the [[AnnStore]] root, keyed by the LSH GENERATION TOKEN
+    * ([[Similarity.LshKind]]) and the (nTables, bits) point — and
+    * deliberately NOT by the corpus fingerprint. The store holds STREAM
+    * arrivals, whose home buckets depend only on the fixed hyperplanes: a
+    * hyperplane-recipe change bumps the kind token and moves the path (a
+    * store hashed with old planes is never probed by new-plane queries),
+    * but a corpus REGENERATION must not discard admitted vectors — the
+    * static initial-index side re-keys itself through [[Similarity
+    * .lshIndex]]'s own fingerprinted store; the stream's accumulated state
+    * survives it (the restart-loses-nothing guarantee).
     */
-  def storeDirFor(spark: SparkSession, d: String, nTables: Int, bits: Int): String =
-    AnnStore.path(spark, Similarity.LshKind + "-grow", d, s"$nTables-$bits")
+  def storeDirFor(d: String, nTables: Int, bits: Int): String =
+    s"${AnnStore.root}/${AnnStore.sanitize(d)}-stream/" +
+      s"${Similarity.LshKind}-grow-$nTables-$bits"
 
   /** IVF form of [[admissionStream]] — both scale paths now run the full
     * batch/persisted/incremental/streaming ladder: each micro-batch is

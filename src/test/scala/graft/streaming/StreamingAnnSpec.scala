@@ -106,6 +106,17 @@ class StreamingAnnSpec extends SparkSuite {
     assert(buf.toSet == want, s"stream ${buf.size} rows vs batch ${want.size}")
   }
 
+  test("storeDirFor keys by plane generation + params and is corpus-regeneration-stable") {
+    val p1 = StreamingAnn.storeDirFor(sf, 8, 3)
+    // deterministic (no fingerprint component): the same call must resolve
+    // to the same path even after the corpus is regenerated — admitted
+    // stream vectors' buckets depend only on the fixed hyperplanes
+    assert(p1 == StreamingAnn.storeDirFor(sf, 8, 3))
+    assert(p1.contains(Similarity.LshKind + "-grow-8-3"),
+      s"path must carry the plane generation token + params: $p1")
+    assert(p1 != StreamingAnn.storeDirFor(sf, 8, 4))
+  }
+
   test("StreamingAnn external store: closed loop, replay-stable, survives a fresh session, compacts") {
     import spark.implicits._
     val store = graft.ops.Scratch.dir("ann_store_ext").toString + "/idx"
