@@ -202,6 +202,10 @@ object PlanDoc {
     .replaceAll("\\[codegen id : \\d+\\]", "[codegen id : N]")
     .replaceAll("(?m)^Arguments: \\d+$", "Arguments: N") // AQE stage ordinals
     .replaceAll("/tmp/graft-shredded-events\\d+", "/tmp/graft-shredded-eventsTMP")
+    // AnnStore paths carry the corpus FINGERPRINT (mtime-derived — changes
+    // whenever testdata is regenerated); pin it so store-backed plans diff
+    // only on shape
+    .replaceAll("(graft_ann_store/[A-Za-z0-9._-]*-)[0-9a-f]{6,}(/)", "$1FP$2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
