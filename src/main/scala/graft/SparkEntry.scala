@@ -31,7 +31,7 @@ object SparkEntry {
     "approx_event_stats", "approx_event_stats_check",
     "dedup_minhash_lsh", "dedup_simhash", "simhash_pairs",
     "ann_topk_lsh", "ann_topk_lsh_recall", "incremental_ann",
-    "ivf_topk", "ivf_topk_recall", "incremental_ivf",
+    "ivf_topk", "ivf_topk_recall", "incremental_ivf", "ivf_cell_stats",
     "dedup_embedding",
     // the BPE merge loop has no SQL form (BpeSpec carries the parity gate)
     "bpe_vocab", "bpe_token_counts", "batch_packing_bpe",
@@ -226,6 +226,12 @@ object SparkEntry {
     // old-slice centroids, probes nProbe cells of the persisted assignment
     // store (approx: rows-only; recall_e6 evidence on the panel)
     "incremental_ivf" -> ((s, d) => Similarity.incrementalIvfTopK(s, d)),
+    // IVF cell-health drift monitor: member counts + deterministic mean
+    // member->centroid cosine per cell (approx family: rows-only; spec
+    // pins the partition property and bounds)
+    "ivf_cell_stats" -> ((s, d) => Similarity.ivfCellStats(s, d)),
+    // per-source duplication report over the mined verbatim runs (oracled)
+    "duplication_by_source" -> ((s, d) => Dedup.duplicationBySource(s, d)),
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, withRecallCol = false)), // approx: rows-only
     "ann_topk_lsh_recall" -> ((s, d) => Similarity.annTopK(s, d)), // approx: rows-only
     "ivf_topk_recall" -> ((s, d) => Similarity.ivfTopK(s, d)), // approx: rows-only
@@ -1316,6 +1322,49 @@ object SparkEntry {
         |  md5(c.ct) AS clean_md5
         |FROM clean c JOIN agg a ON c.doc_id = a.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+    "duplication_by_source" ->
+      """WITH docs AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
+        |ps AS (
+        |  SELECT doc_id, i AS pos,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM docs WHERE len(w) >= 5)
+        |),
+        |ok AS (SELECT shingle FROM ps GROUP BY 1 HAVING count(*) BETWEEN 2 AND 64),
+        |m AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+        |  FROM ps x JOIN ps y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  JOIN ok ON x.shingle = ok.shingle
+        |),
+        |isl AS (
+        |  SELECT a, b, pa, pb, pa - pb AS diag,
+        |    pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS island
+        |  FROM m
+        |),
+        |runs AS (
+        |  SELECT b, min(pb) AS start_b, count(*) + 4 AS run_tokens
+        |  FROM isl GROUP BY a, b, diag, island HAVING count(*) >= 10
+        |),
+        |spans AS (SELECT b AS doc_id, start_b AS s, start_b + run_tokens - 1 AS e FROM runs),
+        |ms AS (
+        |  SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mep
+        |  FROM spans
+        |),
+        |isl2 AS (
+        |  SELECT doc_id, s, e, sum(CASE WHEN mep IS NULL OR s > mep + 1 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM ms
+        |),
+        |mg AS (SELECT doc_id, island, min(s) AS s, max(e) AS e FROM isl2 GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(e - s + 1) AS tokens_removed FROM mg GROUP BY 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS docs_affected,
+        |  CAST(sum(len(d.w)) AS BIGINT) AS total_tokens,
+        |  CAST(coalesce(sum(a.tokens_removed), 0) AS BIGINT) AS tokens_removed,
+        |  (CAST(coalesce(sum(a.tokens_removed), 0) AS BIGINT) * 1000000)
+        |    // CAST(sum(len(d.w)) AS BIGINT) AS removed_ppm
+        |FROM docs d LEFT JOIN agg a USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "incremental_dedup" ->
       """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |sh AS (

@@ -218,6 +218,41 @@ object Dedup {
         md5(array_join(col("kept"), " ").cast("binary")).as("clean_md5"))
       .orderBy("doc_id")
 
+  /** Corpus-level duplication REPORT — the monitoring face of the
+    * remediation family: per source, how many documents carry flagged
+    * cross-doc verbatim runs and what fraction of the source's token mass
+    * they remove (`removed_ppm`, integer parts-per-million — exact integer
+    * division, oracle-stable). This is the number a curation team actually
+    * watches ("which scrape is feeding us boilerplate?"), and it certifies
+    * corpus-wide that the remediation accounting sums correctly.
+    *
+    * Scale shape: rides the memoized mined-run set like the rest of the
+    * family; the per-doc token count is one narrow projection; the rollup
+    * is a single hash aggregation on the (tiny) source key.
+    *
+    * @return (source, n_docs, docs_affected, total_tokens, tokens_removed,
+    *         removed_ppm), unique on source
+    */
+  def duplicationBySource(spark: SparkSession, d: String,
+      minRun: Int = 10, maxDf: Int = 64, n: Int = 5): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+    val cleaned = substringClean(spark, d, minRun, maxDf, n)
+      .select(col("doc_id"), col("tokens_removed"))
+    toks.join(cleaned, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("tokens_removed").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("docs_affected"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        coalesce(sum(col("tokens_removed")), lit(0L)).cast("long").as("tokens_removed"))
+      .withColumn("removed_ppm",
+        expr("(tokens_removed * 1000000) div total_tokens"))
+      .orderBy("source")
+  }
+
   /** Cleaned-TEXT view of the remediation — what a composed pipeline feeds
     * downstream ([[graft.ops.TextOps.trainingSetBuild]] chunks it): one
     * `(doc_id, clean_text)` row per AFFECTED doc, `clean_text` the kept

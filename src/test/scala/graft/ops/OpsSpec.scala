@@ -236,6 +236,42 @@ class OpsSpec extends SparkSuite {
     assert(mean >= 600000.0, s"panel mean recall_e6 $mean below the 0.6 floor")
   }
 
+  test("duplication report: totals reconcile with the per-doc remediation output") {
+    import spark.implicits._
+    val rep = Dedup.duplicationBySource(spark, sf).collect()
+    assert(rep.nonEmpty)
+    val srcOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect().toMap
+    val clean = Dedup.substringClean(spark, sf)
+      .select(col("doc_id"), col("tokens_removed")).as[(Long, Long)].collect()
+    val affectedBySrc = clean.groupBy(t => srcOf(t._1))
+      .view.mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    rep.foreach { r =>
+      val (affected, removed) = affectedBySrc.getOrElse(r.getString(0), (0L, 0L))
+      assert(r.getLong(2) == affected, s"${r.getString(0)}: docs_affected")
+      assert(r.getLong(4) == removed, s"${r.getString(0)}: tokens_removed")
+      assert(r.getLong(3) > 0 && r.getLong(1) > 0)
+      assert(r.getLong(5) == removed * 1000000L / r.getLong(3), "removed_ppm arithmetic")
+    }
+    // the report is corpus-complete: every source appears
+    assert(rep.map(_.getString(0)).toSet == srcOf.values.toSet)
+  }
+
+  test("ivf cell stats: cells partition the corpus, sims bounded, deterministic") {
+    val out = Similarity.ivfCellStats(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 64)
+    assert(out.map(_.getLong(1)).sum == Tables.embeddings(spark, sf).count(),
+      "cell member counts must partition the corpus exactly")
+    out.foreach { r =>
+      assert(r.getLong(2) <= 1000000L && r.getLong(2) >= -1000000L,
+        s"mean sim out of cosine range: $r")
+    }
+    // per-row floor-scaling before the integer mean makes the stat
+    // independent of partitioning/summation order: a second run is equal
+    val again = Similarity.ivfCellStats(spark, sf).collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("ivf_topk recall vs brute force; exported recall_e6 matches") {
     val exact = Similarity.bruteForceTopK(spark, sf, nQueries = 8, k = 5)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
