@@ -186,7 +186,22 @@ object PlanDoc {
       "nProbe cells of the persisted assignment-home store — an equi-join on the cell id, " +
       "never new x old; candidates carry embedding+norm on the store rows so the exact " +
       "rerank joins nothing back, and a (qid,cid) pair can appear only once (one cell per " +
-      "cid), so top-k needs no post-rank dedup."))
+      "cid), so top-k needs no post-rank dedup."),
+    "pq_topk" -> ("Product-quantization ANN: the ADC scan reads ONLY the 8-byte code + norm " +
+      "columns (per-query LUTs ride the task closure — m lookups per row, no float vector " +
+      "I/O), the rerankK prune is a rank window through WindowGroupLimit, and the exact " +
+      "rerank broadcasts the tiny candidate set against the corpus on cid — float vectors " +
+      "are touched only for candidates. The quantized payload is 16 B/vector vs 256 B of " +
+      "floats: the index-residency argument at 100 TB."),
+    "ivfpq_topk" -> ("IVFADC composition: the broadcast probe list equi-joins CODE-carrying " +
+      "inverted lists on the cell id (candidates ~ nProbe/nCells of the corpus, 16 B rows), " +
+      "ADC scores them with the same closure LUTs as flat PQ, and only the rerankK survivors " +
+      "reach float vectors — neither a corpus scan nor resident float lists anywhere in the " +
+      "plan."),
+    "epoch_shuffle" -> ("Two-level training shuffle: md5 keys and the hex-digit shard are one " +
+      "narrow projection; the ONLY exchange is the (epoch, shard) window partitioning, so " +
+      "sort parallelism is epochs x shards and no task ever sorts more than corpus/shards " +
+      "rows — the global-row_number single-partition sort never appears."))
 
   /** Strip run-nondeterministic tokens (JVM lambda addresses, object
     * hashes, AQE plan/stage ids, expression ids) so a regenerated PLANS.md

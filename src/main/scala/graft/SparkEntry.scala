@@ -32,6 +32,7 @@ object SparkEntry {
     "dedup_minhash_lsh", "dedup_simhash", "simhash_pairs",
     "ann_topk_lsh", "ann_topk_lsh_recall", "incremental_ann",
     "ivf_topk", "ivf_topk_recall", "incremental_ivf", "ivf_cell_stats",
+    "pq_topk", "ivfpq_topk",
     "dedup_embedding",
     // the BPE merge loop has no SQL form (BpeSpec carries the parity gate)
     "bpe_vocab", "bpe_token_counts", "batch_packing_bpe",
@@ -153,6 +154,9 @@ object SparkEntry {
     "pii_redaction" -> ((s, d) => TextOps.redactPii(s, d)),
     "corpus_curation" -> ((s, d) => TextOps.curateCorpus(s, d)),
     "train_test_split" -> ((s, d) => TextOps.trainTestSplit(s, d)),
+    // per-epoch deterministic training order: md5-keyed two-level shuffle
+    // (shard by first hex digit, order within shard) — never a global sort
+    "epoch_shuffle" -> ((s, d) => TextOps.epochShuffle(s, d)),
     "stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
     "mixture_rebalance" -> ((s, d) => TextOps.mixtureRebalance(s, d)),
     // T5-style temperature sampling at alpha=1/2 (exact integer sqrt)
@@ -235,6 +239,12 @@ object SparkEntry {
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, withRecallCol = false)), // approx: rows-only
     "ann_topk_lsh_recall" -> ((s, d) => Similarity.annTopK(s, d)), // approx: rows-only
     "ivf_topk_recall" -> ((s, d) => Similarity.ivfTopK(s, d)), // approx: rows-only
+    // product-quantization ANN: ADC scan over 16 B/vector code rows + exact
+    // rerank (approx: rows-only; recall_e6 + asim_e6 distortion evidence)
+    "pq_topk" -> ((s, d) => Pq.pqTopK(s, d)),
+    // IVF-PQ composition (IVFADC): cell prune over code-carrying inverted
+    // lists + shared ADC ranking + exact rerank (approx: rows-only)
+    "ivfpq_topk" -> ((s, d) => Pq.ivfpqTopK(s, d)),
     // embedding-cosine near-dup at scale (LSH candidates + exact rerank);
     // cosine_pairs is its bounded exact baseline
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)) // approx: rows-only
@@ -1452,6 +1462,23 @@ object SparkEntry {
         |  CASE WHEN ((cluster_id % 2147483648) * 2654435761) % 4294967296 % 100 < 90
         |       THEN 'train' ELSE 'test' END AS split
         |FROM labeled ORDER BY doc_id""".stripMargin,
+    "epoch_shuffle" ->
+      """WITH e AS (
+        |  SELECT d.doc_id, ep.epoch
+        |  FROM documents d CROSS JOIN (SELECT unnest(range(0, 2)) AS epoch) ep
+        |), k AS (
+        |  SELECT doc_id, epoch, md5(concat_ws(':', 'ep', epoch, doc_id)) AS skey
+        |  FROM e
+        |), s AS (
+        |  SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, skey,
+        |    CAST(instr('0123456789abcdef', substr(skey, 1, 1)) - 1 AS BIGINT) AS shard
+        |  FROM k
+        |)
+        |SELECT epoch, shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY skey, doc_id) AS BIGINT) AS pos,
+        |  doc_id
+        |FROM s
+        |ORDER BY epoch, shard, pos""".stripMargin,
     "source_caps" ->
       """SELECT doc_id, source, CAST(rnk AS BIGINT) AS src_rank FROM (
         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source

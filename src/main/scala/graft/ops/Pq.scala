@@ -1,0 +1,364 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization (PQ) ANN — the third scale path next to LSH and IVF,
+  * completing the standard coarse-quantization family: split the embedding
+  * space into `m` subspaces, train a tiny k-means codebook per subspace on a
+  * bounded sample, and encode every corpus vector as `m` sub-cell ids packed
+  * into ONE BIGINT. Query-time ranking is an ADC (asymmetric distance
+  * computation) scan: per query, precompute a (m x ksub) lookup table of
+  * query-subvector . sub-centroid dots, then score every code with `m` table
+  * lookups — no float vector is touched until the exact rerank of the
+  * surviving candidates.
+  *
+  * WHY this exists next to LSH/IVF: the 100 TB problem PQ solves is INDEX
+  * RESIDENCY. A 64-dim float corpus is 256 B/vector; the default PQ8x4 code
+  * + stored norm is 16 B/vector (8 B packed code + 8 B double norm — a
+  * production trim stores the norm as float4 for 12 B; 16x smaller either
+  * way, and the ranked scan reads only the 8-byte code column) — the
+  * difference between an index that fits executor memory fleet-wide and one
+  * that doesn't. The ADC scan is still O(n) per
+  * query — at billion scale it composes with the IVF cell prune
+  * ([[Similarity.ivfTopK]]'s inverted lists carrying codes instead of
+  * vectors, the FAISS IVFPQ layout) — but its per-row cost is m integer
+  * shifts + m array reads vs 64 FMAs + 256 B of column I/O for brute force.
+  *
+  * Everything is deterministic and AnnStore-persisted like the other ANN
+  * artifacts: sample-trained codebooks ([[BookKind]]) and the encoded corpus
+  * ([[CodesKind]]) are ingest-time work a fresh query session LOADS;
+  * generation token `km1` covers the shared k-means recipe
+  * ([[Similarity.kmeans]]), `p4` the bit-packing layout below. Approximate —
+  * recall_e6 evidence vs [[Similarity.bruteForceTopK]] rides the result,
+  * and PqSpec pins codebook determinism, code-domain bounds, rerank
+  * exactness, a recall floor, and the fresh-session load path.
+  */
+object Pq {
+
+  private[graft] val BookKind = "pqbook-v1-km1"
+  private[graft] val CodesKind = "pqcodes-v1-km1p4"
+
+  /** Codebooks as [m][ksub][dsub]: per subspace, `ksub` centroids over the
+    * `dsub = dim/m` slice. Trained on the SAME deterministic bounded sample
+    * recipe as [[Similarity.ivfCentroids]] (xxhash64-ordered ids, fixed
+    * iteration count) — training never touches the full corpus.
+    */
+  def codebooks(spark: SparkSession, d: String, m: Int = 8, ksub: Int = 16,
+      sampleN: Int = 4096, iters: Int = 10): Array[Array[Array[Float]]] =
+    Memo(spark, s"pqbook|$d|$m|$ksub|$sampleN|$iters") {
+      import spark.implicits._
+      val stored = AnnStore.loadOrBuild(spark,
+        AnnStore.path(spark, BookKind, d, s"$m-$ksub-$sampleN-$iters")) {
+        val sample = Tables.embeddings(spark, d)
+          .select(col("vec_id"), col("embedding"))
+          .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+          .limit(sampleN)
+          .as[(Long, Array[Float])].collect().map(_._2)
+        val dim = sample.head.length
+        require(dim % m == 0, s"PQ needs dim ($dim) divisible by m ($m)")
+        val dsub = dim / m
+        (0 until m).flatMap { s0 =>
+          val sub = sample.map(v =>
+            java.util.Arrays.copyOfRange(v, s0 * dsub, (s0 + 1) * dsub))
+          Similarity.kmeans(sub, math.min(ksub, sub.length), iters)
+            .zipWithIndex.map { case (c, i) => (s0, i, c) }
+        }.toDF("sub", "cell", "centroid")
+      }
+      stored.as[(Int, Int, Array[Float])].collect()
+        .groupBy(_._1).toArray.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3))
+    }
+
+  /** log2(ksub), the per-subspace code width; PQ packs `m * bits` into one
+    * long, so `ksub` must be a power of two and the product at most 64.
+    */
+  private def codeBits(m: Int, ksub: Int): Int = {
+    require(ksub >= 2 && (ksub & (ksub - 1)) == 0, s"ksub must be a power of 2, got $ksub")
+    val bits = java.lang.Integer.numberOfTrailingZeros(ksub)
+    require(m * bits <= 64, s"code m=$m x $bits bits exceeds one long")
+    bits
+  }
+
+  /** Nearest sub-centroid of `x[off, off+dsub)` — the encode inner loop,
+    * indexing the parent array in place (no per-subspace slice allocation).
+    */
+  private def nearestSub(x: Array[Float], off: Int, cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var dist = 0.0
+      var j = 0
+      while (j < ct.length) {
+        val diff = x(off + j) - ct(j)
+        dist += diff * diff
+        j += 1
+      }
+      if (dist < bestD) { bestD = dist; best = c } // ties keep lowest index
+      c += 1
+    }
+    best
+  }
+
+  /** The encoded corpus: one (vec_id, code BIGINT, nrm DOUBLE) row per
+    * vector — sub-cell `s` occupies bits `[s*bits, (s+1)*bits)`. One narrow
+    * map with the codebooks riding the task closure (m x ksub x dsub floats,
+    * a few KB); [[AnnStore]]-persisted so query sessions load 16 B/vector
+    * instead of re-encoding the corpus.
+    */
+  def codes(spark: SparkSession, d: String, m: Int = 8, ksub: Int = 16,
+      sampleN: Int = 4096, iters: Int = 10): DataFrame =
+    Memo(spark, s"pqcodes|$d|$m|$ksub|$sampleN|$iters") {
+      import spark.implicits._
+      val books = codebooks(spark, d, m, ksub, sampleN, iters)
+      val bits = codeBits(m, ksub)
+      val dsub = books(0)(0).length
+      AnnStore.loadOrBuild(spark,
+        AnnStore.path(spark, CodesKind, d, s"$m-$ksub-$sampleN-$iters")) {
+        Similarity.withNorm(Tables.embeddings(spark, d))
+          .select(col("vec_id"), col("embedding"), col("nrm"))
+          .as[(Long, Array[Float], Double)]
+          .map { case (id, e, n) =>
+            var code = 0L
+            var s0 = 0
+            while (s0 < m) {
+              code |= nearestSub(e, s0 * dsub, books(s0)).toLong << (s0 * bits)
+              s0 += 1
+            }
+            (id, code, n)
+          }
+          .toDF("vec_id", "code", "nrm")
+      }.persist()
+    }
+
+  /** The collected (bounded) query set with norms, id-ordered. */
+  private def querySet(spark: SparkSession, d: String,
+      nQueries: Int): Array[(Long, Array[Float], Double)] = {
+    import spark.implicits._
+    Similarity.withNorm(
+      Tables.embeddings(spark, d).filter(col("vec_id") < nQueries))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
+  }
+
+  /** Per-query ADC lookup tables: (qid, qn, flat m x ksub array of
+    * query-subvector . sub-centroid dots). nQueries x m x ksub doubles —
+    * a few KB riding the task closure.
+    */
+  private def buildLuts(qs: Array[(Long, Array[Float], Double)],
+      books: Array[Array[Array[Float]]], m: Int,
+      ksub: Int): Array[(Long, Double, Array[Double])] = {
+    val dsub = books(0)(0).length
+    qs.map { case (qid, qe, qn) =>
+      val lut = new Array[Double](m * ksub)
+      var s0 = 0
+      while (s0 < m) {
+        val cents = books(s0)
+        var c = 0
+        while (c < cents.length) {
+          val ct = cents(c)
+          var acc = 0.0
+          var j = 0
+          while (j < dsub) { acc += qe(s0 * dsub + j).toDouble * ct(j); j += 1 }
+          lut(s0 * ksub + c) = acc
+          c += 1
+        }
+        s0 += 1
+      }
+      (qid, qn, lut)
+    }
+  }
+
+  /** Exact rerank of an ADC candidate frame (qid, cid, asim): broadcast the
+    * tiny candidate set against the float corpus on cid, compute the exact
+    * cosine, keep top-k per query. Shared by [[pqTopK]] and [[ivfpqTopK]] —
+    * float vectors are touched ONLY here, for candidates.
+    */
+  private def exactRerank(spark: SparkSession, d: String, cand: DataFrame,
+      nQueries: Int, k: Int): DataFrame = {
+    val emb = Similarity.withNorm(Tables.embeddings(spark, d))
+    val qdf = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val ce = emb
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim_e6"), asc("cid"))
+    broadcast(cand).join(ce, "cid").join(broadcast(qdf), "qid")
+      .withColumn("sim_e6",
+        floor(graft.functions.VectorFunctions.dot_product(col("qe"), col("ce"))
+          / (col("qn") * col("cn")) * lit(1000000.0)).cast("long"))
+      .withColumn("asim_e6", floor(col("asim") * lit(1000000.0)).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("sim_e6"), col("asim_e6"))
+  }
+
+  /** PQ top-k for the standard query set: ADC scan over the encoded corpus
+    * ranks every candidate approximately, the top `rerankK` per query are
+    * reranked EXACTLY against the float corpus, and recall_e6 evidence vs
+    * the brute-force top-k rides the first `recallQueries` queries.
+    *
+    * Scan shape: the per-query LUTs (nQueries x m x ksub doubles, ~8 KB at
+    * the defaults) are built driver-side from the bounded query set and ride
+    * the task closure; the scan is ONE narrow pass over the (vec_id, code,
+    * nrm) columns emitting (qid, cid, asim) rows whose per-row cost is m
+    * shifted lookups. The `rerankK` prune is a rank window — Spark's
+    * WindowGroupLimit keeps only locally-rankable rows per map partition, so
+    * the exchange carries ~partitions x qids x rerankK rows, never the n x
+    * nQueries scan output. The exact rerank joins the ~nQueries x rerankK
+    * survivors (broadcast) against the corpus on cid — the expensive float
+    * I/O touches only candidates.
+    *
+    * asim_e6 rides next to sim_e6 as evidence of the quantization
+    * distortion the rerank corrects (PqSpec bounds rank correlation via the
+    * recall floor; the exported sim_e6 itself is exact, same convention as
+    * every LSH/IVF export).
+    */
+  def pqTopK(spark: SparkSession, d: String, k: Int = 5, nQueries: Int = 8,
+      m: Int = 8, ksub: Int = 16, rerankK: Int = 64,
+      recallQueries: Int = 8): DataFrame = {
+    val topk = Memo(spark, s"pqtopk|$d|$k|$nQueries|$m|$ksub|$rerankK") {
+      import spark.implicits._
+      val books = codebooks(spark, d, m, ksub)
+      val enc = codes(spark, d, m, ksub)
+      val bits = codeBits(m, ksub)
+      val mask = ksub - 1
+      val luts = buildLuts(querySet(spark, d, nQueries), books, m, ksub)
+      val approx = enc
+        .as[(Long, Long, Double)]
+        .flatMap { case (cid, code, cn) =>
+          luts.iterator.filter(_._1 != cid).map { case (qid, qn, lut) =>
+            var acc = 0.0
+            var s0 = 0
+            while (s0 < m) {
+              acc += lut(s0 * ksub + ((code >>> (s0 * bits)) & mask).toInt)
+              s0 += 1
+            }
+            (qid, cid, acc / (qn * cn))
+          }
+        }
+        .toDF("qid", "cid", "asim")
+      val aw = Window.partitionBy(col("qid")).orderBy(desc("asim"), asc("cid"))
+      val cand = approx
+        .withColumn("arank", row_number().over(aw))
+        .filter(col("arank") <= rerankK)
+        .select(col("qid"), col("cid"), col("asim"))
+      exactRerank(spark, d, cand, nQueries, k).persist()
+    }
+    if (recallQueries <= 0) topk.orderBy("qid", "rank")
+    else Similarity.withRecall(topk, spark, d, recallQueries, k)
+      // unmeasured queries carry NULL, never a fake 0 (same mask as annTopK)
+      .withColumn("recall_e6",
+        when(col("qid") < recallQueries, col("recall_e6")))
+      .select(col("qid"), col("rank"), col("cid"), col("sim_e6"),
+        col("asim_e6"), col("recall_e6"))
+      .orderBy("qid", "rank")
+  }
+
+  /** IVF inverted lists carrying PQ CODES — the IVFADC layout: one
+    * (cell, cid, code, cn) row per corpus vector at its assigned coarse
+    * cell, 16 B of payload instead of the 256 B embedding the
+    * embedding-carrying home store pays. Cell assignment and PQ encode
+    * happen in ONE narrow map (centroids + codebooks ride the closure);
+    * [[AnnStore]]-persisted, params pin BOTH quantizers' full identity.
+    */
+  private[graft] val IvfPqKind = "ivfpqhome-v1-km1p4"
+
+  private[graft] def ivfpqHome(spark: SparkSession, d: String, nCells: Int,
+      m: Int, ksub: Int, sampleN: Int = 4096, iters: Int = 10): DataFrame =
+    Memo(spark, s"ivfpqhome|$d|$nCells|$m|$ksub|$sampleN|$iters") {
+      import spark.implicits._
+      val cents = Similarity.ivfCentroids(spark, d, nCells, sampleN, iters)
+      val books = codebooks(spark, d, m, ksub, sampleN, iters)
+      val bits = codeBits(m, ksub)
+      val dsub = books(0)(0).length
+      AnnStore.loadOrBuild(spark,
+        AnnStore.path(spark, IvfPqKind, d, s"$nCells-$m-$ksub-$sampleN-$iters")) {
+        Similarity.withNorm(Tables.embeddings(spark, d))
+          .select(col("vec_id"), col("embedding"), col("nrm"))
+          .as[(Long, Array[Float], Double)]
+          .map { case (id, e, n) =>
+            var code = 0L
+            var s0 = 0
+            while (s0 < m) {
+              code |= nearestSub(e, s0 * dsub, books(s0)).toLong << (s0 * bits)
+              s0 += 1
+            }
+            (Similarity.nearestCentroid(e, cents), id, code, n)
+          }
+          .toDF("cell", "cid", "code", "cn")
+      }.persist()
+    }
+
+  /** IVF-PQ top-k — the composition that survives BILLION-vector scale,
+    * where neither parent suffices alone: plain IVF's inverted lists carry
+    * full float vectors (residency problem), plain PQ's ADC scan is O(n)
+    * per query (scan problem). Here each query probes its `nProbe` nearest
+    * coarse cells (the IVF prune: candidates ~ nProbe/nCells of the
+    * corpus), candidates arrive as 16 B code rows scored by the SAME ADC
+    * lookup tables as [[pqTopK]], and the exact rerank touches float
+    * vectors only for the `rerankK` survivors. FAISS's IVFADC recipe,
+    * minus residual encoding (codes quantize the raw vectors, shared with
+    * the flat-PQ store; the residual refinement is a codebook change under
+    * a new generation token, not a plan change).
+    *
+    * Composition gate (PqSpec): with `nProbe = nCells` the cell prune
+    * admits everything, so the result must equal [[pqTopK]] at the same
+    * rerankK row-for-row — candidate generation is the ONLY approximation
+    * either path adds on top of the shared quantizer.
+    *
+    * Scale shape: the probe list (nQueries x nProbe rows) broadcasts into
+    * a cell-keyed equi-join against the code-carrying lists — never
+    * query x corpus; a cid lives in exactly one cell so no post-rank
+    * dedup; recall_e6 evidence rides the panel as everywhere.
+    */
+  def ivfpqTopK(spark: SparkSession, d: String, k: Int = 5, nQueries: Int = 8,
+      nCells: Int = 64, nProbe: Int = 24, m: Int = 8, ksub: Int = 16,
+      rerankK: Int = 64, recallQueries: Int = 8): DataFrame = {
+    val topk = Memo(spark, s"ivfpqtopk|$d|$k|$nQueries|$nCells|$nProbe|$m|$ksub|$rerankK") {
+      import spark.implicits._
+      val cents = Similarity.ivfCentroids(spark, d, nCells)
+      val books = codebooks(spark, d, m, ksub)
+      val bits = codeBits(m, ksub)
+      val mask = ksub - 1
+      val qs = querySet(spark, d, nQueries)
+      val luts = buildLuts(qs, books, m, ksub).map(l => l._1 -> ((l._2, l._3))).toMap
+      // driver-side probe lists for the bounded query set (the incremental
+      // IVF path does the same assignment executor-side for large batches)
+      val probes = qs.flatMap { case (qid, qe, _) =>
+        Similarity.nearestCentroids(qe, cents, nProbe).map(c => (c, qid))
+      }.toSeq.toDF("cell", "qid")
+      val home = ivfpqHome(spark, d, nCells, m, ksub)
+      val cand = home.join(broadcast(probes), Seq("cell"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), col("code"), col("cn"))
+        .as[(Long, Long, Long, Double)]
+        .map { case (qid, cid, code, cn) =>
+          val (qn, lut) = luts(qid)
+          var acc = 0.0
+          var s0 = 0
+          while (s0 < m) {
+            acc += lut(s0 * ksub + ((code >>> (s0 * bits)) & mask).toInt)
+            s0 += 1
+          }
+          (qid, cid, acc / (qn * cn))
+        }
+        .toDF("qid", "cid", "asim")
+      val aw = Window.partitionBy(col("qid")).orderBy(desc("asim"), asc("cid"))
+      val pruned = cand
+        .withColumn("arank", row_number().over(aw))
+        .filter(col("arank") <= rerankK)
+        .select(col("qid"), col("cid"), col("asim"))
+      exactRerank(spark, d, pruned, nQueries, k).persist()
+    }
+    if (recallQueries <= 0) topk.orderBy("qid", "rank")
+    else Similarity.withRecall(topk, spark, d, recallQueries, k)
+      .withColumn("recall_e6",
+        when(col("qid") < recallQueries, col("recall_e6")))
+      .select(col("qid"), col("rank"), col("cid"), col("sim_e6"),
+        col("asim_e6"), col("recall_e6"))
+      .orderBy("qid", "rank")
+  }
+}

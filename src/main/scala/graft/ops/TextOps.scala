@@ -192,6 +192,41 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic per-epoch training order — the global-shuffle step every
+    * epoch of a training run needs, in the two-level form that survives
+    * 100 TB: each (epoch, doc) gets an md5 shuffle key, documents are
+    * SHARDED by the key's first hex digit, and the order within a shard is
+    * the key order. A data loader replays epoch `e` as shards round-robin
+    * (or in any order) reading each shard by `pos` — the standard
+    * shard-shuffle + intra-shard-order layout (what sharded dataset formats
+    * do on disk).
+    *
+    * Why not ONE global row_number: a window ordered over the whole corpus
+    * is a single-partition sort — the textbook scale-killer. Here every
+    * window partition is (epoch, shard), so the sort parallelism is
+    * epochs x nShards and each task sorts corpus/nShards rows; production
+    * widens the shard key to more hex digits (2 -> 256 shards, 4 -> 65k)
+    * as the corpus grows. No RNG anywhere: re-running any epoch on any
+    * cluster yields the identical order (md5 has one implementation
+    * everywhere — the same cross-engine argument as [[knuthBucket]], with
+    * string output instead of modular arithmetic, which is what lets the
+    * DuckDB oracle replay the full shuffle hash-for-hash).
+    */
+  def epochShuffle(spark: SparkSession, d: String, epochs: Int = 2): DataFrame = {
+    require(epochs >= 1, "need at least one epoch")
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("skey"), col("doc_id"))
+    Tables.documents(spark, d)
+      .select(col("doc_id"))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(epochs - 1L))))
+      .withColumn("skey", md5(concat_ws(":", lit("ep"), col("epoch"), col("doc_id"))))
+      .withColumn("shard",
+        (instr(lit("0123456789abcdef"), substring(col("skey"), 1, 1)) - 1).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+      .orderBy("epoch", "shard", "pos")
+  }
+
   /** Deterministic stratified sampling — eval-set construction at corpus
     * scale: per-stratum (language) keep-rates, applied through the same
     * exact-integer Knuth hash as [[trainTestSplit]] (mod-2^31 pre-reduction,

@@ -337,6 +337,34 @@ class OpsSpec extends SparkSuite {
     assert(trainFrac > 0.75 && trainFrac < 0.98, s"train fraction $trainFrac off target")
   }
 
+  test("epoch shuffle: per-epoch permutation, contiguous shard positions, epochs differ") {
+    import spark.implicits._
+    val rows = TextOps.epochShuffle(spark, sf)
+      .as[(Long, Long, Long, Long)].collect() // (epoch, shard, pos, doc_id)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == 2 * nDocs, "each epoch visits every document once")
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L))
+    val allDocs = Tables.documents(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    byEpoch.values.foreach { ep =>
+      assert(ep.map(_._4).toSet == allDocs, "an epoch is a permutation of the corpus")
+      // positions within each shard are contiguous 1..n — a loader can
+      // stream a shard by pos with no gaps
+      ep.groupBy(_._2).values.foreach { sh =>
+        assert(sh.map(_._3).sorted.toSeq == (1L to sh.length).toSeq)
+      }
+    }
+    // different epochs yield different orders (md5 keyed by epoch): compare
+    // the doc sequence in (shard, pos) order
+    def order(ep: Array[(Long, Long, Long, Long)]): Seq[Long] =
+      ep.sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    assert(order(byEpoch(0L)) != order(byEpoch(1L)), "epochs must reshuffle")
+    // determinism: a second evaluation is identical
+    val again = TextOps.epochShuffle(spark, sf).as[(Long, Long, Long, Long)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("clusterPairs: transitive chains land in one component (min label)") {
     import spark.implicits._
     // chain 1-2-3 (no direct 1-3 edge), isolated pair 10-11, pair 5-20
