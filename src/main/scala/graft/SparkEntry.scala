@@ -32,7 +32,7 @@ object SparkEntry {
     "dedup_minhash_lsh", "dedup_simhash", "simhash_pairs",
     "ann_topk_lsh", "ann_topk_lsh_recall", "incremental_ann",
     "ivf_topk", "ivf_topk_recall", "incremental_ivf", "ivf_cell_stats",
-    "pq_topk", "ivfpq_topk",
+    "pq_topk", "ivfpq_topk", "ann_method_panel",
     "dedup_embedding",
     // the BPE merge loop has no SQL form (BpeSpec carries the parity gate)
     "bpe_vocab", "bpe_token_counts", "batch_packing_bpe",
@@ -245,6 +245,9 @@ object SparkEntry {
     // IVF-PQ composition (IVFADC): cell prune over code-carrying inverted
     // lists + shared ADC ranking + exact rerank (approx: rows-only)
     "ivfpq_topk" -> ((s, d) => Pq.ivfpqTopK(s, d)),
+    // cross-method recall panel (lsh/ivf/pq/ivfpq vs shared brute force) —
+    // the method-choice monitor (approx family: rows-only)
+    "ann_method_panel" -> ((s, d) => Pq.annMethodPanel(s, d)),
     // embedding-cosine near-dup at scale (LSH candidates + exact rerank);
     // cosine_pairs is its bounded exact baseline
     "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)) // approx: rows-only

@@ -361,4 +361,36 @@ object Pq {
         col("asim_e6"), col("recall_e6"))
       .orderBy("qid", "rank")
   }
+
+  /** Cross-method ANN quality panel — the monitoring face of the whole
+    * similarity family (the analogue of [[Similarity.ivfCellStats]] for
+    * method choice rather than index drift): per approximate path
+    * (lsh / ivf / pq / ivfpq), the measured-panel query count and the
+    * mean/min per-query recall_e6 vs the shared exact brute force. This is
+    * the number an operator watches to pick (or demote) a method as the
+    * corpus and its distribution grow — recall decay shows up here before
+    * it shows up in product metrics.
+    *
+    * One row per qid enters each aggregate (recall_e6 rides duplicated on
+    * every rank row — distinct'd first); means are integer `div` over the
+    * e6 sums, deterministic under any partitioning. Every input is the
+    * session-memoized operator result, so the panel costs four ~40-row
+    * aggregations on top of work the bench/verify run already did.
+    */
+  def annMethodPanel(spark: SparkSession, d: String): DataFrame = {
+    def summarize(df: DataFrame, method: String): DataFrame =
+      df.filter(col("recall_e6").isNotNull)
+        .select(col("qid"), col("recall_e6")).distinct()
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("recall_e6")).cast("long").as("recall_e6_sum"),
+          min(col("recall_e6")).as("min_recall_e6"))
+        .select(lit(method).as("method"), col("n_queries"),
+          expr("recall_e6_sum div n_queries").as("mean_recall_e6"),
+          col("min_recall_e6"))
+    summarize(Similarity.annTopK(spark, d), "lsh")
+      .unionAll(summarize(Similarity.ivfTopK(spark, d), "ivf"))
+      .unionAll(summarize(pqTopK(spark, d), "pq"))
+      .unionAll(summarize(ivfpqTopK(spark, d), "ivfpq"))
+      .orderBy("method")
+  }
 }

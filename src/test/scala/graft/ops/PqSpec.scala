@@ -121,6 +121,26 @@ class PqSpec extends SparkSuite {
     assert(r2.toSeq == r1.toSeq)
   }
 
+  test("ann method panel: all four methods, sane bounds, means match the sources") {
+    val rows = Pq.annMethodPanel(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("method")).toSeq ==
+      Seq("ivf", "ivfpq", "lsh", "pq"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_queries") == 8L, "default panel is 8 queries")
+      val mean = r.getAs[Long]("mean_recall_e6")
+      val mn = r.getAs[Long]("min_recall_e6")
+      assert(mean >= 0L && mean <= 1000000L)
+      assert(mn >= 0L && mn <= mean, "min cannot exceed the mean")
+    }
+    // cross-check one method's mean against an independent recomputation
+    val pqRows = Pq.pqTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("recall_e6"))).distinct
+    val expect = pqRows.map(_._2).sum / pqRows.length
+    val got = rows.find(_.getAs[String]("method") == "pq").get
+      .getAs[Long]("mean_recall_e6")
+    assert(got == expect)
+  }
+
   test("fresh-session pqTopK loads the published codebooks+codes, bit-identical") {
     // non-default parameter point: no other suite can have pre-warmed it
     val before = AnnStore.buildCount.get()
