@@ -33,7 +33,7 @@ object SparkEntry {
     "ann_topk_lsh", "ann_topk_lsh_recall", "incremental_ann",
     "ivf_topk", "ivf_topk_recall", "incremental_ivf", "ivf_cell_stats",
     "pq_topk", "ivfpq_topk", "ann_method_panel",
-    "dedup_embedding",
+    "dedup_embedding", "rrf_fusion_ann",
     // the BPE merge loop has no SQL form (BpeSpec carries the parity gate)
     "bpe_vocab", "bpe_token_counts", "batch_packing_bpe",
     // engine-specific quantile sketch; error-evidence columns + spec bound
@@ -250,7 +250,13 @@ object SparkEntry {
     "ann_method_panel" -> ((s, d) => Pq.annMethodPanel(s, d)),
     // embedding-cosine near-dup at scale (LSH candidates + exact rerank);
     // cosine_pairs is its bounded exact baseline
-    "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)) // approx: rows-only
+    "dedup_embedding" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)), // approx: rows-only
+    // hybrid retrieval: reciprocal-rank fusion of the exact lexical
+    // (n-gram Jaccard) and exact semantic (cosine) rankings — integer
+    // rank-space fusion, hash-oracled end to end
+    "rrf_fusion" -> ((s, d) => Retrieval.rrfFusion(s, d)),
+    // same fusion core over the ANN semantic list (approx: rows-only)
+    "rrf_fusion_ann" -> ((s, d) => Retrieval.rrfFusionAnn(s, d))
   )
 
   /** Shared DuckDB CTE reconstructing the synthesized CDC pairing + depth-1+
@@ -1917,6 +1923,70 @@ object SparkEntry {
         |  CAST(floor(list_dot_product(x.e, y.e) / (x.nrm * y.nrm) * 1000000.0) AS BIGINT) AS sim_e6
         |FROM emb x JOIN emb y ON x.vec_id < y.vec_id
         |WHERE CAST(floor(list_dot_product(x.e, y.e) / (x.nrm * y.nrm) * 1000000.0) AS BIGINT) >= 300000
-        |ORDER BY a, b""".stripMargin
+        |ORDER BY a, b""".stripMargin,
+    // hybrid retrieval: DuckDB replays BOTH rankings (distinct word-5-gram
+    // Jaccard with the df<=256 stop-shingle cap; floor-e6 cosine) and the
+    // integer RRF fusion — every score is exact integer arithmetic, so the
+    // full fused ranking hash-matches
+    "rrf_fusion" ->
+      """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 3), i ->
+        |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+        |    FROM docs WHERE len(w) >= 5
+        |  )
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |allowed AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 256),
+        |inter AS (
+        |  SELECT q.doc_id AS qid, c.doc_id AS cid, count(*) AS n_common
+        |  FROM (SELECT s.doc_id, s.shingle FROM sh s JOIN allowed a ON s.shingle = a.shingle
+        |        WHERE s.doc_id < 8) q
+        |  JOIN (SELECT s.doc_id, s.shingle FROM sh s JOIN allowed a ON s.shingle = a.shingle) c
+        |    ON q.shingle = c.shingle AND q.doc_id <> c.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |lex AS (
+        |  SELECT qid, cid, lex_rank FROM (
+        |    SELECT qid, cid,
+        |      CAST(row_number() OVER (PARTITION BY qid ORDER BY j_e9 DESC, cid) AS BIGINT) AS lex_rank
+        |    FROM (
+        |      SELECT qid, cid,
+        |        (n_common * 1000000000) // (sq.n_sh + sc.n_sh - n_common) AS j_e9
+        |      FROM inter JOIN sizes sq ON inter.qid = sq.doc_id
+        |                 JOIN sizes sc ON inter.cid = sc.doc_id
+        |    )
+        |  ) WHERE lex_rank <= 20
+        |),
+        |emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |),
+        |sem AS (
+        |  SELECT qid, cid, sem_rank FROM (
+        |    SELECT qid, cid,
+        |      CAST(row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, cid) AS BIGINT) AS sem_rank
+        |    FROM (
+        |      SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |        CAST(floor(list_dot_product(q.e, c.e) / (q.nrm * c.nrm) * 1000000.0) AS BIGINT) AS sim_e6
+        |      FROM emb q JOIN emb c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+        |    )
+        |  ) WHERE sem_rank <= 20
+        |),
+        |fused AS (
+        |  SELECT COALESCE(s.qid, l.qid) AS qid, COALESCE(s.cid, l.cid) AS cid,
+        |    s.sem_rank, l.lex_rank,
+        |    COALESCE(1000000000 // (60 + s.sem_rank), 0)
+        |      + COALESCE(1000000000 // (60 + l.lex_rank), 0) AS rrf_score
+        |  FROM sem s FULL JOIN lex l ON s.qid = l.qid AND s.cid = l.cid
+        |)
+        |SELECT qid, rank, cid, CAST(rrf_score AS BIGINT) AS rrf_score,
+        |  CAST(sem_rank AS BIGINT) AS sem_rank, CAST(lex_rank AS BIGINT) AS lex_rank
+        |FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, cid) AS BIGINT) AS rank
+        |  FROM fused
+        |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   )
 }
