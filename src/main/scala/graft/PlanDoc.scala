@@ -201,7 +201,23 @@ object PlanDoc {
     "epoch_shuffle" -> ("Two-level training shuffle: md5 keys and the hex-digit shard are one " +
       "narrow projection; the ONLY exchange is the (epoch, shard) window partitioning, so " +
       "sort parallelism is epochs x shards and no task ever sorts more than corpus/shards " +
-      "rows — the global-row_number single-partition sort never appears."))
+      "rows — the global-row_number single-partition sort never appears."),
+    "rrf_fusion" -> ("Hybrid retrieval in rank space: the bounded query panel broadcasts into " +
+      "both list builders (query shingles equi-join the df-capped shingle index — candidate " +
+      "volume per query shingle <= maxDf; the cosine list is the broadcast-panel brute force), " +
+      "each list prunes to listK through WindowGroupLimit, and the fusion itself is a full-outer " +
+      "join of two ~listK-per-query relations plus integer arithmetic — swapping either list " +
+      "builder for its ANN/posting-prune scale form leaves the fusion plan untouched."),
+    "source_overlap" -> ("Source-pair overlap without a doc cross product: the distinct shingle " +
+      "index rolls up to (source, shingle) first, pair generation groups per shingle and " +
+      "explodes ordered source pairs (fanout <= nSources^2 per shingle, one shuffle on the " +
+      "8-byte shingle hash), and the ppm exports are exact integer division — the pair space " +
+      "is sources^2, never docs^2."),
+    "semantic_dedup" -> ("SemDeDup: the persisted k-means centroids ride the task closure for a " +
+      "narrow cell assignment, high-cosine pairs come from a cell-keyed self-join — " +
+      "(n/nCells)^2 per cell, never n^2, with nCells the corpus-growth knob — and " +
+      "canonicalization reuses the shared min-label connected-components core, so transitive " +
+      "chains collapse to one keeper without any driver-side iteration over the corpus."))
 
   /** Strip run-nondeterministic tokens (JVM lambda addresses, object
     * hashes, AQE plan/stage ids, expression ids) so a regenerated PLANS.md

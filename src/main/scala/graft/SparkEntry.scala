@@ -33,7 +33,7 @@ object SparkEntry {
     "ann_topk_lsh", "ann_topk_lsh_recall", "incremental_ann",
     "ivf_topk", "ivf_topk_recall", "incremental_ivf", "ivf_cell_stats",
     "pq_topk", "ivfpq_topk", "ann_method_panel",
-    "dedup_embedding", "rrf_fusion_ann",
+    "dedup_embedding", "rrf_fusion_ann", "semantic_dedup",
     // the BPE merge loop has no SQL form (BpeSpec carries the parity gate)
     "bpe_vocab", "bpe_token_counts", "batch_packing_bpe",
     // engine-specific quantile sketch; error-evidence columns + spec bound
@@ -236,6 +236,9 @@ object SparkEntry {
     "ivf_cell_stats" -> ((s, d) => Similarity.ivfCellStats(s, d)),
     // per-source duplication report over the mined verbatim runs (oracled)
     "duplication_by_source" -> ((s, d) => Dedup.duplicationBySource(s, d)),
+    // cross-source shingle-overlap matrix: Jaccard + containment ppm per
+    // source pair — the mirror/syndication detector (oracled)
+    "source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, withRecallCol = false)), // approx: rows-only
     "ann_topk_lsh_recall" -> ((s, d) => Similarity.annTopK(s, d)), // approx: rows-only
     "ivf_topk_recall" -> ((s, d) => Similarity.ivfTopK(s, d)), // approx: rows-only
@@ -256,7 +259,11 @@ object SparkEntry {
     // rank-space fusion, hash-oracled end to end
     "rrf_fusion" -> ((s, d) => Retrieval.rrfFusion(s, d)),
     // same fusion core over the ANN semantic list (approx: rows-only)
-    "rrf_fusion_ann" -> ((s, d) => Retrieval.rrfFusionAnn(s, d))
+    "rrf_fusion_ann" -> ((s, d) => Retrieval.rrfFusionAnn(s, d)),
+    // SemDeDup: cluster-pruned semantic near-dup groups with a canonical
+    // keeper per group (approx by construction: rows-only; OpsSpec pins the
+    // within-cell completeness and group-partition laws)
+    "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d))
   )
 
   /** Shared DuckDB CTE reconstructing the synthesized CDC pairing + depth-1+
@@ -1924,6 +1931,31 @@ object SparkEntry {
         |FROM emb x JOIN emb y ON x.vec_id < y.vec_id
         |WHERE CAST(floor(list_dot_product(x.e, y.e) / (x.nrm * y.nrm) * 1000000.0) AS BIGINT) >= 300000
         |ORDER BY a, b""".stripMargin,
+    // cross-source overlap: DuckDB rolls the distinct shingle index up to
+    // (source, shingle) and self-joins on the shingle — integer ppm exports
+    "source_overlap" ->
+      """WITH docs AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source, shingle FROM (
+        |    SELECT doc_id, source, unnest(list_transform(range(1, len(w) - 3), i ->
+        |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+        |    FROM docs WHERE len(w) >= 5
+        |  )
+        |),
+        |ssh AS (SELECT DISTINCT source, shingle FROM sh),
+        |sizes AS (SELECT source, count(*) AS n_sh FROM ssh GROUP BY 1),
+        |inter AS (
+        |  SELECT x.source AS source_a, y.source AS source_b, count(*) AS n_common
+        |  FROM ssh x JOIN ssh y ON x.shingle = y.shingle AND x.source < y.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT source_a, source_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
+        |  CAST(n_common AS BIGINT) AS n_common,
+        |  CAST((n_common * 1000000) // (sa.n_sh + sb.n_sh - n_common) AS BIGINT) AS jaccard_ppm,
+        |  CAST((n_common * 1000000) // least(sa.n_sh, sb.n_sh) AS BIGINT) AS containment_ppm
+        |FROM inter JOIN sizes sa ON inter.source_a = sa.source
+        |           JOIN sizes sb ON inter.source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin,
     // hybrid retrieval: DuckDB replays BOTH rankings (distinct word-5-gram
     // Jaccard with the df<=256 stop-shingle cap; floor-e6 cosine) and the
     // integer RRF fusion — every score is exact integer arithmetic, so the

@@ -253,6 +253,55 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Cross-SOURCE content-overlap matrix — the inter-scrape counterpart of
+    * [[duplicationBySource]] (that one asks "how much boilerplate does each
+    * source carry?", this one asks "WHICH sources carry each other's
+    * content?" — the number that catches a mirror site, a re-crawl of the
+    * same host, or two feeds syndicating one wire service before their
+    * documents ever reach pairwise dedup): for every source pair sharing at
+    * least one distinct word 5-gram, the shared-shingle count plus integer
+    * Jaccard and containment in parts-per-million. Containment (common over
+    * the SMALLER side) is the mirror-detector — a small source wholly
+    * contained in a big one scores ~1e6 there while Jaccard stays low.
+    *
+    * Scale shape: the pair space is sources², not docs² — the shingle
+    * index rolls up to distinct (source, shingle) rows first (one narrow
+    * join + aggregation), and pair generation groups per shingle and
+    * explodes ordered source pairs (fanout per shingle ≤ nSources², with
+    * nSources in the hundreds at worst) — one shuffle on the shingle key,
+    * never a cross join. Exact integers end to end, hash-oracled.
+    *
+    * @return (source_a, source_b, n_a, n_b, n_common, jaccard_ppm,
+    *         containment_ppm), a < b, unique on (source_a, source_b)
+    */
+  def sourceOverlap(spark: SparkSession, d: String): DataFrame = {
+    val srcSh = cachedShingles(spark, d)
+      .join(Tables.documents(spark, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .select(col("source"), col("shingle")).distinct()
+    val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    // collect_set order is partition-dependent — array_sort before pairing
+    // so (a, b) is the lexicographic orientation on every run
+    val inter = srcSh.groupBy("shingle")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ss, (x, i) -> transform(slice(ss, i + 2, size(ss)), " +
+          "y -> struct(x as a, y as b))))")).as("p"))
+      .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("source").as("source_a"), col("n_sh").as("n_a")), Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n_sh").as("n_b")), Seq("source_b"))
+      .withColumn("jaccard_ppm",
+        expr("(n_common * 1000000) div (n_a + n_b - n_common)"))
+      .withColumn("containment_ppm",
+        expr("(n_common * 1000000) div least(n_a, n_b)"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard_ppm"), col("containment_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Cleaned-TEXT view of the remediation — what a composed pipeline feeds
     * downstream ([[graft.ops.TextOps.trainingSetBuild]] chunks it): one
     * `(doc_id, clean_text)` row per AFFECTED doc, `clean_text` the kept

@@ -257,6 +257,82 @@ class OpsSpec extends SparkSuite {
     assert(rep.map(_.getString(0)).toSet == srcOf.values.toSet)
   }
 
+  test("source overlap: pair laws hold and counts reconcile with the shingle sets") {
+    import spark.implicits._
+    val out = Dedup.sourceOverlap(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (na, nb, common) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(a < b, s"orientation: $a !< $b")
+      assert(common >= 1 && common <= math.min(na, nb), s"$a-$b count bounds")
+      assert(r.getLong(6) >= r.getLong(5), s"$a-$b: containment < jaccard")
+      assert(r.getLong(5) == common * 1000000L / (na + nb - common), "jaccard_ppm")
+      assert(r.getLong(6) == common * 1000000L / math.min(na, nb), "containment_ppm")
+    }
+    // ground truth from the shingle sets, driver-side
+    val srcOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect().toMap
+    val bySrc = Dedup.cachedShingles(spark, sf).as[(Long, Long)].collect()
+      .groupBy(t => srcOf(t._1)).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = (for {
+      a <- bySrc.keys; b <- bySrc.keys if a < b
+      common = (bySrc(a) & bySrc(b)).size if common > 0
+    } yield (a, b) -> common.toLong).toMap
+    assert(out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+      == expected, "overlap matrix != set-intersection ground truth")
+  }
+
+  test("semantic dedup: group laws + within-cell completeness vs ground truth") {
+    import spark.implicits._
+    val out = Similarity.semanticDedup(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.length.toLong == n, "one verdict row per corpus vector")
+    // groups partition the corpus; exactly one keeper per group, and it is
+    // the group minimum (the canonical-selection contract)
+    val byGroup = out.groupBy(_.getLong(2))
+    byGroup.foreach { case (g, rows) =>
+      assert(rows.count(_.getBoolean(4)) == 1, s"group $g: keeper count")
+      assert(rows.filter(_.getBoolean(4)).head.getLong(0) == rows.map(_.getLong(0)).min,
+        s"group $g: keeper is not the min id")
+      assert(rows.map(_.getLong(0)).min == g, s"group $g: label is not the min id")
+      rows.foreach(r => assert(r.getLong(3) == rows.length, s"group $g: n_group"))
+    }
+    // ground truth: within-cell τ-pairs computed driver-side from the raw
+    // embeddings + the exported cell column; the operator must connect
+    // EXACTLY the components of that graph (completeness + nothing extra)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d0 = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d0 += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d0 / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cellOf = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = emb.keys.toSeq.sorted
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r0 = x; while (parent.getOrElse(r0, r0) != r0) r0 = parent(r0); r0
+    }
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      if (cellOf(a) == cellOf(b) &&
+          math.floor(cos(emb(a), emb(b)) * 1e6).toLong >= 400000L) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+    }
+    val expected = ids.map(x => x -> find(x)).toMap
+    val got = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expected, "group labels != within-cell τ-graph components")
+    // the prune actually bites at test scale: some duplicates exist
+    assert(out.exists(!_.getBoolean(4)), "no semantic duplicates found — threshold inert")
+  }
+
   test("ivf cell stats: cells partition the corpus, sims bounded, deterministic") {
     val out = Similarity.ivfCellStats(spark, sf).collect()
     assert(out.nonEmpty && out.length <= 64)
