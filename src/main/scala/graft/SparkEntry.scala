@@ -34,6 +34,7 @@ object SparkEntry {
     "ivf_topk", "ivf_topk_recall", "incremental_ivf", "ivf_cell_stats",
     "pq_topk", "ivfpq_topk", "ann_method_panel",
     "dedup_embedding", "rrf_fusion_ann", "semantic_dedup",
+    "incremental_semantic_dedup",
     // the BPE merge loop has no SQL form (BpeSpec carries the parity gate)
     "bpe_vocab", "bpe_token_counts", "batch_packing_bpe",
     // engine-specific quantile sketch; error-evidence columns + spec bound
@@ -263,7 +264,11 @@ object SparkEntry {
     // SemDeDup: cluster-pruned semantic near-dup groups with a canonical
     // keeper per group (approx by construction: rows-only; OpsSpec pins the
     // within-cell completeness and group-partition laws)
-    "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d))
+    "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    // admission-time semantic dedup: new batch vs persisted old-corpus IVF
+    // artifacts, tau-verdict per arriving vector (approx: rows-only;
+    // OpsSpec replays the probe semantics driver-side exactly)
+    "incremental_semantic_dedup" -> ((s, d) => Similarity.incrementalSemanticDedup(s, d))
   )
 
   /** Shared DuckDB CTE reconstructing the synthesized CDC pairing + depth-1+

@@ -333,6 +333,50 @@ class OpsSpec extends SparkSuite {
     assert(out.exists(!_.getBoolean(4)), "no semantic duplicates found — threshold inert")
   }
 
+  test("incremental semantic dedup: driver-side replay of the probe semantics") {
+    import spark.implicits._
+    val out = Similarity.incrementalSemanticDedup(spark, sf).collect()
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().toMap
+    val newIds = emb.keys.filter(_ % 10 == 0).toSeq.sorted
+    val oldIds = emb.keys.filter(_ % 10 != 0).toSeq.sorted
+    assert(out.map(_.getLong(0)).toSeq == newIds, "one row per new vector, id-ordered")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d0 = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d0 += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d0 / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // replay: assignment to the persisted old-slice centroids, the nProbe
+    // probe list, the cell-restricted candidate set, the exact best
+    val cents = Similarity.ivfCentroids(spark, sf, 64, excludeMod = 10)
+    val cellOfOld = oldIds.map(c => c -> Similarity.nearestCentroid(emb(c), cents)).toMap
+    out.foreach { r =>
+      val q = r.getLong(0)
+      val probed = Similarity.nearestCentroids(emb(q), cents, 24).toSet
+      val cands = oldIds.filter(c => probed(cellOfOld(c)))
+      if (cands.isEmpty) {
+        assert(r.isNullAt(1) && r.isNullAt(2) && !r.getBoolean(3), s"qid $q: empty-cell totality")
+      } else {
+        // winner = max (raw sim, then min cid) over the probed candidates
+        val best = cands.map(c => (c, cos(emb(q), emb(c))))
+          .minBy { case (c, s0) => (-s0, c) }
+        val bestE6 = math.floor(best._2 * 1e6).toLong
+        assert(r.getLong(1) == best._1, s"qid $q: winner ${r.getLong(1)} != ${best._1}")
+        assert(r.getLong(2) == bestE6, s"qid $q: sim ${r.getLong(2)} != $bestE6")
+        assert(r.getBoolean(3) == (bestE6 >= 400000L), s"qid $q: verdict law")
+      }
+    }
+    // one-sided error law: every positive is a TRUE tau-pair (the cell
+    // prune can only cause false negatives, never false positives)
+    out.filter(_.getBoolean(3)).foreach { r =>
+      assert(math.floor(cos(emb(r.getLong(0)), emb(r.getLong(1))) * 1e6).toLong >= 400000L)
+    }
+  }
+
   test("ivf cell stats: cells partition the corpus, sims bounded, deterministic") {
     val out = Similarity.ivfCellStats(spark, sf).collect()
     assert(out.nonEmpty && out.length <= 64)
