@@ -198,6 +198,12 @@ object PlanDoc {
       "ADC scores them with the same closure LUTs as flat PQ, and only the rerankK survivors " +
       "reach float vectors — neither a corpus scan nor resident float lists anywhere in the " +
       "plan."),
+    "incremental_ivfpq" -> ("IVFADC parity for the incremental path: the new batch is " +
+      "assigned to PERSISTED old-slice centroids and equi-joins nProbe cells of the " +
+      "persisted old-slice CODE store (16 B rows — the index-residency argument now holds " +
+      "for admission too); ADC scoring builds each query's LUT once per partition on first " +
+      "sight, the rerankK prune rides WindowGroupLimit, and only the bounded survivor set " +
+      "joins back to float vectors."),
     "epoch_shuffle" -> ("Two-level training shuffle: md5 keys and the hex-digit shard are one " +
       "narrow projection; the ONLY exchange is the (epoch, shard) window partitioning, so " +
       "sort parallelism is epochs x shards and no task ever sorts more than corpus/shards " +

@@ -32,7 +32,7 @@ object SparkEntry {
     "dedup_minhash_lsh", "dedup_simhash", "simhash_pairs",
     "ann_topk_lsh", "ann_topk_lsh_recall", "incremental_ann",
     "ivf_topk", "ivf_topk_recall", "incremental_ivf", "ivf_cell_stats",
-    "pq_topk", "ivfpq_topk", "ann_method_panel",
+    "pq_topk", "ivfpq_topk", "incremental_ivfpq", "ann_method_panel",
     "dedup_embedding", "rrf_fusion_ann", "semantic_dedup",
     "incremental_semantic_dedup",
     // the BPE merge loop has no SQL form (BpeSpec carries the parity gate)
@@ -231,6 +231,11 @@ object SparkEntry {
     // old-slice centroids, probes nProbe cells of the persisted assignment
     // store (approx: rows-only; recall_e6 evidence on the panel)
     "incremental_ivf" -> ((s, d) => Similarity.incrementalIvfTopK(s, d)),
+    // IVFADC parity for the incremental path: new batch assigned to the
+    // persisted old-slice centroids, ADC-scored against the 16 B old-slice
+    // code store, exact rerank on the rerankK survivors (approx: rows-only;
+    // recall_e6 evidence on the panel, asim distortion evidence rides)
+    "incremental_ivfpq" -> ((s, d) => Pq.incrementalIvfPqTopK(s, d)),
     // IVF cell-health drift monitor: member counts + deterministic mean
     // member->centroid cosine per cell (approx family: rows-only; spec
     // pins the partition property and bounds)

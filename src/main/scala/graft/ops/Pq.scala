@@ -44,14 +44,27 @@ object Pq {
     * `dsub = dim/m` slice. Trained on the SAME deterministic bounded sample
     * recipe as [[Similarity.ivfCentroids]] (xxhash64-ordered ids, fixed
     * iteration count) — training never touches the full corpus.
+    * `excludeMod > 0` trains on `vec_id % excludeMod != 0` only — the
+    * "existing corpus" slice the incremental IVFADC path scores new
+    * arrivals against (training on data that includes the arrivals would
+    * leak the future); the store params carry the slice so full and sliced
+    * codebooks never alias.
     */
   def codebooks(spark: SparkSession, d: String, m: Int = 8, ksub: Int = 16,
-      sampleN: Int = 4096, iters: Int = 10): Array[Array[Array[Float]]] =
-    Memo(spark, s"pqbook|$d|$m|$ksub|$sampleN|$iters") {
+      sampleN: Int = 4096, iters: Int = 10,
+      excludeMod: Int = 0): Array[Array[Array[Float]]] =
+    Memo(spark, s"pqbook|$d|$m|$ksub|$sampleN|$iters|x$excludeMod") {
       import spark.implicits._
+      val params = s"$m-$ksub-$sampleN-$iters" +
+        (if (excludeMod > 0) s"-x$excludeMod" else "")
       val stored = AnnStore.loadOrBuild(spark,
-        AnnStore.path(spark, BookKind, d, s"$m-$ksub-$sampleN-$iters")) {
-        val sample = Tables.embeddings(spark, d)
+        AnnStore.path(spark, BookKind, d, params)) {
+        val corpus =
+          if (excludeMod > 0)
+            Tables.embeddings(spark, d)
+              .filter(pmod(col("vec_id"), lit(excludeMod)) =!= 0)
+          else Tables.embeddings(spark, d)
+        val sample = corpus
           .select(col("vec_id"), col("embedding"))
           .orderBy(xxhash64(col("vec_id")), col("vec_id"))
           .limit(sampleN)
@@ -267,16 +280,24 @@ object Pq {
   private[graft] val IvfPqKind = "ivfpqhome-v1-km1p4"
 
   private[graft] def ivfpqHome(spark: SparkSession, d: String, nCells: Int,
-      m: Int, ksub: Int, sampleN: Int = 4096, iters: Int = 10): DataFrame =
-    Memo(spark, s"ivfpqhome|$d|$nCells|$m|$ksub|$sampleN|$iters") {
+      m: Int, ksub: Int, sampleN: Int = 4096, iters: Int = 10,
+      excludeMod: Int = 0): DataFrame =
+    Memo(spark, s"ivfpqhome|$d|$nCells|$m|$ksub|$sampleN|$iters|x$excludeMod") {
       import spark.implicits._
-      val cents = Similarity.ivfCentroids(spark, d, nCells, sampleN, iters)
-      val books = codebooks(spark, d, m, ksub, sampleN, iters)
+      val cents = Similarity.ivfCentroids(spark, d, nCells, sampleN, iters, excludeMod)
+      val books = codebooks(spark, d, m, ksub, sampleN, iters, excludeMod)
       val bits = codeBits(m, ksub)
       val dsub = books(0)(0).length
+      val params = s"$nCells-$m-$ksub-$sampleN-$iters" +
+        (if (excludeMod > 0) s"-x$excludeMod" else "")
       AnnStore.loadOrBuild(spark,
-        AnnStore.path(spark, IvfPqKind, d, s"$nCells-$m-$ksub-$sampleN-$iters")) {
-        Similarity.withNorm(Tables.embeddings(spark, d))
+        AnnStore.path(spark, IvfPqKind, d, params)) {
+        val corpus =
+          if (excludeMod > 0)
+            Tables.embeddings(spark, d)
+              .filter(pmod(col("vec_id"), lit(excludeMod)) =!= 0)
+          else Tables.embeddings(spark, d)
+        Similarity.withNorm(corpus)
           .select(col("vec_id"), col("embedding"), col("nrm"))
           .as[(Long, Array[Float], Double)]
           .map { case (id, e, n) =>
@@ -360,6 +381,145 @@ object Pq {
       .select(col("qid"), col("rank"), col("cid"), col("sim_e6"),
         col("asim_e6"), col("recall_e6"))
       .orderBy("qid", "rank")
+  }
+
+  /** IVFADC probe core shared by [[incrementalIvfPqTopK]] (batch) and
+    * [[graft.streaming.StreamingAnn.admissionStreamIvfPq]] (per
+    * micro-batch): top-k nearest index vectors for every probe-side vector,
+    * scored against 16 B code rows. Each vector is assigned its `nProbe`
+    * nearest centroids in one narrow map (centroids ride the closure),
+    * candidates come from the cell-keyed equi-join against the code-carrying
+    * inverted lists — never probe x index — and are ADC-scored in a
+    * mapPartitions pass that builds each query's (m x ksub) lookup table
+    * ONCE per partition on first sight (the LUT cache; per-candidate cost is
+    * then m shifted lookups, and the embedding never rides past this stage).
+    * The `rerankK` prune is a rank window (WindowGroupLimit bounds the
+    * exchange), and the exact rerank joins the bounded survivor set against
+    * the FLOAT corpus (`corpusEmb`: (cid, ce, cn)) — float vectors are
+    * touched only for candidates, exactly the [[pqTopK]] discipline.
+    */
+  private[graft] def probeIvfPqTopK(newVecs: DataFrame, idxHome: DataFrame,
+      corpusEmb: DataFrame, cents: Array[Array[Float]],
+      books: Array[Array[Array[Float]]], m: Int, ksub: Int, nProbe: Int,
+      rerankK: Int, k: Int, broadcastIdx: Boolean): DataFrame = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val bits = codeBits(m, ksub)
+    val mask = ksub - 1
+    val dsub = books(0)(0).length
+    val newSide = Similarity.withNorm(newVecs)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .as[(Long, Array[Float], Double)]
+      .flatMap { case (id, e, n) =>
+        Similarity.nearestCentroids(e, cents, nProbe).map(c => (c, id, e, n)) }
+      .toDF("cell", "qid", "qe", "qn")
+    val cand = newSide
+      .join(if (broadcastIdx) broadcast(idxHome) else idxHome, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("qe"), col("qn"), col("cid"), col("cn"), col("code"))
+      .as[(Long, Array[Float], Double, Long, Double, Long)]
+      .mapPartitions { it =>
+        // per-partition LUT cache: one (m x ksub) table per distinct qid
+        // seen, built from the query embedding riding the candidate row
+        val luts = scala.collection.mutable.HashMap.empty[Long, Array[Double]]
+        it.map { case (qid, qe, qn, cid, cn, code) =>
+          val lut = luts.getOrElseUpdate(qid, {
+            val t = new Array[Double](m * ksub)
+            var s0 = 0
+            while (s0 < m) {
+              val cs = books(s0)
+              var c = 0
+              while (c < cs.length) {
+                val ct = cs(c)
+                var acc = 0.0
+                var j = 0
+                while (j < dsub) { acc += qe(s0 * dsub + j).toDouble * ct(j); j += 1 }
+                t(s0 * ksub + c) = acc
+                c += 1
+              }
+              s0 += 1
+            }
+            t
+          })
+          var acc = 0.0
+          var s0 = 0
+          while (s0 < m) {
+            acc += lut(s0 * ksub + ((code >>> (s0 * bits)) & mask).toInt)
+            s0 += 1
+          }
+          (qid, cid, acc / (qn * cn))
+        }
+      }
+      .toDF("qid", "cid", "asim")
+    val aw = Window.partitionBy(col("qid")).orderBy(desc("asim"), asc("cid"))
+    val pruned = cand
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") <= rerankK)
+      .select(col("qid"), col("cid"), col("asim"))
+    // exact rerank: survivors (qids x rerankK, tiny) broadcast into the
+    // float corpus on cid; the query embedding comes back from the batch
+    val q = Similarity.withNorm(newVecs)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("cid"))
+    broadcast(pruned).join(corpusEmb, "cid").join(q, "qid")
+      .withColumn("sim",
+        graft.functions.VectorFunctions.dot_product(col("qe"), col("ce"))
+          / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"),
+        round(col("sim"), 6).as("sim"), round(col("asim"), 6).as("asim"))
+  }
+
+  /** Incremental IVF-PQ under CDC — IVFADC parity for the incremental path,
+    * completing the ladder for the composition the way
+    * [[Similarity.incrementalIvfTopK]] did for plain IVF: a NEW batch of
+    * vectors (`vec_id % batchMod == 0`) is assigned to the PERSISTED
+    * old-slice coarse centroids and probes `nProbe` cells of the persisted
+    * old-slice CODE store ([[ivfpqHome]] with `excludeMod` — 16 B rows, the
+    * index-residency argument, now for the admission path too); ADC scoring
+    * via [[probeIvfPqTopK]]'s LUT cache, exact rerank against the old-slice
+    * float corpus only for the `rerankK` survivors.
+    *
+    * All three artifacts (centroids, codebooks, code lists) are
+    * [[AnnStore]]-persisted ingest-time work trained on the old slice only
+    * (training on data that includes the arrivals would leak the future);
+    * their store params carry `-x$batchMod` so sliced and full artifacts
+    * never alias. Per-batch cost: one narrow assignment+LUT map + one
+    * cell-keyed equi-join against code rows + a bounded rerank join.
+    *
+    * recall_e6 evidence vs the exact new x old brute force rides the first
+    * `recallQueries` new ids ([[Similarity.withIncrementalRecall]] — NULL
+    * beyond the panel, never a fake 0); `asim` rides as quantization-
+    * distortion evidence like every PQ export.
+    */
+  def incrementalIvfPqTopK(spark: SparkSession, d: String, k: Int = 5,
+      batchMod: Int = 10, nCells: Int = 64, nProbe: Int = 24, m: Int = 8,
+      ksub: Int = 16, rerankK: Int = 64, recallQueries: Int = 8): DataFrame = {
+    val topk = Memo(spark,
+      s"incivfpq|$d|$k|$batchMod|$nCells|$nProbe|$m|$ksub|$rerankK") {
+      val cents = Similarity.ivfCentroids(spark, d, nCells, excludeMod = batchMod)
+      val books = codebooks(spark, d, m, ksub, excludeMod = batchMod)
+      val home = ivfpqHome(spark, d, nCells, m, ksub, excludeMod = batchMod)
+      val corpusEmb = Similarity.withNorm(
+        Tables.embeddings(spark, d)
+          .filter(pmod(col("vec_id"), lit(batchMod)) =!= 0))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("nrm").as("cn"))
+      // code rows are ~48 B with row overhead (vs 300 B for the
+      // embedding-carrying IVF home) — the broadcast gate reflects that
+      val homeBroadcastable =
+        Similarity.corpusSize(spark, d) * 48L < 50L * 1024 * 1024
+      probeIvfPqTopK(
+        Tables.embeddings(spark, d)
+          .filter(pmod(col("vec_id"), lit(batchMod)) === 0),
+        home, corpusEmb, cents, books, m, ksub, nProbe, rerankK, k,
+        homeBroadcastable)
+        .persist()
+    }
+    if (recallQueries <= 0) topk.orderBy("qid", "rank")
+    else Similarity.withIncrementalRecall(topk, spark, d, batchMod, k, recallQueries)
   }
 
   /** Cross-method ANN quality panel — the monitoring face of the whole

@@ -240,4 +240,29 @@ object StreamingAnn {
         nProbe, k, broadcastIdx), batchId)
       finally cached.unpersist()
     }
+
+  /** IVFADC form of [[admissionStream]] — the composition path
+    * ([[graft.ops.Pq.ivfpqTopK]]'s layout) run per micro-batch, so every
+    * ANN method (LSH / IVF / IVF-PQ) now covers the full
+    * batch/persisted/incremental/streaming ladder: each arriving vector is
+    * assigned to the PERSISTED coarse centroids, probes `nProbe` cells of
+    * the static 16 B CODE store, is ADC-scored through the shared probe
+    * core ([[graft.ops.Pq.probeIvfPqTopK]] — stream and batch verdicts
+    * bit-identical by construction, spec-pinned), and the exact rerank
+    * joins only the `rerankK` survivors against the float corpus
+    * (`corpusEmb`: (cid, ce, cn)). Per-trigger cost: one narrow
+    * assignment+LUT map + one cell-keyed equi-join against code rows +
+    * a bounded rerank join.
+    */
+  def admissionStreamIvfPq(vecs: Dataset[Vec], idxHome: DataFrame,
+      corpusEmb: DataFrame, cents: Array[Array[Float]],
+      books: Array[Array[Array[Float]]], sink: (DataFrame, Long) => Unit,
+      m: Int = 8, ksub: Int = 16, nProbe: Int = 24, rerankK: Int = 64,
+      k: Int = 5, broadcastIdx: Boolean = true): DataStreamWriter[Vec] =
+    vecs.writeStream.foreachBatch { (batch: Dataset[Vec], batchId: Long) =>
+      val cached = batch.persist()
+      try sink(graft.ops.Pq.probeIvfPqTopK(cached.toDF(), idxHome, corpusEmb,
+        cents, books, m, ksub, nProbe, rerankK, k, broadcastIdx), batchId)
+      finally cached.unpersist()
+    }
 }

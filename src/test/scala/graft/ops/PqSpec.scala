@@ -141,6 +141,87 @@ class PqSpec extends SparkSuite {
     assert(got == expect)
   }
 
+  test("incremental IVFADC: slice discipline, exact rerank, evidence columns") {
+    import spark.implicits._
+    val out = Pq.incrementalIvfPqTopK(spark, sf).collect()
+    assert(out.nonEmpty)
+    // queries come from the NEW batch, candidates only from the OLD corpus
+    out.foreach { r =>
+      assert(r.getAs[Long]("qid") % 10 == 0, s"qid must be new-batch: $r")
+      assert(r.getAs[Long]("cid") % 10 != 0, s"cid must be old-corpus: $r")
+    }
+    // the ADC scan approximates candidate GENERATION and ORDERING, never
+    // the exported score: sim is the exact cosine
+    val emb = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    out.foreach { r =>
+      val want = cos(emb(r.getAs[Long]("qid")), emb(r.getAs[Long]("cid")))
+      assert(math.abs(r.getAs[Double]("sim") - want) <= 1e-6, s"sim mismatch at $r")
+      // asim is the quantized approximation — present, bounded like a cosine
+      assert(math.abs(r.getAs[Double]("asim")) <= 1.1, s"asim out of range at $r")
+    }
+    // recall evidence exactly on the panel (first 8 new ids), NULL beyond,
+    // with the production-operating-point floor the other paths carry
+    val panel = out.filter(_.getAs[Long]("qid") < 80)
+    assert(panel.nonEmpty)
+    assert(panel.forall(r => !r.isNullAt(r.fieldIndex("recall_e6"))))
+    assert(out.filter(_.getAs[Long]("qid") >= 80)
+      .forall(r => r.isNullAt(r.fieldIndex("recall_e6"))),
+      "non-panel qids must carry NULL recall")
+    val recalls = panel.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("recall_e6")))
+      .distinct
+    val mean = recalls.map(_._2.toDouble).sum / recalls.length
+    assert(mean >= 600000.0, s"panel mean recall ${mean / 1e6} below the 0.6 floor")
+  }
+
+  test("incremental IVFADC composition gate: full probe + full rerank == exact incremental IVF") {
+    // probing every cell and reranking every candidate removes BOTH
+    // approximations (cell prune, ADC ordering) — the result must equal the
+    // plain incremental IVF at the same full-probe point, which is itself
+    // the exact new x old top-k there
+    val oldN = Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 10 =!= 0)
+      .count().toInt
+    val full = Pq.incrementalIvfPqTopK(spark, sf, nProbe = 64, rerankK = oldN,
+      recallQueries = 0).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("cid"), r.getAs[Double]("sim")))
+    val ivf = Similarity.incrementalIvfTopK(spark, sf, nProbe = 64,
+      recallQueries = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(full.toSeq == ivf.toSeq)
+  }
+
+  test("fresh-session incremental IVFADC loads all three SLICED artifacts, bit-identical") {
+    // non-default parameter point so no other suite pre-warmed the stores;
+    // the -x10 params keep sliced artifacts from aliasing the full ones
+    val before = AnnStore.buildCount.get()
+    val r1 = Pq.incrementalIvfPqTopK(spark, sf, nCells = 16, nProbe = 8,
+      m = 4, ksub = 8, recallQueries = 0).collect()
+    val afterBuild = AnnStore.buildCount.get()
+    assert(afterBuild > before, "first call on a cold store must build+publish")
+    assert(r1.nonEmpty)
+
+    Memo.clear(spark)
+    val r2 = Pq.incrementalIvfPqTopK(spark, sf, nCells = 16, nProbe = 8,
+      m = 4, ksub = 8, recallQueries = 0).collect()
+    assert(AnnStore.buildCount.get() == afterBuild,
+      "fresh session must LOAD centroids+codebooks+code lists, not rebuild")
+    assert(r2.toSeq == r1.toSeq)
+  }
+
   test("fresh-session pqTopK loads the published codebooks+codes, bit-identical") {
     // non-default parameter point: no other suite can have pre-warmed it
     val before = AnnStore.buildCount.get()

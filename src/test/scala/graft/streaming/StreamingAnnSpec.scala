@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.SparkSuite
-import graft.ops.{Similarity, Tables}
+import graft.ops.{Pq, Similarity, Tables}
 
 class StreamingAnnSpec extends SparkSuite {
 
@@ -103,6 +103,41 @@ class StreamingAnnSpec extends SparkSuite {
 
     val want = Similarity.incrementalIvfTopK(spark, sf, recallQueries = 0).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(buf.toSet == want, s"stream ${buf.size} rows vs batch ${want.size}")
+  }
+
+  test("StreamingAnn IVFADC: per-micro-batch probe equals the batch operator across 2 triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cents = Similarity.ivfCentroids(spark, sf, 64, excludeMod = 10)
+    val books = Pq.codebooks(spark, sf, excludeMod = 10)
+    val idxHome = Pq.ivfpqHome(spark, sf, 64, 8, 16, excludeMod = 10)
+    val corpusEmb = Similarity.withNorm(
+      Tables.embeddings(spark, sf).filter($"vec_id" % 10 =!= 0))
+      .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"))
+    val newVecs = Tables.embeddings(spark, sf)
+      .filter($"vec_id" % 10 === 0)
+      .select($"vec_id", $"embedding").as[StreamingAnn.Vec].collect()
+    assert(newVecs.nonEmpty)
+
+    val stream = MemoryStream[StreamingAnn.Vec]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double, Double)]
+    val q = StreamingAnn.admissionStreamIvfPq(stream.toDS(), idxHome, corpusEmb,
+      cents, books, (df, _) =>
+        buf.synchronized {
+          buf ++= df.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        }).start()
+    // two triggers: the code store is static, so top-k must not depend on
+    // how the arrivals are split across micro-batches
+    val (b1, b2) = newVecs.splitAt(newVecs.length / 2)
+    stream.addData(b1.toSeq); q.processAllAvailable()
+    stream.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+
+    val want = Pq.incrementalIvfPqTopK(spark, sf, recallQueries = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
     assert(buf.toSet == want, s"stream ${buf.size} rows vs batch ${want.size}")
   }
 
