@@ -198,6 +198,10 @@ object PlanDoc {
       "ADC scores them with the same closure LUTs as flat PQ, and only the rerankK survivors " +
       "reach float vectors — neither a corpus scan nor resident float lists anywhere in the " +
       "plan."),
+    "deletion_impact" -> ("Takedown audit as pure composition: the revoked-source filter is " +
+      "a one-row broadcast against the scan, and the cluster/member/chunk sides are memoized " +
+      "operator results re-joined on single long keys — no text is re-scanned and the near-dup " +
+      "pair pipeline runs once across the whole query family."),
     "incremental_ivfpq" -> ("IVFADC parity for the incremental path: the new batch is " +
       "assigned to PERSISTED old-slice centroids and equi-joins nProbe cells of the " +
       "persisted old-slice CODE store (16 B rows — the index-residency argument now holds " +

@@ -153,6 +153,11 @@ object SparkEntry {
     "frequent_tokens" -> ((s, d) => Frequent.frequentTokens(s, d)),
     "frequent_tokens_approx" -> ((s, d) => Frequent.frequentTokensApprox(s, d)),
     "pii_redaction" -> ((s, d) => TextOps.redactPii(s, d)),
+    // right-to-be-forgotten audit for a revoked-license source: per removed
+    // doc, its training-set chunk exposure and near-dup-cluster keeper
+    // re-election (oracled end-to-end — the oracle reuses the
+    // dedup_clusters and training_set_build SQL as subqueries)
+    "deletion_impact" -> ((s, d) => TextOps.deletionImpact(s, d)),
     "corpus_curation" -> ((s, d) => TextOps.curateCorpus(s, d)),
     "train_test_split" -> ((s, d) => TextOps.trainTestSplit(s, d)),
     // per-epoch deterministic training order: md5-keyed two-level shuffle
@@ -295,6 +300,202 @@ object SparkEntry {
       |         (prev_props IS NOT NULL AND event_type <> prev_type) AS chg_type
       |  FROM e
       |)""".stripMargin
+
+  /** The dedup_clusters oracle SQL, shared verbatim by deletion_impact
+    * (which reuses it as a subquery so the audit is hash-checked against
+    * the exact same cluster definition). */
+  private val dedupClustersSql: String =
+    """WITH RECURSIVE docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 3), i ->
+        |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+        |    FROM docs WHERE len(w) >= 5
+        |  )
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |sh2 AS (
+        |  SELECT s.doc_id, s.shingle FROM sh s
+        |  JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 256) f
+        |    ON s.shingle = f.shingle
+        |),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+        |  FROM sh2 x JOIN sh2 y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT a, b FROM inter
+        |  JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+        |),
+        |edges AS (
+        |  SELECT a AS node, b AS nbr FROM pairs
+        |  UNION SELECT b, a FROM pairs
+        |  UNION SELECT a, a FROM pairs
+        |  UNION SELECT b, b FROM pairs
+        |),
+        |reach AS (
+        |  SELECT node, nbr AS anc FROM edges
+        |  UNION
+        |  SELECT r.node, e.nbr FROM reach r JOIN edges e ON r.anc = e.node
+        |)
+        |SELECT node AS doc_id, CAST(min(anc) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** The training_set_build oracle SQL, shared verbatim by deletion_impact. */
+  private val trainingSetBuildSql: String =
+    """WITH RECURSIVE docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 3), i ->
+        |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+        |    FROM docs WHERE len(w) >= 5
+        |  )
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |sh2 AS (
+        |  SELECT s.doc_id, s.shingle FROM sh s
+        |  JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 256) f
+        |    ON s.shingle = f.shingle
+        |),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+        |  FROM sh2 x JOIN sh2 y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT a, b FROM inter
+        |  JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+        |),
+        |losers AS (SELECT DISTINCT b AS doc_id FROM pairs),
+        |e2 AS (
+        |  SELECT a AS node, b AS nbr FROM pairs
+        |  UNION SELECT b, a FROM pairs
+        |  UNION SELECT a, a FROM pairs
+        |  UNION SELECT b, b FROM pairs
+        |),
+        |reach2 AS (
+        |  SELECT node, nbr AS anc FROM e2
+        |  UNION
+        |  SELECT r.node, e.nbr FROM reach2 r JOIN e2 e ON r.anc = e.node
+        |),
+        |clus AS (SELECT node AS doc_id, CAST(min(anc) AS BIGINT) AS cid FROM reach2 GROUP BY 1),
+        |labeled AS (
+        |  SELECT d.doc_id, coalesce(c.cid, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
+        |),
+        |train AS (
+        |  SELECT doc_id FROM labeled
+        |  WHERE (((cluster_id % 2147483648) * 2654435761) % 4294967296) % 100 < 90
+        |),
+        |canon AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |),
+        |quality AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
+        |      CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> length(x))), 0) AS BIGINT) AS n_word_chars,
+        |      CAST(len(regexp_extract_all(text, '\bthe\b|\ba\b')) AS BIGINT) AS n_stop,
+        |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct
+        |    FROM documents
+        |  ) WHERE n_words BETWEEN 50 AND 100000
+        |    AND CAST(n_word_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) BETWEEN 3.0 AND 10.0
+        |    AND CAST(n_punct AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) < 0.1
+        |    AND n_stop >= 2
+        |),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM sh WHERE doc_id % 97 <> 0 AND shingle IN (SELECT shingle FROM ev) GROUP BY 1
+        |),
+        |contaminated AS (
+        |  SELECT h.doc_id FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+        |  WHERE (h.n_hits * 1000000) // s.n_sh >= 100000
+        |),
+        |caps AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY source
+        |      ORDER BY (((doc_id % 2147483648) * 2654435761) % 4294967296), doc_id) AS rnk
+        |    FROM documents
+        |  ) WHERE rnk <= 20
+        |),
+        |kept AS (
+        |  SELECT q.doc_id FROM quality q
+        |  JOIN canon c ON q.doc_id = c.doc_id
+        |  JOIN train t ON q.doc_id = t.doc_id
+        |  JOIN caps p ON q.doc_id = p.doc_id
+        |  LEFT JOIN losers l ON q.doc_id = l.doc_id
+        |  LEFT JOIN contaminated x ON q.doc_id = x.doc_id
+        |  WHERE l.doc_id IS NULL AND x.doc_id IS NULL AND q.doc_id % 97 <> 0
+        |),
+        |-- repeated-substring remediation (mirrors substring_dedup_clean):
+        |-- surviving AFFECTED docs chunk their CLEANED text
+        |ps AS (
+        |  SELECT doc_id, i AS pos,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM docs WHERE len(w) >= 5)
+        |),
+        |okp AS (SELECT shingle FROM ps GROUP BY 1 HAVING count(*) BETWEEN 2 AND 64),
+        |mr AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+        |  FROM ps x JOIN ps y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  JOIN okp ON x.shingle = okp.shingle
+        |),
+        |risl AS (
+        |  SELECT a, b, pa, pb, pa - pb AS diag,
+        |    pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS island
+        |  FROM mr
+        |),
+        |runs2 AS (
+        |  SELECT b, min(pb) AS start_b, count(*) + 4 AS run_tokens
+        |  FROM risl GROUP BY a, b, diag, island HAVING count(*) >= 10
+        |),
+        |spans2 AS (SELECT b AS doc_id, start_b AS s, start_b + run_tokens - 1 AS e FROM runs2),
+        |ms2 AS (
+        |  SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mep
+        |  FROM spans2
+        |),
+        |isl3 AS (
+        |  SELECT doc_id, s, e, sum(CASE WHEN mep IS NULL OR s > mep + 1 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM ms2
+        |),
+        |mg2 AS (SELECT doc_id, island, min(s) AS s, max(e) AS e FROM isl3 GROUP BY 1, 2),
+        |affected AS (SELECT DISTINCT doc_id FROM mg2),
+        |pos2 AS (
+        |  SELECT d.doc_id, unnest(range(1, len(d.w) + 1)) AS p
+        |  FROM docs d JOIN affected USING (doc_id)
+        |),
+        |keep2 AS (
+        |  SELECT pos2.doc_id, p FROM pos2
+        |  LEFT JOIN mg2 ON pos2.doc_id = mg2.doc_id AND p BETWEEN mg2.s AND mg2.e
+        |  WHERE mg2.doc_id IS NULL
+        |),
+        |-- LEFT JOIN so a FULLY-removed doc still carries ct = '' (0 chars)
+        |cleanw AS (
+        |  SELECT a.doc_id, coalesce(u.ct, '') AS ct FROM affected a
+        |  LEFT JOIN (
+        |    SELECT k.doc_id, string_agg(d2.w[k.p], ' ' ORDER BY k.p) AS ct
+        |    FROM keep2 k JOIN docs d2 ON k.doc_id = d2.doc_id GROUP BY k.doc_id
+        |  ) u ON a.doc_id = u.doc_id
+        |),
+        |chunked AS (
+        |  SELECT d.doc_id, coalesce(length(c.ct), d.n_chars) AS n_chars,
+        |    CASE WHEN coalesce(length(c.ct), d.n_chars) <= 500 THEN 1
+        |      ELSE (coalesce(length(c.ct), d.n_chars) - 51) // 450 + 1 END AS n_chunks
+        |  FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+        |  LEFT JOIN cleanw c ON d.doc_id = c.doc_id
+        |),
+        |e3 AS (SELECT doc_id, n_chars, unnest(range(0, n_chunks)) AS i FROM chunked)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i * 450 AS BIGINT) AS start_off,
+        |  CAST(least(i * 450 + 500, n_chars) AS BIGINT) AS end_off
+        |FROM e3 ORDER BY doc_id, chunk_idx""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "cdc_item_changed" -> (cdcCte +
@@ -1532,158 +1733,7 @@ object SparkEntry {
         |  CAST(sum(keep) AS BIGINT) AS n_quality
         |FROM documents d JOIN k USING (doc_id)
         |GROUP BY source ORDER BY source""".stripMargin,
-    "training_set_build" ->
-      """WITH RECURSIVE docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 3), i ->
-        |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
-        |    FROM docs WHERE len(w) >= 5
-        |  )
-        |),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        |sh2 AS (
-        |  SELECT s.doc_id, s.shingle FROM sh s
-        |  JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 256) f
-        |    ON s.shingle = f.shingle
-        |),
-        |inter AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
-        |  FROM sh2 x JOIN sh2 y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2
-        |),
-        |pairs AS (
-        |  SELECT a, b FROM inter
-        |  JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
-        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
-        |),
-        |losers AS (SELECT DISTINCT b AS doc_id FROM pairs),
-        |e2 AS (
-        |  SELECT a AS node, b AS nbr FROM pairs
-        |  UNION SELECT b, a FROM pairs
-        |  UNION SELECT a, a FROM pairs
-        |  UNION SELECT b, b FROM pairs
-        |),
-        |reach2 AS (
-        |  SELECT node, nbr AS anc FROM e2
-        |  UNION
-        |  SELECT r.node, e.nbr FROM reach2 r JOIN e2 e ON r.anc = e.node
-        |),
-        |clus AS (SELECT node AS doc_id, CAST(min(anc) AS BIGINT) AS cid FROM reach2 GROUP BY 1),
-        |labeled AS (
-        |  SELECT d.doc_id, coalesce(c.cid, d.doc_id) AS cluster_id
-        |  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
-        |),
-        |train AS (
-        |  SELECT doc_id FROM labeled
-        |  WHERE (((cluster_id % 2147483648) * 2654435761) % 4294967296) % 100 < 90
-        |),
-        |canon AS (
-        |  SELECT min(doc_id) AS doc_id FROM documents
-        |  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
-        |),
-        |quality AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id,
-        |      CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
-        |      CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> length(x))), 0) AS BIGINT) AS n_word_chars,
-        |      CAST(len(regexp_extract_all(text, '\bthe\b|\ba\b')) AS BIGINT) AS n_stop,
-        |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct
-        |    FROM documents
-        |  ) WHERE n_words BETWEEN 50 AND 100000
-        |    AND CAST(n_word_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) BETWEEN 3.0 AND 10.0
-        |    AND CAST(n_punct AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) < 0.1
-        |    AND n_stop >= 2
-        |),
-        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
-        |hits AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
-        |  FROM sh WHERE doc_id % 97 <> 0 AND shingle IN (SELECT shingle FROM ev) GROUP BY 1
-        |),
-        |contaminated AS (
-        |  SELECT h.doc_id FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
-        |  WHERE (h.n_hits * 1000000) // s.n_sh >= 100000
-        |),
-        |caps AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id, row_number() OVER (PARTITION BY source
-        |      ORDER BY (((doc_id % 2147483648) * 2654435761) % 4294967296), doc_id) AS rnk
-        |    FROM documents
-        |  ) WHERE rnk <= 20
-        |),
-        |kept AS (
-        |  SELECT q.doc_id FROM quality q
-        |  JOIN canon c ON q.doc_id = c.doc_id
-        |  JOIN train t ON q.doc_id = t.doc_id
-        |  JOIN caps p ON q.doc_id = p.doc_id
-        |  LEFT JOIN losers l ON q.doc_id = l.doc_id
-        |  LEFT JOIN contaminated x ON q.doc_id = x.doc_id
-        |  WHERE l.doc_id IS NULL AND x.doc_id IS NULL AND q.doc_id % 97 <> 0
-        |),
-        |-- repeated-substring remediation (mirrors substring_dedup_clean):
-        |-- surviving AFFECTED docs chunk their CLEANED text
-        |ps AS (
-        |  SELECT doc_id, i AS pos,
-        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS shingle
-        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM docs WHERE len(w) >= 5)
-        |),
-        |okp AS (SELECT shingle FROM ps GROUP BY 1 HAVING count(*) BETWEEN 2 AND 64),
-        |mr AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
-        |  FROM ps x JOIN ps y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-        |  JOIN okp ON x.shingle = okp.shingle
-        |),
-        |risl AS (
-        |  SELECT a, b, pa, pb, pa - pb AS diag,
-        |    pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS island
-        |  FROM mr
-        |),
-        |runs2 AS (
-        |  SELECT b, min(pb) AS start_b, count(*) + 4 AS run_tokens
-        |  FROM risl GROUP BY a, b, diag, island HAVING count(*) >= 10
-        |),
-        |spans2 AS (SELECT b AS doc_id, start_b AS s, start_b + run_tokens - 1 AS e FROM runs2),
-        |ms2 AS (
-        |  SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mep
-        |  FROM spans2
-        |),
-        |isl3 AS (
-        |  SELECT doc_id, s, e, sum(CASE WHEN mep IS NULL OR s > mep + 1 THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
-        |  FROM ms2
-        |),
-        |mg2 AS (SELECT doc_id, island, min(s) AS s, max(e) AS e FROM isl3 GROUP BY 1, 2),
-        |affected AS (SELECT DISTINCT doc_id FROM mg2),
-        |pos2 AS (
-        |  SELECT d.doc_id, unnest(range(1, len(d.w) + 1)) AS p
-        |  FROM docs d JOIN affected USING (doc_id)
-        |),
-        |keep2 AS (
-        |  SELECT pos2.doc_id, p FROM pos2
-        |  LEFT JOIN mg2 ON pos2.doc_id = mg2.doc_id AND p BETWEEN mg2.s AND mg2.e
-        |  WHERE mg2.doc_id IS NULL
-        |),
-        |-- LEFT JOIN so a FULLY-removed doc still carries ct = '' (0 chars)
-        |cleanw AS (
-        |  SELECT a.doc_id, coalesce(u.ct, '') AS ct FROM affected a
-        |  LEFT JOIN (
-        |    SELECT k.doc_id, string_agg(d2.w[k.p], ' ' ORDER BY k.p) AS ct
-        |    FROM keep2 k JOIN docs d2 ON k.doc_id = d2.doc_id GROUP BY k.doc_id
-        |  ) u ON a.doc_id = u.doc_id
-        |),
-        |chunked AS (
-        |  SELECT d.doc_id, coalesce(length(c.ct), d.n_chars) AS n_chars,
-        |    CASE WHEN coalesce(length(c.ct), d.n_chars) <= 500 THEN 1
-        |      ELSE (coalesce(length(c.ct), d.n_chars) - 51) // 450 + 1 END AS n_chunks
-        |  FROM documents d JOIN kept k ON d.doc_id = k.doc_id
-        |  LEFT JOIN cleanw c ON d.doc_id = c.doc_id
-        |),
-        |e3 AS (SELECT doc_id, n_chars, unnest(range(0, n_chunks)) AS i FROM chunked)
-        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
-        |  CAST(i * 450 AS BIGINT) AS start_off,
-        |  CAST(least(i * 450 + 500, n_chars) AS BIGINT) AS end_off
-        |FROM e3 ORDER BY doc_id, chunk_idx""".stripMargin,
+    "training_set_build" -> trainingSetBuildSql,
     "doc_chunks" ->
       """WITH d AS (SELECT doc_id, text, n_chars,
         |  CASE WHEN n_chars <= 500 THEN 1 ELSE (n_chars - 51) // 450 + 1 END AS n_chunks
@@ -1723,44 +1773,37 @@ object SparkEntry {
         |WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25
         |                         WHEN 'es' THEN 25 WHEN 'fr' THEN 25 ELSE 10 END
         |ORDER BY doc_id""".stripMargin,
-    "dedup_clusters" ->
-      """WITH RECURSIVE docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 3), i ->
-        |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
-        |    FROM docs WHERE len(w) >= 5
-        |  )
-        |),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        |sh2 AS (
-        |  SELECT s.doc_id, s.shingle FROM sh s
-        |  JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 256) f
-        |    ON s.shingle = f.shingle
-        |),
-        |inter AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
-        |  FROM sh2 x JOIN sh2 y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2
-        |),
-        |pairs AS (
-        |  SELECT a, b FROM inter
-        |  JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
-        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
-        |),
-        |edges AS (
-        |  SELECT a AS node, b AS nbr FROM pairs
-        |  UNION SELECT b, a FROM pairs
-        |  UNION SELECT a, a FROM pairs
-        |  UNION SELECT b, b FROM pairs
-        |),
-        |reach AS (
-        |  SELECT node, nbr AS anc FROM edges
-        |  UNION
-        |  SELECT r.node, e.nbr FROM reach r JOIN edges e ON r.anc = e.node
-        |)
-        |SELECT node AS doc_id, CAST(min(anc) AS BIGINT) AS cluster_id
-        |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> dedupClustersSql,
+    "deletion_impact" ->
+      s"""WITH flagged AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE source = (SELECT min(source) FROM documents)
+         |),
+         |clus AS (SELECT * FROM ($dedupClustersSql) c),
+         |labeled AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
+         |),
+         |members AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM labeled GROUP BY 1),
+         |live AS (
+         |  SELECT l.cluster_id,
+         |    CAST(count(*) FILTER (WHERE f.doc_id IS NULL) AS BIGINT) AS n_live_members,
+         |    CAST(min(l.doc_id) FILTER (WHERE f.doc_id IS NULL) AS BIGINT) AS new_keeper
+         |  FROM labeled l LEFT JOIN flagged f ON l.doc_id = f.doc_id
+         |  GROUP BY 1
+         |),
+         |tsb AS (SELECT * FROM ($trainingSetBuildSql) t),
+         |chunks AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM tsb GROUP BY 1)
+         |SELECT f.doc_id, l.cluster_id,
+         |  CAST(CASE WHEN l.cluster_id = f.doc_id AND m.n_members > 1 THEN 1 ELSE 0 END AS BIGINT) AS was_keeper,
+         |  lv.new_keeper, lv.n_live_members,
+         |  CAST(coalesce(ch.n_chunks, 0) AS BIGINT) AS n_chunks_affected
+         |FROM flagged f
+         |JOIN labeled l ON f.doc_id = l.doc_id
+         |JOIN members m ON l.cluster_id = m.cluster_id
+         |JOIN live lv ON l.cluster_id = lv.cluster_id
+         |LEFT JOIN chunks ch ON f.doc_id = ch.doc_id
+         |ORDER BY f.doc_id""".stripMargin,
     "media_stats" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -624,4 +624,59 @@ object TextOps {
         md5(col("content")).as("content_md5"),
         col("source"))
       .orderBy("doc_id")
+
+  /** Deletion-impact audit (right-to-be-forgotten across DERIVED artifacts)
+    * — the batch-side governance counterpart of the index-store tombstones
+    * ([[graft.streaming.IndexTombstones]]): when a takedown set must leave
+    * the corpus, the operator answers what else that deletion touches. The
+    * takedown here is a LICENSE REVOCATION — every document of one source
+    * (the lexicographically first, the deterministic stand-in for "the
+    * publisher who revoked") must leave; per removed doc it reports
+    *   - `n_chunks_affected`: its chunks inside the BUILT training set
+    *     ([[trainingSetBuild]] — nonzero means revoked content reached
+    *     training data and those chunks must be rebuilt),
+    *   - `cluster_id` / `was_keeper`: whether the doc is the canonical
+    *     representative of a multi-doc near-dup cluster ([[Dedup
+    *     .dupClusters]] min-label components) — removing a keeper
+    *     invalidates every "duplicate of X" verdict in its group,
+    *   - `new_keeper` / `n_live_members`: the post-removal re-election (min
+    *     surviving member; NULL when the whole cluster is taken down).
+    *
+    * Pure composition of memoized operator results (the cluster and
+    * training-set work is shared with their own queries), then three
+    * single-key joins — nothing here re-scans text. Fully DuckDB-oracled:
+    * the oracle reuses the dedup_clusters and training_set_build SQL as
+    * subqueries, so the audit is hash-checked end-to-end.
+    */
+  def deletionImpact(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val removed = docs
+      .join(broadcast(docs.agg(min(col("source")).as("rev_source"))),
+        col("source") === col("rev_source"))
+      .select(col("doc_id"))
+    val labeled = docs.select(col("doc_id"))
+      .join(Dedup.dupClusters(spark, d), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val members = labeled.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+    val live = labeled
+      .join(removed.select(col("doc_id"), lit(1L).as("rm")), Seq("doc_id"), "left")
+      .groupBy("cluster_id")
+      .agg(sum(when(col("rm").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_live_members"),
+        min(when(col("rm").isNull, col("doc_id"))).as("new_keeper"))
+    val chunks = trainingSetBuild(spark, d)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    removed
+      .join(labeled, "doc_id")
+      .join(members, "cluster_id")
+      .join(live, "cluster_id")
+      .join(chunks, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("cluster_id") === col("doc_id") && col("n_members") > 1L, 1L)
+          .otherwise(0L).as("was_keeper"),
+        col("new_keeper"), col("n_live_members"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks_affected"))
+      .orderBy("doc_id")
+  }
 }

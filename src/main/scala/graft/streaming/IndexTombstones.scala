@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, max, when}
+
+/** DELETION propagation for the external index stores — the loop a
+  * compliance or takedown event needs closed: a CDC REMOVE for a document
+  * (or vector) must reach the DERIVED state its admission created, or the
+  * engine keeps matching against content the upstream table no longer has.
+  * The reference's stream model carries REMOVE events as first-class
+  * (`/root/reference/lib/lambda/dynamo-stream-handler.ts:18-44` — REMOVE
+  * images flow through the same handler as INSERT/MODIFY); this is the
+  * analytics-side analogue for the admitted-index stores.
+  *
+  * Design: LSM tombstones, the same discipline the stores already use for
+  * growth. Retirements live in a SIBLING parquet subtree
+  * (`<store>_tombstones`), partitioned by `batch_id` with dynamic partition
+  * overwrite — a replayed retirement batch overwrites its own partition, so
+  * deletes are exactly as replay-safe as appends. A tombstone written at
+  * batch T kills store rows with `batch_id <= T` (standard LSM sequencing:
+  * a RE-admission of the same id at a LATER batch survives — deletion is an
+  * event in the timeline, not a permanent ban). Live reads apply tombstones
+  * logically (one aggregate over the tiny tombstone set + a left join);
+  * compaction applies every tombstone at or below the fold point
+  * PHYSICALLY, drops those tombstones, and carries newer ones forward.
+  *
+  * The static initial index is deliberately OUT of scope: it is
+  * [[graft.ops.AnnStore]]-persisted ingest-time work keyed by the corpus
+  * fingerprint — deleting from the base corpus regenerates the corpus and
+  * with it the fingerprint, so the store rebuilds; tombstones cover the
+  * stream-admitted state that must survive restarts WITHOUT a rebuild.
+  *
+  * Scale shape: the tombstone side is |retired ids| rows — orders of
+  * magnitude below the store; the live-view join keys on the id and lets
+  * AQE pick the (almost always broadcast) strategy. Nothing here rewrites
+  * the store outside the existing compaction cadence.
+  */
+object IndexTombstones {
+
+  /** The tombstone subtree for a store directory. */
+  def dir(storeDir: String): String = storeDir.stripSuffix("/") + "_tombstones"
+
+  /** Record retirements: one `(idCol, batch_id=retireBatchId)` row per
+    * distinct id, written with dynamic partition overwrite — a replayed
+    * retirement overwrites its own partition instead of double-writing.
+    * Returns ids retired.
+    */
+  def retire(spark: SparkSession, storeDir: String, ids: DataFrame,
+      idCol: String, retireBatchId: Long): Long = {
+    val t = ids.toDF(idCol).distinct()
+      .withColumn("batch_id", lit(retireBatchId))
+    val n = t.count()
+    t.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(dir(storeDir))
+    n
+  }
+
+  /** Read the tombstone set: `(idCol, batch_id)`; empty before the first
+    * retirement commits (same existence probe as the stores' readers).
+    */
+  def read(spark: SparkSession, storeDir: String, idCol: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(dir(storeDir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id=")))
+      spark.read.parquet(dir(storeDir))
+        .select(col(idCol), col("batch_id").cast("long").as("batch_id"))
+    else Seq.empty[(Long, Long)].toDF(idCol, "batch_id")
+  }
+
+  /** The LIVE view of a store frame (must carry `batch_id`): rows whose id
+    * has no tombstone at or after their batch. One max-aggregate over the
+    * tombstones + a left join on the id — the store is never rewritten.
+    */
+  def applyTo(store: DataFrame, tombs: DataFrame, idCol: String): DataFrame = {
+    val agg = tombs.groupBy(col(idCol)).agg(max(col("batch_id")).as("tomb_batch"))
+    store.join(agg, Seq(idCol), "left")
+      .filter(col("tomb_batch").isNull || col("batch_id") > col("tomb_batch"))
+      // the equi-join moved idCol to the front — restore the store's column
+      // order (callers union the live view with position-based unionAll)
+      .select(store.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Compaction with tombstone application — the shared body of both
+    * stores' `compactIndexStore`: fold every partition with `batch_id <=
+    * upToBatchId` into ONE partition keyed at `upToBatchId`, after
+    * PHYSICALLY dropping rows killed by tombstones at or below the fold
+    * point; tombstones above it still apply to future reads and are carried
+    * to the output's own tombstone subtree (folded rows take `batch_id =
+    * upToBatchId` ≤ any carried tombstone's batch, so the LSM ordering is
+    * preserved). Written to a NEW directory (compact → repoint → retire —
+    * in-place rewrites would race a live stream's next trigger), and only
+    * ever called with a fold point at or below the stream checkpoint's
+    * committed horizon. Returns rows written.
+    */
+  def compact(spark: SparkSession, all: DataFrame, storeDir: String,
+      outDir: String, idCol: String, upToBatchId: Long,
+      targetPartitions: Int): Long = {
+    val tombs = read(spark, storeDir, idCol)
+    val kept = applyTo(all, tombs.filter(col("batch_id") <= upToBatchId), idCol)
+    val folded = kept.withColumn("batch_id",
+      when(col("batch_id") <= upToBatchId, lit(upToBatchId))
+        .otherwise(col("batch_id")))
+    val n = folded.count()
+    folded.repartition(targetPartitions)
+      .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+    val carried = tombs.filter(col("batch_id") > upToBatchId)
+    if (carried.limit(1).count() > 0)
+      carried.write.mode("overwrite").partitionBy("batch_id").parquet(dir(outDir))
+    n
+  }
+}

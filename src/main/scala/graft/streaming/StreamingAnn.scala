@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.ops.{AnnStore, Similarity}
@@ -147,9 +147,11 @@ object StreamingAnn {
     val cached = batch.persist()
     try {
       // exclude THIS batch's own partition: on replay the probe must see
-      // the pre-attempt state, not the previous attempt's output
-      val stored = readIndexStore(spark, storeDir)
-        .filter(col("batch_id") =!= batchId).drop("batch_id")
+      // the pre-attempt state, not the previous attempt's output. The live
+      // view applies tombstones ([[retireFromStore]]) — a retired vector
+      // must stop appearing among anyone's neighbors
+      val stored = liveIndexStore(spark, storeDir, excludeBatchId = batchId)
+        .drop("batch_id")
       sink(probeBatch(cached, initialIdxHome.unionAll(stored),
         nTables, bits, probes, k, broadcastIdx), batchId)
       // no admit/reject gate (unlike dedup): every arriving vector joins
@@ -193,14 +195,35 @@ object StreamingAnn {
     * one batch's worth of rows. Returns rows written.
     */
   def compactIndexStore(spark: SparkSession, storeDir: String, outDir: String,
-      upToBatchId: Long, targetPartitions: Int = 1): Long = {
-    val all = readIndexStore(spark, storeDir)
-    val folded = all.withColumn("batch_id",
-      when(col("batch_id") <= upToBatchId, lit(upToBatchId)).otherwise(col("batch_id")))
-    val n = folded.count()
-    folded.repartition(targetPartitions)
-      .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
-    n
+      upToBatchId: Long, targetPartitions: Int = 1): Long =
+    IndexTombstones.compact(spark, readIndexStore(spark, storeDir), storeDir,
+      outDir, "cid", upToBatchId, targetPartitions)
+
+  /** Propagate CDC REMOVE events into the admitted home-row store: every
+    * `cid` in `vecIds` is tombstoned at `retireBatchId`
+    * ([[IndexTombstones.retire]] — replay-idempotent via dynamic partition
+    * overwrite), so subsequent probes no longer return the retired vectors
+    * and the next [[compactIndexStore]] removes their home rows physically.
+    * A re-admission at a LATER batch survives (LSM sequencing); the static
+    * corpus index is out of scope (corpus deletions re-fingerprint and
+    * rebuild it — [[AnnStore]]).
+    */
+  def retireFromStore(spark: SparkSession, storeDir: String,
+      vecIds: DataFrame, retireBatchId: Long): Long =
+    IndexTombstones.retire(spark, storeDir, vecIds, "cid", retireBatchId)
+
+  /** The tombstone-applied live view of the store (`(table, bucket, cid,
+    * ce, cn, batch_id)`): what probes should union with the static index.
+    * `excludeBatchId` drops that batch's partition from BOTH subtrees —
+    * the replay-stability exclusion [[externalBatch]] needs.
+    */
+  def liveIndexStore(spark: SparkSession, storeDir: String,
+      excludeBatchId: Long = Long.MinValue): DataFrame = {
+    val stored = readIndexStore(spark, storeDir)
+      .filter(col("batch_id") =!= excludeBatchId)
+    val tombs = IndexTombstones.read(spark, storeDir, "cid")
+      .filter(col("batch_id") =!= excludeBatchId)
+    IndexTombstones.applyTo(stored, tombs, "cid")
   }
 
   /** Canonical store location for a growing index over corpus `d`: under

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.ops.{Dedup, Incremental}
@@ -122,9 +122,12 @@ object StreamingDedup {
     val cached = batch.persist()
     try {
       // exclude THIS batch's own partition: on replay the probe must see
-      // the pre-attempt state, not the previous attempt's output
-      val stored = readIndexStore(spark, storeDir)
-        .filter(col("batch_id") =!= batchId).drop("batch_id")
+      // the pre-attempt state, not the previous attempt's output. The live
+      // view applies tombstones ([[retireFromStore]]) — a retired doc must
+      // stop matching, or the store keeps dedup-rejecting new arrivals
+      // against content the upstream corpus no longer has
+      val stored = liveIndexStore(spark, storeDir, excludeBatchId = batchId)
+        .drop("batch_id")
       val verdicts = probeBatch(cached, initialIndex.unionAll(stored),
         thresholdE6, maxDf).persist()
       try {
@@ -161,23 +164,47 @@ object StreamingDedup {
 
   /** LSM-style maintenance for the index store: fold every partition with
     * `batch_id <= upToBatchId` into ONE partition (keyed at `upToBatchId`)
-    * with `targetPartitions` files, leaving later partitions as they are.
-    * Written to a NEW directory (same operational pattern as
-    * `compactBus`: compact → repoint → retire), because rewriting in place
-    * would race a live stream's next trigger. Only compact batches at or
-    * below the stream checkpoint's committed horizon — a replay BELOW the
-    * fold point would otherwise overwrite the folded partition with one
-    * batch's worth of shingles. Returns rows written.
+    * with `targetPartitions` files, leaving later partitions as they are —
+    * and apply every tombstone at or below the fold point PHYSICALLY
+    * (retired docs' shingles leave the store; newer tombstones are carried
+    * forward — [[IndexTombstones.compact]]). Written to a NEW directory
+    * (same operational pattern as `compactBus`: compact → repoint →
+    * retire), because rewriting in place would race a live stream's next
+    * trigger. Only compact batches at or below the stream checkpoint's
+    * committed horizon — a replay BELOW the fold point would otherwise
+    * overwrite the folded partition with one batch's worth of shingles.
+    * Returns rows written.
     */
   def compactIndexStore(spark: SparkSession, storeDir: String, outDir: String,
-      upToBatchId: Long, targetPartitions: Int = 1): Long = {
-    val all = readIndexStore(spark, storeDir)
-    val folded = all.withColumn("batch_id",
-      when(col("batch_id") <= upToBatchId, lit(upToBatchId)).otherwise(col("batch_id")))
-    val n = folded.count()
-    folded.repartition(targetPartitions)
-      .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
-    n
+      upToBatchId: Long, targetPartitions: Int = 1): Long =
+    IndexTombstones.compact(spark, readIndexStore(spark, storeDir), storeDir,
+      outDir, "doc_id", upToBatchId, targetPartitions)
+
+  /** Propagate CDC REMOVE events into the admitted-shingle store: every
+    * `doc_id` in `docIds` is tombstoned at `retireBatchId`
+    * ([[IndexTombstones.retire]] — replay-idempotent via dynamic partition
+    * overwrite), so subsequent probes no longer match the retired docs and
+    * the next [[compactIndexStore]] removes their shingles physically. A
+    * re-admission at a LATER batch survives (LSM sequencing); the static
+    * corpus index is out of scope (corpus deletions re-fingerprint and
+    * rebuild it — [[graft.ops.AnnStore]]).
+    */
+  def retireFromStore(spark: SparkSession, storeDir: String,
+      docIds: DataFrame, retireBatchId: Long): Long =
+    IndexTombstones.retire(spark, storeDir, docIds, "doc_id", retireBatchId)
+
+  /** The tombstone-applied live view of the store (`(doc_id, shingle,
+    * batch_id)`): what probes should union with the static index.
+    * `excludeBatchId` drops that batch's partition from BOTH subtrees —
+    * the replay-stability exclusion [[externalBatch]] needs.
+    */
+  def liveIndexStore(spark: SparkSession, storeDir: String,
+      excludeBatchId: Long = Long.MinValue): DataFrame = {
+    val stored = readIndexStore(spark, storeDir)
+      .filter(col("batch_id") =!= excludeBatchId)
+    val tombs = IndexTombstones.read(spark, storeDir, "doc_id")
+      .filter(col("batch_id") =!= excludeBatchId)
+    IndexTombstones.applyTo(stored, tombs, "doc_id")
   }
 
   def admissionStreamGrowing(docs: Dataset[Doc], initialIndex: DataFrame,

@@ -1615,4 +1615,43 @@ class OpsSpec extends SparkSuite {
     assert(RecordProcessor.process(rec(65 * 1024), cfg).get.event.imagesUrl.nonEmpty)
     assert(RecordProcessor.process(rec(64 * 1024), cfg).get.event.imagesUrl.nonEmpty) // threshold is strict <
   }
+
+  test("deletion impact: revoked-source scoping, keeper re-election laws, chunk exposure") {
+    import spark.implicits._
+    val out = TextOps.deletionImpact(spark, sf).collect()
+    assert(out.nonEmpty)
+    // the takedown set is exactly the revoked (min) source's docs
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val revoked = docs.map(_._2).min
+    val expectRemoved = docs.filter(_._2 == revoked).map(_._1).toSet
+    val removed = out.map(_.getLong(0)).toSet
+    assert(removed == expectRemoved, s"takedown set mismatch: $removed")
+    out.foreach { r =>
+      val docId = r.getLong(0)
+      val cluster = r.getLong(1)
+      val wasKeeper = r.getLong(2)
+      val nLive = r.getLong(4)
+      // new_keeper exists exactly when someone in the cluster survives
+      assert((nLive == 0L) == r.isNullAt(3),
+        s"new_keeper/n_live_members disagree at $r")
+      if (!r.isNullAt(3)) {
+        val nk = r.getLong(3)
+        assert(!removed.contains(nk), s"re-elected keeper $nk is itself removed")
+        // the old label is the component min, so re-election can only move up
+        assert(nk >= cluster, s"new keeper $nk precedes cluster label $cluster")
+      }
+      if (wasKeeper == 1L) assert(cluster == docId,
+        s"was_keeper requires the doc to carry the min label: $r")
+      assert(r.getLong(5) >= 0L)
+    }
+    // chunk exposure reconciles against the built training set
+    val chunkCounts = TextOps.trainingSetBuild(spark, sf)
+      .select("doc_id").as[Long].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    out.foreach { r =>
+      assert(r.getLong(5) == chunkCounts.getOrElse(r.getLong(0), 0L),
+        s"n_chunks_affected mismatch at $r")
+    }
+  }
 }

@@ -226,4 +226,59 @@ class StreamingAnnSpec extends SparkSuite {
     assert(probeOrig == probeCompact && probeOrig.nonEmpty,
       "compacted store must serve bit-identical probe results")
   }
+
+  test("StreamingAnn tombstones: retired vector leaves every top-k; compaction deletes physically") {
+    import spark.implicits._
+    val store = graft.ops.Scratch.dir("ann_store_t").toString + "/idx"
+    def unit(i: Int): Array[Float] = Array.tabulate(64)(j => if (j == i) 1f else 0f)
+    val corpus = (1L to 4L).map(i => StreamingAnn.Vec(i, unit(i.toInt)))
+    val idx0 = Similarity.homeRowsOf(
+      corpus.toDF("vec_id", "embedding"), nTables = 8, bits = 3).cache()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, _) =>
+      buf.synchronized {
+        buf ++= df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      }
+    def run(batchId: Long, vs: StreamingAnn.Vec*): Unit =
+      StreamingAnn.externalBatch(vs.toDS(), batchId, idx0, store, sink,
+        nTables = 8, bits = 3, probes = 2, k = 3, broadcastIdx = true)
+
+    // batches 0 and 1 admit A and its exact copy A'
+    run(0L, StreamingAnn.Vec(100L, unit(10)))
+    run(1L, StreamingAnn.Vec(200L, unit(10)))
+    assert(buf.exists(v => v._1 == 200L && v._3 == 100L && math.abs(v._4 - 1.0) < 1e-9))
+
+    // CDC REMOVE for A at batch 2: tombstones are per-id (only 100 dies);
+    // a later arrival must still find A' (id 200, untombstoned) and never A
+    assert(StreamingAnn.retireFromStore(spark, store, Seq(100L).toDF("cid"), 2L) == 1L)
+    buf.clear()
+    run(3L, StreamingAnn.Vec(400L, unit(10)))
+    val after = buf.filter(_._1 == 400L)
+    assert(after.exists(v => v._3 == 200L && math.abs(v._4 - 1.0) < 1e-9),
+      s"the surviving copy must still be found: $after")
+    assert(!after.exists(_._3 == 100L), s"retired vector leaked into top-k: $after")
+
+    // compaction applies the tombstone PHYSICALLY and drops it; the
+    // compacted live view serves bit-identical probes
+    val compacted = graft.ops.Scratch.dir("ann_store_tc").toString + "/idx"
+    val liveRows = StreamingAnn.liveIndexStore(spark, store).count()
+    val n = StreamingAnn.compactIndexStore(spark, store, compacted, upToBatchId = 3L)
+    assert(n == liveRows)
+    assert(!StreamingAnn.readIndexStore(spark, compacted).select("cid")
+      .collect().map(_.getLong(0)).contains(100L))
+    assert(IndexTombstones.read(spark, compacted, "cid").count() == 0L,
+      "spent tombstones must not be carried past the fold point")
+    val probeLive = StreamingAnn.probeBatch(
+      Seq(StreamingAnn.Vec(500L, unit(10))).toDS(),
+      idx0.unionAll(StreamingAnn.liveIndexStore(spark, store).drop("batch_id")),
+      nTables = 8, bits = 3, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val probeCompact = StreamingAnn.probeBatch(
+      Seq(StreamingAnn.Vec(500L, unit(10))).toDS(),
+      idx0.unionAll(StreamingAnn.liveIndexStore(spark, compacted).drop("batch_id")),
+      nTables = 8, bits = 3, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(probeLive == probeCompact && probeLive.nonEmpty)
+  }
 }

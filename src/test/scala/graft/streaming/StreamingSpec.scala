@@ -395,4 +395,65 @@ class StreamingSpec extends SparkSuite {
     assert(cStore.select("doc_id", "shingle").except(
       storeReplayed.select("doc_id", "shingle")).count() == 0)
   }
+
+  test("StreamingDedup tombstones: retired doc stops matching, re-admission survives, compaction deletes physically") {
+    import spark.implicits._
+    val store = graft.ops.Scratch.dir("dedup_store_t").toString + "/idx"
+    val base = "the quick brown fox jumps over the lazy dog again and again until dawn breaks"
+    val indexSh = graft.ops.Dedup.shingles(
+      Seq((900L, "entirely different static corpus content with no overlap at all here truly"))
+        .toDF("doc_id", "text")).cache()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, _) =>
+      buf.synchronized {
+        buf ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+    def run(batchId: Long, docs: StreamingDedup.Doc*): Unit =
+      StreamingDedup.externalBatch(docs.toDS(), batchId, indexSh, store, sink, 500000L, 256)
+    def verdicts = buf.map(r => r._1 -> ((r._2, r._4))).toMap
+
+    // batch 0 admits doc 1; batch 1's near-copy is rejected against it
+    run(0L, StreamingDedup.Doc(1L, base))
+    run(1L, StreamingDedup.Doc(2L, base + " with one extra tail"))
+    assert(verdicts(1L) == ((-1L, 0L)) && verdicts(2L) == ((1L, 1L)), verdicts.toString)
+
+    // CDC REMOVE for doc 1 at batch 2: the same near-copy arriving at batch
+    // 3 must now be ADMITTED — the store no longer matches retired content
+    // (doc 2 was rejected, so it never joined the store either)
+    assert(StreamingDedup.retireFromStore(spark, store, Seq(1L).toDF("doc_id"), 2L) == 1L)
+    buf.clear()
+    run(3L, StreamingDedup.Doc(4L, base + " with one extra tail"))
+    assert(verdicts(4L) == ((-1L, 0L)),
+      s"retired doc must stop matching: ${verdicts(4L)}")
+
+    // replayed retirement overwrites its own partition — no double tombstone
+    StreamingDedup.retireFromStore(spark, store, Seq(1L).toDF("doc_id"), 2L)
+    assert(IndexTombstones.read(spark, store, "doc_id").count() == 1L)
+
+    // the RE-admission (batch 3 > tombstone batch 2) is live: batch 4's
+    // copy matches doc 4, not the long-gone doc 1
+    buf.clear()
+    run(4L, StreamingDedup.Doc(5L, base + " with one extra tail"))
+    assert(verdicts(5L) == ((4L, 1L)),
+      s"re-admitted near-copy must be the new match: ${verdicts(5L)}")
+    val liveIds = StreamingDedup.liveIndexStore(spark, store)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(liveIds == Set(4L), s"live view: $liveIds")
+
+    // compaction applies the tombstone PHYSICALLY (doc 1's shingles leave
+    // the store, the spent tombstone is dropped) and preserves the live view
+    val compacted = graft.ops.Scratch.dir("dedup_store_tc").toString + "/idx"
+    val liveRows = StreamingDedup.liveIndexStore(spark, store).count()
+    val n = StreamingDedup.compactIndexStore(spark, store, compacted, upToBatchId = 4L)
+    assert(n == liveRows)
+    val cIds = StreamingDedup.readIndexStore(spark, compacted)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(cIds == Set(4L), s"compacted store: $cIds")
+    assert(IndexTombstones.read(spark, compacted, "doc_id").count() == 0L,
+      "spent tombstones must not be carried past the fold point")
+    assert(StreamingDedup.liveIndexStore(spark, compacted)
+      .select("doc_id", "shingle").except(
+        StreamingDedup.liveIndexStore(spark, store)
+          .select("doc_id", "shingle")).count() == 0)
+  }
 }
