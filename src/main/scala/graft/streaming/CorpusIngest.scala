@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, desc, row_number}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** CDC-driven corpus ingestion — the composition where the reference's
+  * event model meets the data-engine state: a stream of document CDC events
+  * (INSERT / MODIFY / REMOVE, the DynamoDB stream event names —
+  * `/root/reference/lib/lambda/dynamo-stream-handler.ts:18-44`) maintains
+  * the external admission-dedup index ([[StreamingDedup]]'s batch_id-
+  * partitioned store) with full upsert/delete semantics:
+  *
+  *  - INSERT/MODIFY: the new text is probed against the PRE-BATCH live
+  *    state (near-dup admission — the verdict goes to the sink) and, when
+  *    admitted, its shingles land in this batch's partition;
+  *  - MODIFY additionally RETIRES the doc's prior index rows
+  *    ([[IndexTombstones]] at this batchId — the strict-before kill rule
+  *    spares the same trigger's replacement, so retire-and-readmit is ONE
+  *    idempotent trigger);
+  *  - REMOVE retires the doc's rows, full stop;
+  *  - within a trigger, the LAST event per doc wins (`seq` order — a CDC
+  *    micro-batch can carry a doc's whole INSERT→MODIFY→REMOVE life).
+  *
+  * Probe semantics: candidates come from the post-retire pre-admit state —
+  * the live store minus this batch's retire set. That kills the
+  * self-match trap (a MODIFY would otherwise find its own previous version
+  * at jaccard ~1 and reject its replacement as a duplicate of itself) and
+  * means a REMOVE and a near-copy INSERT in one trigger do the right thing
+  * (removed content no longer blocks admission).
+  *
+  * Replay safety is inherited end-to-end: the probe excludes this batch's
+  * own partitions in BOTH subtrees (store and tombstones), and the shingle
+  * and tombstone writes are dynamic-partition overwrites — attempt 2 of a
+  * batch sees exactly the state attempt 1 saw and rewrites exactly what
+  * attempt 1 wrote.
+  *
+  * Scale shape: unchanged from [[StreamingDedup.externalBatch]] — per
+  * trigger one bounded probe (O(batch shingles ⋈ index)), one partition
+  * write, one tombstone write of |retired ids| rows; the within-trigger
+  * last-event collapse is a window over one batch.
+  */
+object CorpusIngest {
+
+  /** One document CDC event. `seq` orders events within a trigger (the
+    * stream position); REMOVE rows carry empty `text`.
+    */
+  final case class DocEvent(seq: Long, doc_id: Long, event: String, text: String)
+
+  def ingestStream(events: Dataset[DocEvent], initialIndex: DataFrame,
+      storeDir: String, sink: (DataFrame, Long) => Unit,
+      thresholdE6: Long = 500000L, maxDf: Int = 256): DataStreamWriter[DocEvent] =
+    events.writeStream.foreachBatch { (batch: Dataset[DocEvent], batchId: Long) =>
+      ingestBatch(batch, batchId, initialIndex, storeDir, sink, thresholdE6, maxDf)
+    }
+
+  /** One trigger's work — exposed so specs can drive batches exactly as a
+    * (restarted) stream would, batchIds included.
+    */
+  private[graft] def ingestBatch(batch: Dataset[DocEvent], batchId: Long,
+      initialIndex: DataFrame, storeDir: String, sink: (DataFrame, Long) => Unit,
+      thresholdE6: Long, maxDf: Int): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("seq"))
+    val last = batch.toDF()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .persist()
+    try {
+      val upserts = last.filter(col("event") =!= "REMOVE")
+        .select(col("doc_id"), col("text"))
+        .as[StreamingDedup.Doc].persist()
+      try {
+        // retire set: REMOVEs plus the prior version of every MODIFY (an
+        // INSERT seen for a doc with prior rows would be an upstream replay
+        // artifact; retiring only declared MODIFYs keeps INSERT pure-append)
+        val retired = last
+          .filter(col("event") === "REMOVE" || col("event") === "MODIFY")
+          .select(col("doc_id"))
+        // post-retire pre-admit state: live store (own batch excluded in
+        // both subtrees) minus this batch's retire set
+        val preState = StreamingDedup
+          .liveIndexStore(spark, storeDir, excludeBatchId = batchId)
+          .drop("batch_id")
+          .join(retired, Seq("doc_id"), "left_anti")
+        val verdicts = StreamingDedup
+          .probeBatch(upserts, initialIndex.unionAll(preState), thresholdE6, maxDf)
+          .persist()
+        try {
+          sink(verdicts, batchId)
+          IndexTombstones.retire(spark, storeDir, retired, "doc_id", batchId)
+          val admitted = upserts.join(
+            verdicts.filter(col("is_dup") === 0L).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          StreamingDedup.shingleBatch(
+            admitted.as[StreamingDedup.Doc](
+              org.apache.spark.sql.Encoders.product[StreamingDedup.Doc]))
+            .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(storeDir)
+        } finally { verdicts.unpersist(); () }
+      } finally { upserts.unpersist(); () }
+    } finally { last.unpersist(); () }
+  }
+}

@@ -17,12 +17,16 @@ import org.apache.spark.sql.functions.{col, lit, max, when}
   * (`<store>_tombstones`), partitioned by `batch_id` with dynamic partition
   * overwrite — a replayed retirement batch overwrites its own partition, so
   * deletes are exactly as replay-safe as appends. A tombstone written at
-  * batch T kills store rows with `batch_id <= T` (standard LSM sequencing:
-  * a RE-admission of the same id at a LATER batch survives — deletion is an
-  * event in the timeline, not a permanent ban). Live reads apply tombstones
-  * logically (one aggregate over the tiny tombstone set + a left join);
-  * compaction applies every tombstone at or below the fold point
-  * PHYSICALLY, drops those tombstones, and carries newer ones forward.
+  * batch T kills store rows with `batch_id < T` — STRICTLY before (standard
+  * LSM sequencing: a RE-admission of the same id at a later batch survives,
+  * deletion is an event in the timeline, not a permanent ban; and rows
+  * written AT T are the same trigger's replacement, which is exactly the
+  * CDC MODIFY shape [[CorpusIngest]] composes: retire the prior version
+  * and admit the new one in one idempotent trigger). Live reads apply
+  * tombstones logically (one aggregate over the tiny tombstone set + a
+  * left join); compaction applies every tombstone at or below the fold
+  * point PHYSICALLY, drops those tombstones, and carries newer ones
+  * forward.
   *
   * The static initial index is deliberately OUT of scope: it is
   * [[graft.ops.AnnStore]]-persisted ingest-time work keyed by the corpus
@@ -71,13 +75,13 @@ object IndexTombstones {
   }
 
   /** The LIVE view of a store frame (must carry `batch_id`): rows whose id
-    * has no tombstone at or after their batch. One max-aggregate over the
-    * tombstones + a left join on the id — the store is never rewritten.
+    * has no tombstone strictly after their batch. One max-aggregate over
+    * the tombstones + a left join on the id — the store is never rewritten.
     */
   def applyTo(store: DataFrame, tombs: DataFrame, idCol: String): DataFrame = {
     val agg = tombs.groupBy(col(idCol)).agg(max(col("batch_id")).as("tomb_batch"))
     store.join(agg, Seq(idCol), "left")
-      .filter(col("tomb_batch").isNull || col("batch_id") > col("tomb_batch"))
+      .filter(col("tomb_batch").isNull || col("batch_id") >= col("tomb_batch"))
       // the equi-join moved idCol to the front — restore the store's column
       // order (callers union the live view with position-based unionAll)
       .select(store.columns.map(col).toIndexedSeq: _*)

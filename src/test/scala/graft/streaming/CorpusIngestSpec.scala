@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSuite
+
+/** The CDC-driven corpus-ingestion composition: INSERT admits, MODIFY
+  * retires-and-readmits in one trigger (no self-match), REMOVE retires,
+  * within-trigger last-event-wins, and replay is idempotent end-to-end.
+  */
+class CorpusIngestSpec extends SparkSuite {
+
+  private val textA = "the quick brown fox jumps over the lazy dog again and again until dawn breaks"
+  private val textB = "completely rewritten second version describing entirely different subject matter now"
+
+  test("CorpusIngest: full INSERT/MODIFY/REMOVE lifecycle over the external store") {
+    import spark.implicits._
+    val store = graft.ops.Scratch.dir("corpus_ingest").toString + "/idx"
+    val indexSh = graft.ops.Dedup.shingles(
+      Seq((900L, "entirely different static corpus content with no overlap at all here truly"))
+        .toDF("doc_id", "text")).cache()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val sink: (DataFrame, Long) => Unit = (df, _) =>
+      buf.synchronized {
+        buf ++= df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+    def run(batchId: Long, events: CorpusIngest.DocEvent*): Unit =
+      CorpusIngest.ingestBatch(events.toDS(), batchId, indexSh, store, sink, 500000L, 256)
+    def verdicts = buf.map(r => r._1 -> ((r._2, r._4))).toMap
+    def liveIds = StreamingDedup.liveIndexStore(spark, store)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+
+    // INSERT 1 (novel) admits; INSERT 2 (near-copy) is rejected against it
+    run(0L, CorpusIngest.DocEvent(0L, 1L, "INSERT", textA))
+    run(1L, CorpusIngest.DocEvent(0L, 2L, "INSERT", textA + " with one extra tail"))
+    assert(verdicts(1L) == ((-1L, 0L)) && verdicts(2L) == ((1L, 1L)), verdicts.toString)
+    assert(liveIds == Set(1L))
+
+    // MODIFY 1 to novel text B: must NOT self-match its own v1 (the
+    // retire-first probe), and v1 leaves the index in the same trigger
+    buf.clear()
+    run(2L, CorpusIngest.DocEvent(0L, 1L, "MODIFY", textB))
+    assert(verdicts(1L) == ((-1L, 0L)), s"MODIFY self-matched: ${verdicts(1L)}")
+    assert(liveIds == Set(1L), "v2 must replace v1, not coexist")
+
+    // a near-copy of the RETIRED v1 text is now novel (v1 gone, doc 2 was
+    // never admitted); a near-copy of v2 matches doc 1 again
+    buf.clear()
+    run(3L, CorpusIngest.DocEvent(0L, 3L, "INSERT", textA + " with another tail"))
+    run(4L, CorpusIngest.DocEvent(0L, 4L, "INSERT", textB + " plus a small suffix"))
+    assert(verdicts(3L) == ((-1L, 0L)), s"retired v1 still matching: ${verdicts(3L)}")
+    assert(verdicts(4L) == ((1L, 1L)), s"v2 must be findable: ${verdicts(4L)}")
+    assert(liveIds == Set(1L, 3L))
+
+    // REMOVE 1: its content stops matching from the next trigger on
+    buf.clear()
+    run(5L, CorpusIngest.DocEvent(0L, 1L, "REMOVE", ""))
+    run(6L, CorpusIngest.DocEvent(0L, 5L, "INSERT", textB + " plus another suffix"))
+    assert(verdicts(5L) == ((-1L, 0L)), s"removed doc still matching: ${verdicts(5L)}")
+    assert(liveIds == Set(3L, 5L))
+
+    // within-trigger last-event-wins: INSERT then REMOVE (higher seq) of a
+    // new doc leaves nothing; REMOVE then INSERT admits
+    buf.clear()
+    run(7L,
+      CorpusIngest.DocEvent(0L, 6L, "INSERT", "some wholly novel content never seen before anywhere"),
+      CorpusIngest.DocEvent(1L, 6L, "REMOVE", ""),
+      CorpusIngest.DocEvent(0L, 7L, "REMOVE", ""),
+      CorpusIngest.DocEvent(1L, 7L, "INSERT", "other genuinely fresh material also never seen before"))
+    assert(!verdicts.contains(6L), "REMOVE-last doc must not be probed")
+    assert(verdicts(7L) == ((-1L, 0L)))
+    assert(liveIds == Set(3L, 5L, 7L))
+
+    // REPLAY batch 7 (restart-after-sink-failure): identical verdicts,
+    // identical store state — every write was an overwrite of its own
+    // partitions and the probe saw the pre-attempt state
+    val before = buf.toSet
+    val rowsBefore = StreamingDedup.readIndexStore(spark, store).count()
+    buf.clear()
+    run(7L,
+      CorpusIngest.DocEvent(0L, 6L, "INSERT", "some wholly novel content never seen before anywhere"),
+      CorpusIngest.DocEvent(1L, 6L, "REMOVE", ""),
+      CorpusIngest.DocEvent(0L, 7L, "REMOVE", ""),
+      CorpusIngest.DocEvent(1L, 7L, "INSERT", "other genuinely fresh material also never seen before"))
+    assert(buf.toSet == before, "replayed trigger verdicts must be stable")
+    assert(StreamingDedup.readIndexStore(spark, store).count() == rowsBefore,
+      "replay changed the store")
+    assert(liveIds == Set(3L, 5L, 7L))
+
+    // compaction folds everything and preserves the live view exactly
+    val compacted = graft.ops.Scratch.dir("corpus_ingest_c").toString + "/idx"
+    val n = StreamingDedup.compactIndexStore(spark, store, compacted, upToBatchId = 7L)
+    assert(n == StreamingDedup.liveIndexStore(spark, store).count())
+    assert(StreamingDedup.liveIndexStore(spark, compacted)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(3L, 5L, 7L))
+  }
+}
