@@ -191,13 +191,17 @@ object Bench {
     // numbers a continuous deployment would see.
     def streamSection(key: String)(run: => graft.obs.StreamingBench.StreamStats): String =
       try {
-        val st = run
+        // executor CPU rides each section (same self-diagnosis as the
+        // per-query cpu_s): wall >> cpu/threads with flat gc = co-tenant
+        // contention; wall ~ cpu/threads = the probe really costs that much
+        val (st, snap) = graft.obs.ScopedMetrics.measure(spark) { run }
         def r2(v: Double) = math.rint(v * 100) / 100.0
         s""""$key":{"input_rows":${st.inputRows},"bus_rows":${st.busRows},""" +
           s""""batches":${st.batches},"wall_sec":${r2(st.wallSec)},""" +
           s""""rows_per_sec":${r2(st.rowsPerSec)},"avg_batch_ms":${r2(st.avgBatchMs)},""" +
           s""""steady_rows_per_sec":${r2(st.steadyRowsPerSec)},""" +
-          s""""steady_avg_batch_ms":${r2(st.steadyAvgBatchMs)}},"""
+          s""""steady_avg_batch_ms":${r2(st.steadyAvgBatchMs)},""" +
+          s""""cpu_s":${r2(snap.executorCpuNs / 1e9)}},"""
       } catch {
         case NonFatal(e) =>
           // strip ALL control chars (not just whitespace escapes): a raw
@@ -211,7 +215,8 @@ object Bench {
       if (noStream) ""
       else streamSection("streaming")(graft.obs.StreamingBench.cdcE2e(spark, sfDir)) +
         streamSection("streaming_dedup")(graft.obs.StreamingBench.dedupE2e(spark, sfDir)) +
-        streamSection("streaming_ann")(graft.obs.StreamingBench.annE2e(spark, sfDir))
+        streamSection("streaming_ann")(graft.obs.StreamingBench.annE2e(spark, sfDir)) +
+        streamSection("streaming_ingest")(graft.obs.StreamingBench.ingestE2e(spark, sfDir))
     // Contention self-flag (r14 VERDICT item 6): the artifact announces its
     // own invalidity instead of waiting for a postmortem. Two one-sided
     // signals, either trips it:

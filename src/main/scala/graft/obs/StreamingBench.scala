@@ -3,7 +3,7 @@ package graft.obs
 import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, concat, explode, expr, lit, shiftleft}
+import org.apache.spark.sql.functions.{col, concat, explode, expr, lit, shiftleft, when}
 
 import graft.attr.{Json, JsonParser}
 import graft.cdc.{CdcConfig, CdcPipeline}
@@ -186,6 +186,65 @@ object StreamingBench {
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
     idxHome.unpersist()
+    statsFrom(q, wall, inputRows, busRows = verdictCount.get())
+  }
+
+  /** CDC-ingest throughput (the `streaming_ingest` section): the FULL
+    * upsert/delete composition ([[graft.streaming.CorpusIngest]]) driven by
+    * a mixed event stream synthesized from the documents table — per base
+    * doc (every 10th; the other 90% are the static corpus) a replicated
+    * event sequence cycling INSERT / MODIFY-of-previous / INSERT /
+    * REMOVE-of-previous, so every trigger carries admissions, version
+    * replacements, and deletions against a store that is itself growing and
+    * shrinking. File-split order does not preserve `seq` across triggers —
+    * a REMOVE can arrive before its INSERT, which the composition treats as
+    * a harmless tombstone (exactly what an at-least-once CDC replay can
+    * produce); throughput is unaffected and the semantics stay well-defined.
+    * `busRows` counts verdict rows (== upsert events probed).
+    */
+  def ingestE2e(spark: SparkSession, d: String, nFiles: Int = 8,
+      maxFilesPerTrigger: Int = 1, arrivalCopies: Int = 64): StreamStats = {
+    import spark.implicits._
+    import graft.streaming.CorpusIngest
+    val base = graft.ops.Scratch.dir("graft_ingestbench")
+    val in = s"$base/in"
+    val docs = graft.ops.Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("rep", explode(expr(s"sequence(0, ${arrivalCopies - 1})")))
+      .select(
+        col("rep").cast("long").as("seq"),
+        // MODIFY/REMOVE target the previous rep's replica id; replica ids
+        // live in bits 40+ so they never alias corpus doc_ids (< 2^40)
+        (col("doc_id") + shiftleft(
+          when(col("rep") % 4 === 1 || col("rep") % 4 === 3, col("rep") - 1)
+            .otherwise(col("rep")).cast("long"), 40)).as("doc_id"),
+        when(col("rep") % 4 === 1, lit("MODIFY"))
+          .when(col("rep") % 4 === 3, lit("REMOVE"))
+          .otherwise(lit("INSERT")).as("event"),
+        when(col("rep") % 4 === 3, lit(""))
+          .otherwise(concat(col("text"), lit(" rep"), col("rep"))).as("text"))
+      .repartition(nFiles)
+      .write.mode("overwrite").json(in)
+    val inputRows = spark.read.json(in).count()
+    val indexSh = graft.ops.Dedup.shingles(docs.filter(col("doc_id") % 10 =!= 0)).persist()
+    indexSh.count() // pre-materialized static state, not per-trigger cost
+    val store = s"$base/store/idx"
+
+    val schema = org.apache.spark.sql.Encoders
+      .product[CorpusIngest.DocEvent].schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .json(in).as[CorpusIngest.DocEvent]
+    val verdictCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    val t0 = System.nanoTime()
+    val q = CorpusIngest.ingestStream(stream, indexSh, store,
+      (df, _) => { verdictCount.addAndGet(df.count()); () })
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    indexSh.unpersist()
     statsFrom(q, wall, inputRows, busRows = verdictCount.get())
   }
 

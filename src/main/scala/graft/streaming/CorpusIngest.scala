@@ -79,11 +79,14 @@ object CorpusIngest {
           .filter(col("event") === "REMOVE" || col("event") === "MODIFY")
           .select(col("doc_id"))
         // post-retire pre-admit state: live store (own batch excluded in
-        // both subtrees) minus this batch's retire set
-        val preState = StreamingDedup
+        // both subtrees) minus this batch's retire set. The anti join moves
+        // the key column to the front; restore the store's order (unionAll
+        // with the initial index is position-based)
+        val live = StreamingDedup
           .liveIndexStore(spark, storeDir, excludeBatchId = batchId)
           .drop("batch_id")
-          .join(retired, Seq("doc_id"), "left_anti")
+        val preState = live.join(retired, Seq("doc_id"), "left_anti")
+          .select(live.columns.map(col).toIndexedSeq: _*)
         val verdicts = StreamingDedup
           .probeBatch(upserts, initialIndex.unionAll(preState), thresholdE6, maxDf)
           .persist()

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, desc, lit, row_number}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.ops.Similarity
+
+/** CDC-driven VECTOR ingestion — [[CorpusIngest]]'s twin over the external
+  * ANN home-row store, so both index families take the same upsert/delete
+  * event model: INSERT probes the arriving vector for its top-k nearest
+  * live neighbors (the verdict goes to the sink) and appends its home-bucket
+  * rows; MODIFY retires the vector's prior rows and admits the replacement
+  * in the same trigger ([[IndexTombstones]]' strictly-before kill rule);
+  * REMOVE retires; within a trigger the last event per vec_id wins.
+  *
+  * One deliberate asymmetry: ANN admission has no accept/reject gate (every
+  * vector joins the index, as every admitted document's embedding would), so
+  * the probe is pure evidence — and like CorpusIngest it runs against the
+  * post-retire pre-admit state, so a MODIFY's top-k never contains the
+  * vector's own previous version.
+  *
+  * Replay safety and scale shape are inherited unchanged from
+  * [[StreamingAnn.externalBatch]]: own-partition exclusion in both
+  * subtrees, overwrite-only writes, per-trigger cost O(batch buckets ⋈
+  * index home rows) + |retired| tombstone rows.
+  */
+object VectorIngest {
+
+  /** One vector CDC event; REMOVE rows carry a null/empty embedding. */
+  final case class VecEvent(seq: Long, vec_id: Long, event: String,
+      embedding: Array[Float])
+
+  def ingestStream(events: Dataset[VecEvent], initialIdxHome: DataFrame,
+      storeDir: String, sink: (DataFrame, Long) => Unit,
+      nTables: Int = Similarity.DefaultTables, bits: Int = 5,
+      probes: Int = Similarity.DefaultProbes, k: Int = 5,
+      broadcastIdx: Boolean = true): DataStreamWriter[VecEvent] =
+    events.writeStream.foreachBatch { (batch: Dataset[VecEvent], batchId: Long) =>
+      ingestBatch(batch, batchId, initialIdxHome, storeDir, sink,
+        nTables, bits, probes, k, broadcastIdx)
+    }
+
+  private[graft] def ingestBatch(batch: Dataset[VecEvent], batchId: Long,
+      initialIdxHome: DataFrame, storeDir: String, sink: (DataFrame, Long) => Unit,
+      nTables: Int, bits: Int, probes: Int, k: Int, broadcastIdx: Boolean): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("seq"))
+    val last = batch.toDF()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .persist()
+    try {
+      val upserts = last.filter(col("event") =!= "REMOVE")
+        .select(col("vec_id"), col("embedding"))
+        .as[StreamingAnn.Vec].persist()
+      try {
+        val retired = last
+          .filter(col("event") === "REMOVE" || col("event") === "MODIFY")
+          .select(col("vec_id").as("cid"))
+        val live = StreamingAnn
+          .liveIndexStore(spark, storeDir, excludeBatchId = batchId)
+          .drop("batch_id")
+        // the anti join moves the key column to the front; restore the
+        // store's order (unionAll with the initial index is position-based)
+        val preState = live.join(retired, Seq("cid"), "left_anti")
+          .select(live.columns.map(col).toIndexedSeq: _*)
+        val topk = StreamingAnn.probeBatch(upserts,
+          initialIdxHome.unionAll(preState), nTables, bits, probes, k, broadcastIdx)
+        sink(topk, batchId)
+        IndexTombstones.retire(spark, storeDir, retired, "cid", batchId)
+        Similarity.homeRowsOf(upserts.toDF(), nTables, bits)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(storeDir)
+      } finally { upserts.unpersist(); () }
+    } finally { last.unpersist(); () }
+  }
+}

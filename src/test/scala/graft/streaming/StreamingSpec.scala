@@ -287,6 +287,19 @@ class StreamingSpec extends SparkSuite {
       s"steady-state stats not populated: $st")
   }
 
+  test("StreamingBench CDC-ingest stats populate (the streaming_ingest section)") {
+    val st = graft.obs.StreamingBench.ingestE2e(spark, sf, nFiles = 4,
+      maxFilesPerTrigger = 1, arrivalCopies = 8)
+    assert(st.inputRows > 0, "no events written")
+    // 3 of every 4 events are upserts; each surviving (last-event-wins)
+    // upsert doc gets one verdict row, so the count is bounded above by the
+    // upsert share and below by 0 — nonzero for the section to mean much
+    assert(st.busRows > 0 && st.busRows <= st.inputRows * 3 / 4, st.toString)
+    assert(st.batches >= 4, s"bounded ingestion not honored: $st")
+    assert(st.steadyAvgBatchMs > 0 && st.steadyRowsPerSec > 0,
+      s"steady-state stats not populated: $st")
+  }
+
   test("StreamingDedup: per-micro-batch probe equals the batch operator across 2 triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSuite
+import graft.ops.Similarity
+
+/** The CDC-driven vector-ingestion composition over the external ANN store:
+  * INSERT probes + appends, MODIFY retires-and-readmits without
+  * self-matching, REMOVE retires, within-trigger last-event-wins, replay
+  * idempotent.
+  */
+class VectorIngestSpec extends SparkSuite {
+
+  private def unit(i: Int): Array[Float] =
+    Array.tabulate(64)(j => if (j == i) 1f else 0f)
+
+  test("VectorIngest: full INSERT/MODIFY/REMOVE lifecycle over the external ANN store") {
+    import spark.implicits._
+    val store = graft.ops.Scratch.dir("vec_ingest").toString + "/idx"
+    val corpus = (1L to 4L).map(i => StreamingAnn.Vec(i, unit(i.toInt)))
+    val idx0 = Similarity.homeRowsOf(
+      corpus.toDF("vec_id", "embedding"), nTables = 8, bits = 3).cache()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val sink: (DataFrame, Long) => Unit = (df, _) =>
+      buf.synchronized {
+        buf ++= df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      }
+    def run(batchId: Long, events: VectorIngest.VecEvent*): Unit =
+      VectorIngest.ingestBatch(events.toDS(), batchId, idx0, store, sink,
+        nTables = 8, bits = 3, probes = 2, k = 3, broadcastIdx = true)
+    def liveIds = StreamingAnn.liveIndexStore(spark, store)
+      .select("cid").distinct().collect().map(_.getLong(0)).toSet
+    def exactHits(qid: Long) = buf.filter(v => v._1 == qid && math.abs(v._4 - 1.0) < 1e-9)
+      .map(_._3).toSet
+
+    // INSERT A; its exact copy A' then finds it at sim 1.0
+    run(0L, VectorIngest.VecEvent(0L, 100L, "INSERT", unit(10)))
+    assert(liveIds == Set(100L), s"batch-0 admit missing from store: $liveIds")
+    run(1L, VectorIngest.VecEvent(0L, 200L, "INSERT", unit(10)))
+    assert(exactHits(200L) == Set(100L), s"A' must find A: ${buf.toSeq}")
+    assert(liveIds == Set(100L, 200L))
+
+    // MODIFY A to an orthogonal direction: the probe must not contain A's
+    // own previous version, and v1 leaves the index in the same trigger
+    buf.clear()
+    run(2L, VectorIngest.VecEvent(0L, 100L, "MODIFY", unit(20)))
+    assert(!buf.exists(v => v._1 == 100L && v._3 == 100L),
+      s"MODIFY self-matched its prior version: ${buf.toSeq}")
+    assert(exactHits(100L).isEmpty, "nothing lives at unit(20) yet")
+    assert(liveIds == Set(100L, 200L))
+
+    // direction 10 now holds only A' (200); direction 20 holds A-v2 (100)
+    buf.clear()
+    run(3L, VectorIngest.VecEvent(0L, 300L, "INSERT", unit(10)),
+      VectorIngest.VecEvent(1L, 400L, "INSERT", unit(20)))
+    assert(exactHits(300L) == Set(200L), s"v1 ghost in direction 10: ${buf.toSeq}")
+    assert(exactHits(400L) == Set(100L), s"v2 not found: ${buf.toSeq}")
+    assert(liveIds == Set(100L, 200L, 300L, 400L))
+
+    // REMOVE A' (200): direction 10 then serves only 300
+    buf.clear()
+    run(4L, VectorIngest.VecEvent(0L, 200L, "REMOVE", Array.empty[Float]))
+    run(5L, VectorIngest.VecEvent(0L, 500L, "INSERT", unit(10)))
+    assert(exactHits(500L) == Set(300L), s"removed vector ghost: ${buf.toSeq}")
+    assert(liveIds == Set(100L, 300L, 400L, 500L))
+
+    // within-trigger last-event-wins: INSERT then REMOVE leaves nothing
+    buf.clear()
+    run(6L, VectorIngest.VecEvent(0L, 600L, "INSERT", unit(30)),
+      VectorIngest.VecEvent(1L, 600L, "REMOVE", Array.empty[Float]))
+    assert(!buf.exists(_._1 == 600L), "REMOVE-last vector must not be probed")
+    assert(liveIds == Set(100L, 300L, 400L, 500L))
+
+    // REPLAY batch 5: identical verdicts, identical store state
+    buf.clear()
+    run(5L, VectorIngest.VecEvent(0L, 500L, "INSERT", unit(10)))
+    assert(exactHits(500L) == Set(300L), "replayed trigger verdicts must be stable")
+    assert(liveIds == Set(100L, 300L, 400L, 500L))
+  }
+}
