@@ -198,6 +198,10 @@ object PlanDoc {
       "ADC scores them with the same closure LUTs as flat PQ, and only the rerankK survivors " +
       "reach float vectors — neither a corpus scan nor resident float lists anywhere in the " +
       "plan."),
+    "source_overlap_approx" -> ("The 100 TB form of the overlap matrix: per-source DataSketches " +
+      "HLL aggregation (mergeable, KB-sized) replaces the exact operator's corpus-sized " +
+      "group-by-shingle shuffle; the pair join is sources x sources over sketch blobs and every " +
+      "statistic is register arithmetic — no exchange in this plan grows with the corpus."),
     "deletion_impact" -> ("Takedown audit as pure composition: the revoked-source filter is " +
       "a one-row broadcast against the scan, and the cluster/member/chunk sides are memoized " +
       "operator results re-joined on single long keys — no text is re-scanned and the near-dup " +

@@ -39,6 +39,9 @@ object SparkEntry {
     "bpe_vocab", "bpe_token_counts", "batch_packing_bpe",
     // engine-specific quantile sketch; error-evidence columns + spec bound
     "revenue_percentiles_approx",
+    // engine-specific HLL sketches (not DuckDB-reproducible); exact_common
+    // evidence column + OpsSpec error bound
+    "source_overlap_approx",
     // Misra-Gries summary is engine-specific (decrement rounds depend on
     // partition iteration order); exact counts ride as evidence columns and
     // FrequentSpec pins the containment + deficit laws
@@ -250,6 +253,10 @@ object SparkEntry {
     // cross-source shingle-overlap matrix: Jaccard + containment ppm per
     // source pair — the mirror/syndication detector (oracled)
     "source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
+    // sketch twin of source_overlap: per-source DataSketches HLL, pairwise
+    // union/inclusion-exclusion — no corpus-sized shuffle; exact_common
+    // rides as evidence (approx + engine-specific sketch: rows-only)
+    "source_overlap_approx" -> ((s, d) => Dedup.sourceOverlapApprox(s, d)),
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, withRecallCol = false)), // approx: rows-only
     "ann_topk_lsh_recall" -> ((s, d) => Similarity.annTopK(s, d)), // approx: rows-only
     "ivf_topk_recall" -> ((s, d) => Similarity.ivfTopK(s, d)), // approx: rows-only

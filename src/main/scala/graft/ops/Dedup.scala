@@ -302,6 +302,53 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** Sketch twin of [[sourceOverlap]] — the 100 TB form of the
+    * mirror/syndication detector. The exact operator's inverted shingle
+    * index must SHUFFLE every (source, shingle) row to group by shingle; at
+    * corpus scale the per-source DataSketches HLL (Spark's `hll_sketch_agg`
+    * — mergeable, order-independent, fixed 2^lgK registers) replaces that
+    * with one bounded-size sketch per source, and every pairwise statistic
+    * becomes register arithmetic: |A∪B| from `hll_union`, |A∩B| by
+    * inclusion-exclusion, Jaccard/containment from those. Pair cost is
+    * sources² over KB-sized sketches — no shuffle grows with the corpus.
+    *
+    * Deterministic (HLL registers are max-based — insertion order cannot
+    * change the sketch), but NOT DuckDB-reproducible (different HLL
+    * implementation), so rows-only; the exact pair truth rides as evidence
+    * (`exact_common`, via the memoized exact operator — the same
+    * exact-twin convention as `revenue_percentiles_approx`), and OpsSpec
+    * bounds the estimator error against lgK's published RSE.
+    */
+  def sourceOverlapApprox(spark: SparkSession, d: String, lgK: Int = 14): DataFrame = {
+    val srcSh = cachedShingles(spark, d)
+      .join(Tables.documents(spark, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .select(col("source"), col("shingle")) // HLL dedups; no distinct needed
+    val sketches = srcSh.groupBy("source")
+      .agg(hll_sketch_agg(col("shingle"), lgK).as("sk"))
+    val pairs = sketches.as("x")
+      .join(sketches.as("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        hll_sketch_estimate(col("x.sk")).as("est_a"),
+        hll_sketch_estimate(col("y.sk")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("x.sk"), col("y.sk"))).as("est_union"))
+    val exact = sourceOverlap(spark, d)
+      .select(col("source_a"), col("source_b"),
+        col("n_common").as("exact_common"))
+    pairs
+      .withColumn("est_common",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+      .withColumn("jaccard_ppm_est",
+        expr("(est_common * 1000000) div greatest(est_union, 1)"))
+      .withColumn("containment_ppm_est",
+        expr("(est_common * 1000000) div greatest(least(est_a, est_b), 1)"))
+      .join(exact, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("est_a"), col("est_b"),
+        col("est_common"), col("jaccard_ppm_est"), col("containment_ppm_est"),
+        coalesce(col("exact_common"), lit(0L)).as("exact_common"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Cleaned-TEXT view of the remediation — what a composed pipeline feeds
     * downstream ([[graft.ops.TextOps.trainingSetBuild]] chunks it): one
     * `(doc_id, clean_text)` row per AFFECTED doc, `clean_text` the kept

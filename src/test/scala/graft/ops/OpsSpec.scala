@@ -283,6 +283,40 @@ class OpsSpec extends SparkSuite {
       == expected, "overlap matrix != set-intersection ground truth")
   }
 
+  test("source overlap sketch twin: full pair coverage, HLL error bounds vs exact") {
+    import spark.implicits._
+    val rows = Dedup.sourceOverlapApprox(spark, sf).collect()
+    val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(rows.length.toLong == nSrc * (nSrc - 1) / 2,
+      "the sketch matrix covers every source pair, overlap or not")
+    // exact per-source distinct shingle counts, driver-side
+    val srcOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect().toMap
+    val bySrc = Dedup.cachedShingles(spark, sf).as[(Long, Long)].collect()
+      .groupBy(t => srcOf(t._1)).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b, s"orientation: $a !< $b")
+      val (estA, estB, estCommon) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (nA, nB) = (bySrc(a).size.toLong, bySrc(b).size.toLong)
+      // per-sketch estimates: lgK=14 has RSE ~0.8%; 5% is a generous gate
+      assert(math.abs(estA - nA) <= math.max(4L, (0.05 * nA).toLong),
+        s"$a size estimate $estA vs exact $nA")
+      assert(math.abs(estB - nB) <= math.max(4L, (0.05 * nB).toLong),
+        s"$b size estimate $estB vs exact $nB")
+      // inclusion-exclusion compounds three estimates — bound the
+      // intersection error by a share of the involved set sizes
+      val exactCommon = (bySrc(a) & bySrc(b)).size.toLong
+      assert(r.getLong(7) == exactCommon, s"$a-$b evidence column")
+      assert(math.abs(estCommon - exactCommon) <=
+        math.max(8L, (0.05 * (nA + nB)).toLong),
+        s"$a-$b intersection estimate $estCommon vs exact $exactCommon")
+    }
+    // determinism: HLL registers are max-based, insertion order irrelevant
+    val again = Dedup.sourceOverlapApprox(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("semantic dedup: group laws + within-cell completeness vs ground truth") {
     import spark.implicits._
     val out = Similarity.semanticDedup(spark, sf).collect()
