@@ -79,4 +79,45 @@ class VectorIngestSpec extends SparkSuite {
     assert(exactHits(500L) == Set(300L), "replayed trigger verdicts must be stable")
     assert(liveIds == Set(100L, 300L, 400L, 500L))
   }
+
+  test("property: random event sequences — live store equals a driver-side model") {
+    import spark.implicits._
+    // ANN admission has no accept/reject gate, so the store model is exact:
+    // alive(id) = the id's last non-REMOVE event; REMOVE kills. Random
+    // batched sequences exercise every interleaving the lifecycle spec
+    // pins individually (fixed seeds — deterministic, no flakes).
+    val idx0 = Similarity.homeRowsOf(
+      Seq(StreamingAnn.Vec(1L, unit(1))).toDF("vec_id", "embedding"),
+      nTables = 4, bits = 3).cache()
+    for (seed <- Seq(7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val store = graft.ops.Scratch.dir(s"vec_ingest_prop_$seed").toString + "/idx"
+      val alive = scala.collection.mutable.Set.empty[Long]
+      var seq = 0L
+      (0L until 5L).foreach { batchId =>
+        val events = (0 until 8).map { _ =>
+          val id = 100L + rnd.nextInt(6)
+          val kind = rnd.nextInt(3) match {
+            case 0 => "INSERT"
+            case 1 => "MODIFY"
+            case _ => "REMOVE"
+          }
+          seq += 1
+          VectorIngest.VecEvent(seq, id, kind,
+            if (kind == "REMOVE") Array.empty[Float] else unit(2 + rnd.nextInt(30)))
+        }
+        // model: last event per id wins within the batch
+        events.groupBy(_.vec_id).foreach { case (id, evs) =>
+          if (evs.maxBy(_.seq).event == "REMOVE") alive -= id else alive += id
+        }
+        VectorIngest.ingestBatch(events.toDS(), batchId, idx0, store,
+          (_, _) => (), nTables = 4, bits = 3, probes = 1, k = 2,
+          broadcastIdx = true)
+        val live = StreamingAnn.liveIndexStore(spark, store)
+          .select("cid").distinct().collect().map(_.getLong(0)).toSet
+        assert(live == alive.toSet,
+          s"seed $seed batch $batchId: store $live != model $alive")
+      }
+    }
+  }
 }
