@@ -326,8 +326,10 @@ object Dedup {
       .select(col("source"), col("shingle")) // HLL dedups; no distinct needed
     val sketches = srcSh.groupBy("source")
       .agg(hll_sketch_agg(col("shingle"), lgK).as("sk"))
+    // sources-sized sketch table: broadcast the non-equi self-join (a
+    // BroadcastNestedLoopJoin over KB-sized rows, never a CartesianProduct)
     val pairs = sketches.as("x")
-      .join(sketches.as("y"), col("x.source") < col("y.source"))
+      .join(broadcast(sketches.as("y")), col("x.source") < col("y.source"))
       .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
         hll_sketch_estimate(col("x.sk")).as("est_a"),
         hll_sketch_estimate(col("y.sk")).as("est_b"),

@@ -87,6 +87,27 @@ object IndexTombstones {
       .select(store.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Operational snapshot of a store — the compaction-decision monitor
+    * (the number an operator watches to pick the fold point): total vs
+    * LIVE rows (their gap is the space and probe work a compaction
+    * reclaims), partition count (small-file pressure from per-trigger
+    * writes), and outstanding tombstones.
+    */
+  final case class StoreStats(rows: Long, liveRows: Long, batches: Long,
+      tombstones: Long) {
+    def deadRows: Long = rows - liveRows
+  }
+
+  def storeStats(spark: SparkSession, storeDir: String, idCol: String,
+      store: DataFrame): StoreStats = {
+    val tombs = read(spark, storeDir, idCol)
+    StoreStats(
+      rows = store.count(),
+      liveRows = applyTo(store, tombs, idCol).count(),
+      batches = store.select(col("batch_id")).distinct().count(),
+      tombstones = tombs.count())
+  }
+
   /** Compaction with tombstone application — the shared body of both
     * stores' `compactIndexStore`: fold every partition with `batch_id <=
     * upToBatchId` into ONE partition keyed at `upToBatchId`, after

@@ -226,6 +226,13 @@ object StreamingAnn {
     IndexTombstones.applyTo(stored, tombs, "cid")
   }
 
+  /** Total/live/partition/tombstone counts — what decides the compaction
+    * cadence ([[IndexTombstones.StoreStats]]).
+    */
+  def indexStoreStats(spark: SparkSession, storeDir: String): IndexTombstones.StoreStats =
+    IndexTombstones.storeStats(spark, storeDir, "cid",
+      readIndexStore(spark, storeDir))
+
   /** Canonical store location for a growing index over corpus `d`: under
     * the [[AnnStore]] root, keyed by the LSH GENERATION TOKEN
     * ([[Similarity.LshKind]]) and the (nTables, bits) point — and

@@ -207,6 +207,13 @@ object StreamingDedup {
     IndexTombstones.applyTo(stored, tombs, "doc_id")
   }
 
+  /** Total/live/partition/tombstone counts — what decides the compaction
+    * cadence ([[IndexTombstones.StoreStats]]).
+    */
+  def indexStoreStats(spark: SparkSession, storeDir: String): IndexTombstones.StoreStats =
+    IndexTombstones.storeStats(spark, storeDir, "doc_id",
+      readIndexStore(spark, storeDir))
+
   def admissionStreamGrowing(docs: Dataset[Doc], initialIndex: DataFrame,
       sink: (DataFrame, Long) => Unit,
       thresholdE6: Long = 500000L, maxDf: Int = 256): DataStreamWriter[Doc] = {

@@ -453,12 +453,21 @@ class StreamingSpec extends SparkSuite {
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(liveIds == Set(4L), s"live view: $liveIds")
 
+    // the compaction-decision monitor sees the dead weight before the fold
+    val pre = StreamingDedup.indexStoreStats(spark, store)
+    assert(pre.deadRows > 0 && pre.tombstones == 1 && pre.batches >= 2,
+      s"pre-compaction stats: $pre")
+    assert(pre.liveRows == StreamingDedup.liveIndexStore(spark, store).count())
+
     // compaction applies the tombstone PHYSICALLY (doc 1's shingles leave
     // the store, the spent tombstone is dropped) and preserves the live view
     val compacted = graft.ops.Scratch.dir("dedup_store_tc").toString + "/idx"
     val liveRows = StreamingDedup.liveIndexStore(spark, store).count()
     val n = StreamingDedup.compactIndexStore(spark, store, compacted, upToBatchId = 4L)
     assert(n == liveRows)
+    val post = StreamingDedup.indexStoreStats(spark, compacted)
+    assert(post.deadRows == 0 && post.tombstones == 0 && post.batches == 1,
+      s"post-compaction stats: $post")
     val cIds = StreamingDedup.readIndexStore(spark, compacted)
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(cIds == Set(4L), s"compacted store: $cIds")
