@@ -218,6 +218,11 @@ object SparkEntry {
     "image_dedup_pairs" -> ((s, d) => graft.multimodal.ImageDedup.imageDedupPairs(s, d)),
     // pair -> cluster -> canonical: same min-label CC path as dedup_clusters
     "image_dedup_clusters" -> ((s, d) => graft.multimodal.ImageDedup.imageDedupClusters(s, d)),
+    // perceptual admission under CDC: new image slice fingerprinted and
+    // probed (banded Hamming, pigeonhole-complete) against the existing
+    // corpus for its best match — oracled end-to-end from the pixel
+    // formulas through the brute-force best-match
+    "incremental_image_dedup" -> ((s, d) => graft.multimodal.ImageDedup.incrementalImageDedup(s, d)),
     // full-payload decode evidence: sum over EVERY PCM sample
     "audio_sample_stats" -> ((s, d) => graft.multimodal.Audio.audioSampleStats(s, d)),
     // real JDK multi-page TIFF decode (the "video" modality): frame counts,
@@ -503,6 +508,34 @@ object SparkEntry {
         |  CAST(i * 450 AS BIGINT) AS start_off,
         |  CAST(least(i * 450 + 500, n_chars) AS BIGINT) AS end_off
         |FROM e3 ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Shared DuckDB CTE chain recomputing the near-dup corpus aHash
+    * fingerprints from the pixel formulas — every image-dedup oracle
+    * certifies against this ONE fingerprint definition. */
+  private val imageFpCtes: String =
+    """d AS (SELECT doc_id, doc_id // 4 AS seed, doc_id % 4 AS v FROM documents),
+        |dm AS (SELECT doc_id, v, seed, 16 + seed % 32 AS w, 8 + seed % 16 AS h FROM d),
+        |g AS (SELECT doc_id, v, seed, w, h, unnest(range(0, 64)) AS b FROM dm),
+        |sc AS (SELECT doc_id, v, (((b % 8) * w) // 8) AS sx, (((b // 8) * h) // 8) AS sy,
+        |       seed, b FROM g),
+        |fx AS (
+        |  SELECT doc_id, v, b,
+        |    ((seed * 1103515245) + sx * 65537 + sy * 257) % 16777216 AS f1,
+        |    ((seed * 2654435761) + sx * 257 + sy * 65537) % 16777216 AS f2
+        |  FROM sc
+        |),
+        |px AS (SELECT doc_id, v, b, (f1 * f2 + f1 + f2) % 16777216 AS p FROM fx),
+        |gr AS (SELECT doc_id, b, CASE WHEN b < v THEN 765
+        |  ELSE (p // 65536) + ((p // 256) % 256) + (p % 256) END AS gray FROM px),
+        |t AS (SELECT doc_id, SUM(gray) AS total FROM gr GROUP BY doc_id),
+        |fp AS (
+        |  SELECT gr.doc_id,
+        |    SUM(CASE WHEN gray * 64 > total AND b >= 32
+        |             THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS hi,
+        |    SUM(CASE WHEN gray * 64 > total AND b < 32
+        |             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS lo
+        |  FROM gr JOIN t USING (doc_id) GROUP BY gr.doc_id
+        |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "cdc_item_changed" -> (cdcCte +
@@ -1880,60 +1913,36 @@ object SparkEntry {
         |  CAST(NULL AS VARCHAR) AS decode_error
         |FROM gr JOIN t USING (doc_id)
         |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin,
-    "image_dedup_pairs" ->
-      """WITH d AS (SELECT doc_id, doc_id // 4 AS seed, doc_id % 4 AS v FROM documents),
-        |dm AS (SELECT doc_id, v, seed, 16 + seed % 32 AS w, 8 + seed % 16 AS h FROM d),
-        |g AS (SELECT doc_id, v, seed, w, h, unnest(range(0, 64)) AS b FROM dm),
-        |sc AS (SELECT doc_id, v, (((b % 8) * w) // 8) AS sx, (((b // 8) * h) // 8) AS sy,
-        |       seed, b FROM g),
-        |fx AS (
-        |  SELECT doc_id, v, b,
-        |    ((seed * 1103515245) + sx * 65537 + sy * 257) % 16777216 AS f1,
-        |    ((seed * 2654435761) + sx * 257 + sy * 65537) % 16777216 AS f2
-        |  FROM sc
+    "incremental_image_dedup" ->
+      ("WITH " + imageFpCtes + ",\n" +
+      """newfp AS (SELECT * FROM fp WHERE doc_id % 10 = 0),
+        |oldfp AS (SELECT * FROM fp WHERE doc_id % 10 <> 0),
+        |cand AS (
+        |  SELECT n.doc_id AS qid, o.doc_id AS cid,
+        |    bit_count(xor(n.hi, o.hi)) + bit_count(xor(n.lo, o.lo)) AS hamming
+        |  FROM newfp n CROSS JOIN oldfp o
         |),
-        |px AS (SELECT doc_id, v, b, (f1 * f2 + f1 + f2) % 16777216 AS p FROM fx),
-        |gr AS (SELECT doc_id, b, CASE WHEN b < v THEN 765
-        |  ELSE (p // 65536) + ((p // 256) % 256) + (p % 256) END AS gray FROM px),
-        |t AS (SELECT doc_id, SUM(gray) AS total FROM gr GROUP BY doc_id),
-        |fp AS (
-        |  SELECT gr.doc_id,
-        |    SUM(CASE WHEN gray * 64 > total AND b >= 32
-        |             THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS hi,
-        |    SUM(CASE WHEN gray * 64 > total AND b < 32
-        |             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS lo
-        |  FROM gr JOIN t USING (doc_id) GROUP BY gr.doc_id
+        |best AS (
+        |  SELECT qid, cid, hamming,
+        |    row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rn
+        |  FROM cand WHERE hamming <= 3
         |)
-        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |SELECT n.doc_id AS doc_id,
+        |  CAST(coalesce(b.cid, -1) AS BIGINT) AS match_id,
+        |  CAST(coalesce(b.hamming, 64) AS BIGINT) AS hamming,
+        |  CAST(CASE WHEN b.cid IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+        |FROM newfp n LEFT JOIN best b ON n.doc_id = b.qid AND b.rn = 1
+        |ORDER BY n.doc_id""".stripMargin),
+    "image_dedup_pairs" ->
+      ("WITH " + imageFpCtes + "\n" +
+      """SELECT x.doc_id AS a, y.doc_id AS b,
         |  CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS BIGINT) AS hamming
         |FROM fp x JOIN fp y ON x.doc_id < y.doc_id
         |WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
-        |ORDER BY a, b""".stripMargin,
+        |ORDER BY a, b""".stripMargin),
     "image_dedup_clusters" ->
-      """WITH RECURSIVE d AS (SELECT doc_id, doc_id // 4 AS seed, doc_id % 4 AS v FROM documents),
-        |dm AS (SELECT doc_id, v, seed, 16 + seed % 32 AS w, 8 + seed % 16 AS h FROM d),
-        |g AS (SELECT doc_id, v, seed, w, h, unnest(range(0, 64)) AS b FROM dm),
-        |sc AS (SELECT doc_id, v, (((b % 8) * w) // 8) AS sx, (((b // 8) * h) // 8) AS sy,
-        |       seed, b FROM g),
-        |fx AS (
-        |  SELECT doc_id, v, b,
-        |    ((seed * 1103515245) + sx * 65537 + sy * 257) % 16777216 AS f1,
-        |    ((seed * 2654435761) + sx * 257 + sy * 65537) % 16777216 AS f2
-        |  FROM sc
-        |),
-        |px AS (SELECT doc_id, v, b, (f1 * f2 + f1 + f2) % 16777216 AS p FROM fx),
-        |gr AS (SELECT doc_id, b, CASE WHEN b < v THEN 765
-        |  ELSE (p // 65536) + ((p // 256) % 256) + (p % 256) END AS gray FROM px),
-        |t AS (SELECT doc_id, SUM(gray) AS total FROM gr GROUP BY doc_id),
-        |fp AS (
-        |  SELECT gr.doc_id,
-        |    SUM(CASE WHEN gray * 64 > total AND b >= 32
-        |             THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS hi,
-        |    SUM(CASE WHEN gray * 64 > total AND b < 32
-        |             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS lo
-        |  FROM gr JOIN t USING (doc_id) GROUP BY gr.doc_id
-        |),
-        |pairs AS (
+      ("WITH RECURSIVE " + imageFpCtes + ",\n" +
+      """pairs AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b
         |  FROM fp x JOIN fp y ON x.doc_id < y.doc_id
         |  WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
@@ -1950,7 +1959,7 @@ object SparkEntry {
         |  SELECT r.node, e.nbr FROM reach r JOIN edges e ON r.anc = e.node
         |)
         |SELECT node AS doc_id, CAST(min(anc) AS BIGINT) AS cluster_id
-        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
     "video_meta" ->
       """SELECT doc_id,
         |  CAST(4 + doc_id % 6 AS BIGINT) AS n_frames,

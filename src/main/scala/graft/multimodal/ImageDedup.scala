@@ -166,10 +166,7 @@ object ImageDedup {
   private def minedPairs(
       spark: SparkSession, d: String, maxHamming: Int, maxBucket: Int): DataFrame =
     Memo(spark, s"imagepairs|$d|$maxHamming|$maxBucket") {
-      val fps = phashDs(dedupImages(spark, d))
-        .filter(col("decode_error").isNull)
-        .select(col("doc_id").as("id"), col("fp"))
-      Dedup.hammingPairs64(fps, maxHamming, maxBucket).persist()
+      Dedup.hammingPairs64(corpusFps(spark, d), maxHamming, maxBucket).persist()
     }
 
   /** Oracled query: pair → CLUSTER composition for the image family —
@@ -189,4 +186,60 @@ object ImageDedup {
       maxBucket: Int = 4096): DataFrame =
     Dedup.clusterPairs(
       minedPairs(spark, d, maxHamming, maxBucket).select(col("a"), col("b")))
+
+  /** Decodable fingerprints of the near-dup corpus, `(id, fp)`,
+    * session-memoized — the shared input of the pair miner and the probe
+    * family below.
+    */
+  private[graft] def corpusFps(spark: SparkSession, d: String): DataFrame =
+    Memo(spark, s"imagefps|$d") {
+      phashDs(dedupImages(spark, d))
+        .filter(col("decode_error").isNull)
+        .select(col("doc_id").as("id"), col("fp"))
+        .persist()
+    }
+
+  /** Probe core shared by [[incrementalImageDedup]] (batch) and
+    * [[graft.streaming.StreamingImages]] (per micro-batch): the best
+    * perceptual match per probe image among the index images — banded
+    * Hamming candidates ([[Dedup.hammingProbe64]], pigeonhole-complete at
+    * the bound), then min-(hamming, cid) per probe id; unmatched decodable
+    * probes export `match_id -1, hamming 64` so the verdict frame covers
+    * the whole batch.
+    */
+  private[graft] def probeBest(newFps: DataFrame, idxFps: DataFrame,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    val cand = Dedup.hammingProbe64(newFps, idxFps, maxHamming, maxBucket)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(asc("hamming"), asc("cid"))
+    val best = cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("qid").as("id"), col("cid").as("match_id"), col("hamming"))
+    newFps.select(col("id"))
+      .join(best, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        coalesce(col("hamming"), lit(64L)).as("hamming"),
+        (coalesce(col("match_id"), lit(-1L)) =!= -1L).cast("long").as("is_dup"))
+  }
+
+  /** Oracled query: perceptual admission under CDC — the image family's
+    * incremental form, completing its ladder the way `incremental_ann` /
+    * `incremental_ivf` did for vectors: a NEW batch of images (`doc_id %
+    * batchMod == 0`) is fingerprinted and probed against the EXISTING
+    * corpus's fingerprints (every other image) for its best perceptual
+    * match within `maxHamming`. Banding keeps candidates per probe at
+    * ~4 x bucket, never probe x corpus; DuckDB replays the whole thing —
+    * fingerprints from the pixel formulas, brute-force best match —
+    * hash-exact, certifying both the real decode and the banded probe's
+    * pigeonhole completeness.
+    */
+  def incrementalImageDedup(spark: SparkSession, d: String,
+      batchMod: Int = 10, maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    val fps = corpusFps(spark, d)
+    probeBest(
+      fps.filter(pmod(col("id"), lit(batchMod)) === 0),
+      fps.filter(pmod(col("id"), lit(batchMod)) =!= 0),
+      maxHamming, maxBucket)
+      .orderBy("doc_id")
+  }
 }

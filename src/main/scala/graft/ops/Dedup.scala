@@ -688,6 +688,41 @@ object Dedup {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  /** PROBE form of the 4x16-bit banding: candidates for each PROBE
+    * fingerprint among the INDEX fingerprints — the admission-time shape
+    * ([[hammingPairs64]] mines pairs within one frame; this joins two).
+    * Pigeonhole-complete for `maxHamming <= 3` like the pair miner, so the
+    * candidate set provably contains every index row within the bound.
+    * Hot index buckets are CAPPED (deterministic keep-lowest-ids) — a
+    * boilerplate band value would otherwise multiply every probe row by the
+    * whole cluster — but index singletons stay: unlike pair mining, a
+    * lone index row is exactly what a probe wants to find.
+    *
+    * @param probe (id, fp) probe-side fingerprints
+    * @param idx   (id, fp) index-side fingerprints
+    * @return (qid, cid, hamming) with hamming <= maxHamming, unordered
+    */
+  private[graft] def hammingProbe64(probe: DataFrame, idx: DataFrame,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16-bit banding is only pigeonhole-complete for hamming <= 3, got $maxHamming")
+    def bands(df: DataFrame) = df.select(col("id"), col("fp"),
+      posexplode(expr("transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535)"))
+        .as(Seq("chunk", "chunk_val")))
+    val p = bands(probe).select(col("chunk"), col("chunk_val"),
+      col("id").as("qid"), col("fp").as("fp_q"))
+    val cw = Window.partitionBy(col("chunk"), col("chunk_val")).orderBy(col("id"))
+    val i = bands(idx)
+      .withColumn("rn", row_number().over(cw)).filter(col("rn") <= maxBucket)
+      .select(col("chunk"), col("chunk_val"), col("id").as("cid"), col("fp").as("fp_c"))
+    p.join(i, Seq("chunk", "chunk_val"))
+      .select(col("qid"), col("cid"), col("fp_q"), col("fp_c"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fp_q").bitwiseXOR(col("fp_c"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("qid"), col("cid"), col("hamming"))
+  }
+
   /** Near-dup CLUSTERS: connected components over the jaccard pair graph,
     * labeled by the minimum doc_id in each component — the principled
     * canonical-selection step (pairwise "drop b" misses transitive chains

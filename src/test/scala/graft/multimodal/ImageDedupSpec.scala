@@ -65,6 +65,60 @@ class ImageDedupSpec extends SparkSuite {
     assert(want.groupBy(_._2).exists(_._2.size >= 2))
   }
 
+  test("incremental image dedup: slice discipline, probe completeness vs brute force") {
+    val out = ImageDedup.incrementalImageDedup(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) % 10 == 0, s"doc_id must be new-batch: $r")
+      val (m, h, dup) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      if (dup == 1L) assert(m % 10 != 0 && h <= 3, s"matched row laws: $r")
+      else assert(m == -1L && h == 64L, s"unmatched row shape: $r")
+    }
+    // banded probe == brute-force best match (pigeonhole completeness)
+    val fps = ImageDedup.corpusFps(spark, sf)
+      .as[(Long, Long)].collect()
+    val oldFps = fps.filter(_._1 % 10 != 0)
+    out.foreach { r =>
+      val qfp = fps.find(_._1 == r.getLong(0)).get._2
+      val best = oldFps
+        .map { case (cid, cfp) => (java.lang.Long.bitCount(qfp ^ cfp).toLong, cid) }
+        .filter(_._1 <= 3)
+        .sorted.headOption
+      best match {
+        case Some((h, cid)) =>
+          assert(r.getLong(1) == cid && r.getLong(2) == h, s"probe missed best: $r")
+        case None =>
+          assert(r.getLong(1) == -1L, s"phantom match: $r")
+      }
+    }
+  }
+
+  test("streaming image admission equals the batch operator across 2 triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val idxFps = ImageDedup.corpusFps(spark, sf)
+      .filter(col("id") % 10 =!= 0).cache()
+    val newImgs = ImageDedup.dedupImages(spark, sf)
+      .filter($"doc_id" % 10 === 0).collect()
+    assert(newImgs.nonEmpty)
+
+    val stream = MemoryStream[Images.ImageRecord]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = graft.streaming.StreamingImages.admissionStream(stream.toDS(), idxFps,
+      (df, _) => buf.synchronized {
+        buf ++= df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }).start()
+    val (b1, b2) = newImgs.splitAt(newImgs.length / 2)
+    stream.addData(b1.toSeq); q.processAllAvailable()
+    stream.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+
+    val want = ImageDedup.incrementalImageDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(buf.toSet == want, s"stream ${buf.size} rows vs batch ${want.size}")
+  }
+
   test("within-group variants pair up; corrupt blob takes the dead-letter lane") {
     // v=0 vs v=1 differ by one whitened sampled pixel: hamming is small by
     // construction (one forced bit + threshold drift), so group (0,1) of the
