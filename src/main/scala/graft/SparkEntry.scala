@@ -41,7 +41,7 @@ object SparkEntry {
     "revenue_percentiles_approx",
     // engine-specific HLL sketches (not DuckDB-reproducible); exact_common
     // evidence column + OpsSpec error bound
-    "source_overlap_approx",
+    "source_overlap_approx", "incremental_source_overlap",
     // Misra-Gries summary is engine-specific (decrement rounds depend on
     // partition iteration order); exact counts ride as evidence columns and
     // FrequentSpec pins the containment + deficit laws
@@ -262,6 +262,10 @@ object SparkEntry {
     // union/inclusion-exclusion — no corpus-sized shuffle; exact_common
     // rides as evidence (approx + engine-specific sketch: rows-only)
     "source_overlap_approx" -> ((s, d) => Dedup.sourceOverlapApprox(s, d)),
+    // incremental overlap: persisted old-slice per-source sketches merged
+    // register-wise with the new batch's — the corpus is never re-scanned;
+    // full_est_common evidence rides (approx + engine-specific: rows-only)
+    "incremental_source_overlap" -> ((s, d) => Dedup.incrementalSourceOverlap(s, d)),
     "ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, withRecallCol = false)), // approx: rows-only
     "ann_topk_lsh_recall" -> ((s, d) => Similarity.annTopK(s, d)), // approx: rows-only
     "ivf_topk_recall" -> ((s, d) => Similarity.ivfTopK(s, d)), // approx: rows-only

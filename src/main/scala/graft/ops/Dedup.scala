@@ -319,35 +319,90 @@ object Dedup {
     * exact-twin convention as `revenue_percentiles_approx`), and OpsSpec
     * bounds the estimator error against lgK's published RSE.
     */
-  def sourceOverlapApprox(spark: SparkSession, d: String, lgK: Int = 14): DataFrame = {
+  /** Per-source shingle HLL sketches: `(source, sk)`, optionally restricted
+    * to one side of the `batchMod` slice (0 = whole corpus).
+    */
+  private def sourceSketches(spark: SparkSession, d: String, lgK: Int,
+      batchMod: Int = 0, newSlice: Boolean = false): DataFrame = {
     val srcSh = cachedShingles(spark, d)
       .join(Tables.documents(spark, d).select(col("doc_id"), col("source")),
         Seq("doc_id"))
-      .select(col("source"), col("shingle")) // HLL dedups; no distinct needed
-    val sketches = srcSh.groupBy("source")
+    val sliced =
+      if (batchMod <= 0) srcSh
+      else if (newSlice) srcSh.filter(pmod(col("doc_id"), lit(batchMod)) === 0)
+      else srcSh.filter(pmod(col("doc_id"), lit(batchMod)) =!= 0)
+    sliced.select(col("source"), col("shingle")) // HLL dedups; no distinct needed
+      .groupBy("source")
       .agg(hll_sketch_agg(col("shingle"), lgK).as("sk"))
-    // sources-sized sketch table: broadcast the non-equi self-join (a
-    // BroadcastNestedLoopJoin over KB-sized rows, never a CartesianProduct)
-    val pairs = sketches.as("x")
+  }
+
+  /** Pairwise overlap statistics from a `(source, sk)` sketch frame —
+    * the shared matrix core of [[sourceOverlapApprox]] and
+    * [[incrementalSourceOverlap]]. Sources-sized non-equi self-join:
+    * broadcast (a BroadcastNestedLoopJoin over KB rows, never a
+    * CartesianProduct); every statistic is register arithmetic.
+    */
+  private def sketchPairMatrix(sketches: DataFrame): DataFrame =
+    sketches.as("x")
       .join(broadcast(sketches.as("y")), col("x.source") < col("y.source"))
       .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
         hll_sketch_estimate(col("x.sk")).as("est_a"),
         hll_sketch_estimate(col("y.sk")).as("est_b"),
         hll_sketch_estimate(hll_union(col("x.sk"), col("y.sk"))).as("est_union"))
-    val exact = sourceOverlap(spark, d)
-      .select(col("source_a"), col("source_b"),
-        col("n_common").as("exact_common"))
-    pairs
       .withColumn("est_common",
         greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
       .withColumn("jaccard_ppm_est",
         expr("(est_common * 1000000) div greatest(est_union, 1)"))
       .withColumn("containment_ppm_est",
         expr("(est_common * 1000000) div greatest(least(est_a, est_b), 1)"))
+
+  def sourceOverlapApprox(spark: SparkSession, d: String, lgK: Int = 14): DataFrame = {
+    val exact = sourceOverlap(spark, d)
+      .select(col("source_a"), col("source_b"),
+        col("n_common").as("exact_common"))
+    sketchPairMatrix(sourceSketches(spark, d, lgK))
       .join(exact, Seq("source_a", "source_b"), "left")
       .select(col("source_a"), col("source_b"), col("est_a"), col("est_b"),
         col("est_common"), col("jaccard_ppm_est"), col("containment_ppm_est"),
         coalesce(col("exact_common"), lit(0L)).as("exact_common"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private[graft] val SrcSketchKind = "srcsketch-v1-hll"
+
+  /** Incremental overlap matrix under CDC — the MERGEABILITY payoff of the
+    * sketch twin, and the reason governance stats survive a continuously
+    * ingesting corpus: the OLD slice's per-source sketches are
+    * [[AnnStore]]-persisted ingest-time work (keyed on the documents
+    * table), the NEW batch contributes one bounded sketch-aggregation over
+    * its own shingles, and `hll_union_agg` folds the two register-wise —
+    * the whole corpus is never re-scanned. The exported matrix carries
+    * `full_est_common` (the same statistic computed from scratch over the
+    * full corpus) as evidence that merged state tracks the from-scratch
+    * answer; OpsSpec bounds their gap (tiny — union of partial sketches
+    * and the direct sketch agree register-for-register once both sides
+    * are in dense HLL mode) and pins the store round-trip.
+    */
+  def incrementalSourceOverlap(spark: SparkSession, d: String,
+      batchMod: Int = 10, lgK: Int = 14): DataFrame = {
+    val oldSk = Memo(spark, s"srcsketch|$d|$batchMod|$lgK") {
+      AnnStore.loadOrBuild(spark,
+        AnnStore.path(spark, SrcSketchKind, d, s"$batchMod-$lgK",
+          corpusTable = "documents")) {
+        sourceSketches(spark, d, lgK, batchMod, newSlice = false)
+      }.persist()
+    }
+    val newSk = sourceSketches(spark, d, lgK, batchMod, newSlice = true)
+    val merged = oldSk.unionAll(newSk)
+      .groupBy("source").agg(hll_union_agg(col("sk")).as("sk"))
+    val full = sketchPairMatrix(sourceSketches(spark, d, lgK))
+      .select(col("source_a"), col("source_b"),
+        col("est_common").as("full_est_common"))
+    sketchPairMatrix(merged)
+      .join(full, Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"), col("est_a"), col("est_b"),
+        col("est_common"), col("jaccard_ppm_est"), col("containment_ppm_est"),
+        col("full_est_common"))
       .orderBy("source_a", "source_b")
   }
 

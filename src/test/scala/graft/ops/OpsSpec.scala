@@ -317,6 +317,30 @@ class OpsSpec extends SparkSuite {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("incremental source overlap: merged sketches track the from-scratch matrix") {
+    val rows = Dedup.incrementalSourceOverlap(spark, sf).collect()
+    val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(rows.length.toLong == nSrc * (nSrc - 1) / 2)
+    rows.foreach { r =>
+      val merged = r.getLong(4)
+      val full = r.getLong(7)
+      // union of partial sketches vs the direct sketch: register-identical
+      // in dense mode; sparse-mode promotion can differ by a hair — bound
+      // the gap at 2% of the involved sizes plus a small absolute slack
+      val tol = math.max(8L, (0.02 * (r.getLong(2) + r.getLong(3))).toLong)
+      assert(math.abs(merged - full) <= tol,
+        s"${r.getString(0)}-${r.getString(1)}: merged $merged vs full $full")
+    }
+    // the persisted old-slice sketch store round-trips: a fresh session
+    // loads it (no rebuild) and produces the identical matrix
+    val before = AnnStore.buildCount.get()
+    Memo.clear(spark)
+    val again = Dedup.incrementalSourceOverlap(spark, sf).collect()
+    assert(AnnStore.buildCount.get() == before,
+      "fresh session must LOAD the old-slice sketches, not rebuild")
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("semantic dedup: group laws + within-cell completeness vs ground truth") {
     import spark.implicits._
     val out = Similarity.semanticDedup(spark, sf).collect()
