@@ -746,12 +746,18 @@ object Dedup {
   /** PROBE form of the 4x16-bit banding: candidates for each PROBE
     * fingerprint among the INDEX fingerprints — the admission-time shape
     * ([[hammingPairs64]] mines pairs within one frame; this joins two).
-    * Pigeonhole-complete for `maxHamming <= 3` like the pair miner, so the
-    * candidate set provably contains every index row within the bound.
-    * Hot index buckets are CAPPED (deterministic keep-lowest-ids) — a
-    * boilerplate band value would otherwise multiply every probe row by the
-    * whole cluster — but index singletons stay: unlike pair mining, a
-    * lone index row is exactly what a probe wants to find.
+    * Pigeonhole-complete for `maxHamming <= 3` like the pair miner
+    * PROVIDED no index band-bucket exceeds `maxBucket`: hot buckets are
+    * CAPPED (deterministic keep-lowest-ids) because a boilerplate band
+    * value would otherwise multiply every probe row by the whole cluster —
+    * the web-scale insurance bound that deliberately trades completeness
+    * inside a pathological bucket for bounded work. The oracled caller's
+    * spec guards the gap (ImageDedupSpec asserts the corpus's worst bucket
+    * sits far under the cap, so the DuckDB brute-force comparison stays
+    * exact; a testdata generation that grows a hot bucket trips the spec
+    * before it could silently diverge from the oracle). Index singletons
+    * stay: unlike pair mining, a lone index row is exactly what a probe
+    * wants to find.
     *
     * @param probe (id, fp) probe-side fingerprints
     * @param idx   (id, fp) index-side fingerprints

@@ -55,16 +55,10 @@ object Pq {
       excludeMod: Int = 0): Array[Array[Array[Float]]] =
     Memo(spark, s"pqbook|$d|$m|$ksub|$sampleN|$iters|x$excludeMod") {
       import spark.implicits._
-      val params = s"$m-$ksub-$sampleN-$iters" +
-        (if (excludeMod > 0) s"-x$excludeMod" else "")
+      val params = Similarity.sliceParams(s"$m-$ksub-$sampleN-$iters", excludeMod)
       val stored = AnnStore.loadOrBuild(spark,
         AnnStore.path(spark, BookKind, d, params)) {
-        val corpus =
-          if (excludeMod > 0)
-            Tables.embeddings(spark, d)
-              .filter(pmod(col("vec_id"), lit(excludeMod)) =!= 0)
-          else Tables.embeddings(spark, d)
-        val sample = corpus
+        val sample = Similarity.embeddingsSlice(spark, d, excludeMod)
           .select(col("vec_id"), col("embedding"))
           .orderBy(xxhash64(col("vec_id")), col("vec_id"))
           .limit(sampleN)
@@ -288,16 +282,10 @@ object Pq {
       val books = codebooks(spark, d, m, ksub, sampleN, iters, excludeMod)
       val bits = codeBits(m, ksub)
       val dsub = books(0)(0).length
-      val params = s"$nCells-$m-$ksub-$sampleN-$iters" +
-        (if (excludeMod > 0) s"-x$excludeMod" else "")
+      val params = Similarity.sliceParams(s"$nCells-$m-$ksub-$sampleN-$iters", excludeMod)
       AnnStore.loadOrBuild(spark,
         AnnStore.path(spark, IvfPqKind, d, params)) {
-        val corpus =
-          if (excludeMod > 0)
-            Tables.embeddings(spark, d)
-              .filter(pmod(col("vec_id"), lit(excludeMod)) =!= 0)
-          else Tables.embeddings(spark, d)
-        Similarity.withNorm(corpus)
+        Similarity.withNorm(Similarity.embeddingsSlice(spark, d, excludeMod))
           .select(col("vec_id"), col("embedding"), col("nrm"))
           .as[(Long, Array[Float], Double)]
           .map { case (id, e, n) =>
@@ -456,13 +444,19 @@ object Pq {
       .withColumn("arank", row_number().over(aw))
       .filter(col("arank") <= rerankK)
       .select(col("qid"), col("cid"), col("asim"))
-    // exact rerank: survivors (qids x rerankK, tiny) broadcast into the
-    // float corpus on cid; the query embedding comes back from the batch
+    // exact rerank: survivors (qids x rerankK) join the float corpus on
+    // cid; the query embedding comes back from the batch. NO broadcast
+    // hint — the survivor count is proportional to the PROBE side
+    // (incrementalIvfPqTopK probes corpus/batchMod vectors, so a forced
+    // broadcast would grow with the corpus); the size-gated planner picks
+    // the strategy, exactly as the LSH/IVF incremental twins leave it
+    // (the bounded-query-set pqTopK/ivfpqTopK reranks broadcast their
+    // ~nQueries x rerankK frames explicitly and legitimately)
     val q = Similarity.withNorm(newVecs)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"))
     val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), asc("cid"))
-    broadcast(pruned).join(corpusEmb, "cid").join(q, "qid")
+    pruned.join(corpusEmb, "cid").join(q, "qid")
       .withColumn("sim",
         graft.functions.VectorFunctions.dot_product(col("qe"), col("ce"))
           / (col("qn") * col("cn")))

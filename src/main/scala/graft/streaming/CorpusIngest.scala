@@ -23,12 +23,18 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *  - within a trigger, the LAST event per doc wins (`seq` order — a CDC
   *    micro-batch can carry a doc's whole INSERT→MODIFY→REMOVE life).
   *
-  * Probe semantics: candidates come from the post-retire pre-admit state —
-  * the live store minus this batch's retire set. That kills the
-  * self-match trap (a MODIFY would otherwise find its own previous version
-  * at jaccard ~1 and reject its replacement as a duplicate of itself) and
-  * means a REMOVE and a near-copy INSERT in one trigger do the right thing
-  * (removed content no longer blocks admission).
+  * Probe semantics: candidates come from the post-retire pre-admit state
+  * over the WHOLE index — the initial (static corpus) rows sequenced at
+  * batch -inf plus the store, past tombstones applied, this batch's retire
+  * set removed ([[IndexTombstones.preBatchState]]). That kills the
+  * self-match trap for store-admitted AND base-corpus docs alike (a MODIFY
+  * would otherwise find its own previous version at jaccard ~1 and reject
+  * its replacement as a duplicate of itself), and a REMOVE — of stream or
+  * corpus content — stops blocking near-copy admissions in every later
+  * trigger, not just its own. This is the contract difference vs the plain
+  * external stores, whose static side is retired by corpus
+  * re-fingerprinting instead: under CDC, the event stream IS the
+  * authority over all content.
   *
   * Replay safety is inherited end-to-end: the probe excludes this batch's
   * own partitions in BOTH subtrees (store and tombstones), and the shingle
@@ -78,17 +84,16 @@ object CorpusIngest {
         val retired = last
           .filter(col("event") === "REMOVE" || col("event") === "MODIFY")
           .select(col("doc_id"))
-        // post-retire pre-admit state: live store (own batch excluded in
-        // both subtrees) minus this batch's retire set. The anti join moves
-        // the key column to the front; restore the store's order (unionAll
-        // with the initial index is position-based)
-        val live = StreamingDedup
-          .liveIndexStore(spark, storeDir, excludeBatchId = batchId)
-          .drop("batch_id")
-        val preState = live.join(retired, Seq("doc_id"), "left_anti")
-          .select(live.columns.map(col).toIndexedSeq: _*)
+        // post-retire pre-admit state over the WHOLE index — initial rows
+        // included, sequenced at batch -inf so past tombstones kill them
+        // too (a MODIFY of a base-corpus doc must not self-match its own
+        // static shingles and reject its replacement; a REMOVE of one must
+        // stop blocking near-copy admissions in every later trigger)
+        val preState = IndexTombstones.preBatchState(spark, storeDir,
+          initialIndex, "doc_id", batchId, retired,
+          StreamingDedup.readIndexStore(spark, storeDir))
         val verdicts = StreamingDedup
-          .probeBatch(upserts, initialIndex.unionAll(preState), thresholdE6, maxDf)
+          .probeBatch(upserts, preState, thresholdE6, maxDf)
           .persist()
         try {
           sink(verdicts, batchId)

@@ -51,14 +51,19 @@ object IndexTombstones {
     */
   def retire(spark: SparkSession, storeDir: String, ids: DataFrame,
       idCol: String, retireBatchId: Long): Long = {
+    // persist across the count + write so the distinct runs once — retire
+    // sits on the per-trigger hot path of the CDC ingest forms
     val t = ids.toDF(idCol).distinct()
       .withColumn("batch_id", lit(retireBatchId))
-    val n = t.count()
-    t.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(dir(storeDir))
-    n
+      .persist()
+    try {
+      val n = t.count()
+      t.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(dir(storeDir))
+      n
+    } finally { t.unpersist(); () }
   }
 
   /** Read the tombstone set: `(idCol, batch_id)`; empty before the first
@@ -85,6 +90,33 @@ object IndexTombstones {
       // the equi-join moved idCol to the front — restore the store's column
       // order (callers union the live view with position-based unionAll)
       .select(store.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** The PRE-BATCH probe state for a CDC ingest trigger
+    * ([[CorpusIngest]]/[[VectorIngest]]'s shared core — one copy of the
+    * union + tombstone + retire-set + column-order discipline, after the
+    * join-reorder trap bit both bodies separately): the caller-supplied
+    * INITIAL index rows are sequenced at batch `Long.MinValue`, so ANY
+    * tombstone kills them — under CDC the static corpus content is
+    * retire-able too (a MODIFY/REMOVE of a base-corpus doc must stop its
+    * old version from matching, which the plain external stores leave to
+    * corpus re-fingerprinting); the store side is read fresh, THIS batch's
+    * partitions are excluded from BOTH subtrees (replay stability), past
+    * tombstones are applied to the union, this batch's own retire set is
+    * removed (its tombstone partition is the excluded one), and the result
+    * carries the initial index's exact column order (positional unions
+    * downstream).
+    */
+  def preBatchState(spark: SparkSession, storeDir: String,
+      initialIndex: DataFrame, idCol: String, batchId: Long,
+      retired: DataFrame, readStore: DataFrame): DataFrame = {
+    val init = initialIndex.withColumn("batch_id", lit(Long.MinValue))
+    val stored = readStore.filter(col("batch_id") =!= batchId)
+    val tombs = read(spark, storeDir, idCol).filter(col("batch_id") =!= batchId)
+    applyTo(init.unionAll(stored), tombs, idCol)
+      .drop("batch_id")
+      .join(retired.toDF(idCol).distinct(), Seq(idCol), "left_anti")
+      .select(initialIndex.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Operational snapshot of a store — the compaction-decision monitor

@@ -59,15 +59,16 @@ object VectorIngest {
         val retired = last
           .filter(col("event") === "REMOVE" || col("event") === "MODIFY")
           .select(col("vec_id").as("cid"))
-        val live = StreamingAnn
-          .liveIndexStore(spark, storeDir, excludeBatchId = batchId)
-          .drop("batch_id")
-        // the anti join moves the key column to the front; restore the
-        // store's order (unionAll with the initial index is position-based)
-        val preState = live.join(retired, Seq("cid"), "left_anti")
-          .select(live.columns.map(col).toIndexedSeq: _*)
+        // post-retire pre-admit state over the WHOLE index — initial rows
+        // sequenced at batch -inf so tombstones reach static corpus
+        // vectors too (a MODIFY's top-k must not contain its own static
+        // prior version; a REMOVE'd static vector must leave every later
+        // trigger's top-k)
+        val preState = IndexTombstones.preBatchState(spark, storeDir,
+          initialIdxHome, "cid", batchId, retired,
+          StreamingAnn.readIndexStore(spark, storeDir))
         val topk = StreamingAnn.probeBatch(upserts,
-          initialIdxHome.unionAll(preState), nTables, bits, probes, k, broadcastIdx)
+          preState, nTables, bits, probes, k, broadcastIdx)
         sink(topk, batchId)
         IndexTombstones.retire(spark, storeDir, retired, "cid", batchId)
         Similarity.homeRowsOf(upserts.toDF(), nTables, bits)

@@ -78,6 +78,14 @@ class ImageDedupSpec extends SparkSuite {
     val fps = ImageDedup.corpusFps(spark, sf)
       .as[(Long, Long)].collect()
     val oldFps = fps.filter(_._1 % 10 != 0)
+    // completeness holds only while no index band-bucket exceeds the
+    // maxBucket cap (the oracle brute-forces uncapped): require 4x
+    // headroom so a testdata change trips HERE, not as an oracle mismatch
+    val worstBucket = oldFps
+      .flatMap { case (_, fp) => (0 until 4).map(c => (c, (fp >>> (c * 16)) & 0xffffL)) }
+      .groupBy(identity).values.map(_.size).max
+    assert(worstBucket <= 4096 / 4,
+      s"hot band-bucket $worstBucket nearing the probe cap — capped probe would diverge from the uncapped oracle")
     out.foreach { r =>
       val qfp = fps.find(_._1 == r.getLong(0)).get._2
       val best = oldFps

@@ -95,4 +95,51 @@ class CorpusIngestSpec extends SparkSuite {
     assert(StreamingDedup.liveIndexStore(spark, compacted)
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(3L, 5L, 7L))
   }
+
+  test("CorpusIngest: CDC events retire STATIC initial-index content too") {
+    import spark.implicits._
+    val store = graft.ops.Scratch.dir("corpus_ingest_init").toString + "/idx"
+    val staticText = "entirely different static corpus content with no overlap at all here truly"
+    val indexSh = graft.ops.Dedup.shingles(
+      Seq((900L, staticText)).toDF("doc_id", "text")).cache()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val sink: (DataFrame, Long) => Unit = (df, _) =>
+      buf.synchronized {
+        buf ++= df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+    def run(batchId: Long, events: CorpusIngest.DocEvent*): Unit =
+      CorpusIngest.ingestBatch(events.toDS(), batchId, indexSh, store, sink, 500000L, 256)
+    def verdicts = buf.map(r => r._1 -> ((r._2, r._4))).toMap
+
+    // the static doc blocks near-copy admission, as always
+    run(0L, CorpusIngest.DocEvent(0L, 10L, "INSERT", staticText + " with a tail"))
+    assert(verdicts(10L) == ((900L, 1L)), verdicts.toString)
+
+    // MODIFY of the STATIC doc: must not self-match its own static
+    // shingles (the round-15 review finding — the old preState only
+    // tombstone-filtered the store side); replacement admitted
+    buf.clear()
+    run(1L, CorpusIngest.DocEvent(0L, 900L, "MODIFY", textB))
+    assert(verdicts(900L) == ((-1L, 0L)),
+      s"static MODIFY self-matched: ${verdicts(900L)}")
+
+    // the retirement PERSISTS: a later trigger's near-copy of the old
+    // static text is now novel, while the replacement text matches
+    buf.clear()
+    run(2L, CorpusIngest.DocEvent(0L, 11L, "INSERT", staticText + " with another tail"),
+      CorpusIngest.DocEvent(1L, 12L, "INSERT", textB + " plus a suffix"))
+    assert(verdicts(11L) == ((-1L, 0L)),
+      s"retired static content still matching: ${verdicts(11L)}")
+    assert(verdicts(12L) == ((900L, 1L)),
+      s"static doc's replacement must be findable: ${verdicts(12L)}")
+
+    // REMOVE of the (replaced) static doc: its replacement stops matching
+    // in later triggers as well
+    buf.clear()
+    run(3L, CorpusIngest.DocEvent(0L, 900L, "REMOVE", ""))
+    run(4L, CorpusIngest.DocEvent(0L, 13L, "INSERT", textB + " plus another suffix"))
+    assert(verdicts(13L) == ((-1L, 0L)),
+      s"removed static doc still matching: ${verdicts(13L)}")
+  }
 }

@@ -80,6 +80,50 @@ class VectorIngestSpec extends SparkSuite {
     assert(liveIds == Set(100L, 300L, 400L, 500L))
   }
 
+  test("VectorIngest: CDC events retire STATIC initial-index vectors too") {
+    import spark.implicits._
+    val store = graft.ops.Scratch.dir("vec_ingest_init").toString + "/idx"
+    val corpus = (1L to 4L).map(i => StreamingAnn.Vec(i, unit(i.toInt)))
+    val idx0 = Similarity.homeRowsOf(
+      corpus.toDF("vec_id", "embedding"), nTables = 8, bits = 3).cache()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val sink: (DataFrame, Long) => Unit = (df, _) =>
+      buf.synchronized {
+        buf ++= df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      }
+    def run(batchId: Long, events: VectorIngest.VecEvent*): Unit =
+      VectorIngest.ingestBatch(events.toDS(), batchId, idx0, store, sink,
+        nTables = 8, bits = 3, probes = 2, k = 3, broadcastIdx = true)
+    def exactHits(qid: Long) = buf.filter(v => v._1 == qid && math.abs(v._4 - 1.0) < 1e-9)
+      .map(_._3).toSet
+
+    // static vector 1 is findable, as always
+    run(0L, VectorIngest.VecEvent(0L, 700L, "INSERT", unit(1)))
+    assert(exactHits(700L) == Set(1L), s"static vec must be found: ${buf.toSeq}")
+
+    // MODIFY of the STATIC vector: its top-k must not contain its own
+    // static prior version, and the retirement persists
+    buf.clear()
+    run(1L, VectorIngest.VecEvent(0L, 1L, "MODIFY", unit(31)))
+    assert(!buf.exists(v => v._1 == 1L && v._3 == 1L),
+      s"static MODIFY self-matched: ${buf.toSeq}")
+    buf.clear()
+    run(2L, VectorIngest.VecEvent(0L, 701L, "INSERT", unit(1)))
+    assert(exactHits(701L) == Set(700L),
+      s"retired static vector ghost in direction 1: ${buf.toSeq}")
+    // ...while the replacement is live in its new direction
+    buf.clear()
+    run(3L, VectorIngest.VecEvent(0L, 702L, "INSERT", unit(31)))
+    assert(exactHits(702L) == Set(1L), s"replacement not found: ${buf.toSeq}")
+
+    // REMOVE of a static vector persists across triggers
+    buf.clear()
+    run(4L, VectorIngest.VecEvent(0L, 2L, "REMOVE", Array.empty[Float]))
+    run(5L, VectorIngest.VecEvent(0L, 703L, "INSERT", unit(2)))
+    assert(exactHits(703L).isEmpty, s"removed static vector ghost: ${buf.toSeq}")
+  }
+
   test("property: random event sequences — live store equals a driver-side model") {
     import spark.implicits._
     // ANN admission has no accept/reject gate, so the store model is exact:
