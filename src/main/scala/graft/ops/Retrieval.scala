@@ -44,6 +44,14 @@ object Retrieval {
     * shingles — same rule, same asymmetry as the dedup family).
     */
   private[ops] def lexicalTopK(spark: SparkSession, d: String, listK: Int,
+      nQueries: Int, maxDf: Int): DataFrame =
+    // session-memoized: the two full-index aggregations (sizes, df cap)
+    // run once — the exact and ANN fusion queries share this list
+    Memo(spark, s"lextopk|$d|$listK|$nQueries|$maxDf") {
+      lexicalTopKUncached(spark, d, listK, nQueries, maxDf).persist()
+    }
+
+  private def lexicalTopKUncached(spark: SparkSession, d: String, listK: Int,
       nQueries: Int, maxDf: Int): DataFrame = {
     val sh = Dedup.cachedShingles(spark, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -69,25 +77,20 @@ object Retrieval {
   }
 
   /** Per-query top-`listK` semantic candidates by EXACT cosine:
-    * `(qid, cid, sim_e6, sem_rank)` — the [[Similarity.bruteForceTopK]]
-    * shape at list depth, floor-e6 exported like every similarity export.
+    * `(qid, cid, sim_e6, sem_rank)` — [[Similarity.bruteForceTopK]] at
+    * list depth, rank renamed (ONE brute-force definition: a tie-break or
+    * floor-convention change there propagates here instead of diverging —
+    * this was a verbatim re-implementation until the r15 review).
+    * Session-memoized like the lexical list.
     */
   private[ops] def semanticTopK(spark: SparkSession, d: String, listK: Int,
-      nQueries: Int): DataFrame = {
-    val emb = Similarity.withNorm(Tables.embeddings(spark, d))
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-    val c = emb
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-    val sw = Window.partitionBy(col("qid")).orderBy(desc("sim_e6"), asc("cid"))
-    c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("sim_e6",
-        floor(graft.functions.VectorFunctions.dot_product(col("qe"), col("ce"))
-          / (col("qn") * col("cn")) * lit(1000000.0)).cast("long"))
-      .withColumn("sem_rank", row_number().over(sw).cast("long"))
-      .filter(col("sem_rank") <= listK)
-      .select(col("qid"), col("cid"), col("sim_e6"), col("sem_rank"))
-  }
+      nQueries: Int): DataFrame =
+    Memo(spark, s"semtopk|$d|$listK|$nQueries") {
+      Similarity.bruteForceTopK(spark, d, nQueries, listK)
+        .select(col("qid"), col("cid"), col("sim_e6"),
+          col("rank").as("sem_rank"))
+        .persist()
+    }
 
   /** Rank-space fusion core shared by the oracled exact form and the ANN
     * form: full-outer on (qid, cid), `rrf_score = Σ 10⁹ div (rrfK + rank)`

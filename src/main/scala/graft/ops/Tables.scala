@@ -47,26 +47,29 @@ object Tables {
 
   /** Ticks of `events.ts` per millisecond (NANOS → 1e6, MICROS → 1e3,
     * MILLIS → 1), read from the parquet FOOTER's logical-type annotation
-    * and cached for the JVM per (path, root length, root mtime) — the same
-    * metadata-only identity idea as [[AnnStore.corpusFingerprint]] — so a
-    * driver that REGENERATES testdata mid-JVM with a different unit (the
-    * exact r14 precedent this accessor defends against) gets a fresh
-    * footer read, never a stale divisor; the steady-state cost is ONE stat
-    * per call. Footer-only — no data pages are touched. A raw INT64 column
-    * (no timestamp annotation) falls back to the original nanos contract.
+    * and cached for the JVM per (path, child-file fingerprint) — the SAME
+    * identity [[AnnStore.corpusFingerprint]] computes — so a driver that
+    * REGENERATES testdata mid-JVM with a different unit (the exact r14
+    * precedent this accessor defends against) gets a fresh footer read,
+    * never a stale divisor, even when a part file is rewritten in place
+    * under its old name; the steady-state cost is one metadata listing
+    * per call. Footer-only — no data pages are touched. A raw INT64
+    * column (no timestamp annotation) falls back to the original nanos
+    * contract.
     */
   def tsTicksPerMs(spark: SparkSession, d: String): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
     val fs = root.getFileSystem(conf)
-    // ONE stat per call: the cache key carries the ROOT's (isDir, length,
-    // mtime) — a regeneration rewrites the table path (directory mtime
-    // moves when part files are replaced; a single file changes len/mtime),
-    // so staleness is caught without paying the directory LISTING on every
-    // call (that listing is O(part files) — fine once, wrong per-call at an
-    // object-store 100 TB table). The listing + footer read run on miss.
+    // the cache key is the table's CHILD-file fingerprint
+    // ([[AnnStore.corpusFingerprint]] — names, lengths, mtimes), not the
+    // directory root's stat: a generator that rewrites a part file IN
+    // PLACE under the same name (open+truncate — the one mutation a
+    // directory mtime does not witness on a local FS) must still bust the
+    // cache, because that is exactly the r14 NANOS→MICROS precedent this
+    // accessor defends against. One listStatus per call — metadata only.
     val rootSt = fs.getFileStatus(root)
-    val key = s"$root|${rootSt.isDirectory}|${rootSt.getLen}|${rootSt.getModificationTime}"
+    val key = s"$root|${AnnStore.corpusFingerprint(spark, d, "events")}"
     tsUnitCache.computeIfAbsent(key, { _ =>
       import org.apache.parquet.schema.LogicalTypeAnnotation
       val file =
