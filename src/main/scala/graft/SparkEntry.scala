@@ -32,7 +32,8 @@ object SparkEntry {
     "dedup_minhash_lsh", "dedup_simhash", "simhash_pairs",
     "ann_topk_lsh", "ann_topk_lsh_recall", "incremental_ann",
     "ivf_topk", "ivf_topk_recall", "incremental_ivf", "ivf_cell_stats",
-    "pq_topk", "ivfpq_topk", "incremental_ivfpq", "ann_method_panel",
+    "pq_topk", "ivfpq_topk", "incremental_ivfpq", "pq_code_stats",
+    "ann_method_panel",
     "dedup_embedding", "rrf_fusion_ann", "semantic_dedup",
     "incremental_semantic_dedup",
     // the BPE merge loop has no SQL form (BpeSpec carries the parity gate)
@@ -253,6 +254,11 @@ object SparkEntry {
     // member->centroid cosine per cell (approx family: rows-only; spec
     // pins the partition property and bounds)
     "ivf_cell_stats" -> ((s, d) => Similarity.ivfCellStats(s, d)),
+    // PQ codebook-health drift monitor: per (subspace, sub-cell) member
+    // counts + integer-mean squared distortion — the retrain-cadence
+    // number for the product quantizer (rows-only; spec pins consistency
+    // with the stored codes and the per-subspace partition property)
+    "pq_code_stats" -> ((s, d) => Pq.pqCodeStats(s, d)),
     // per-source duplication report over the mined verbatim runs (oracled)
     "duplication_by_source" -> ((s, d) => Dedup.duplicationBySource(s, d)),
     // cross-source shingle-overlap matrix: Jaccard + containment ppm per

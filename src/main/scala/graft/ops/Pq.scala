@@ -516,6 +516,52 @@ object Pq {
     else Similarity.withIncrementalRecall(topk, spark, d, batchMod, k, recallQueries)
   }
 
+  /** PQ codebook-HEALTH stats — [[Similarity.ivfCellStats]]' analogue for
+    * the product quantizer, completing the drift-monitor symmetry (LSH has
+    * the recall panels, IVF has cell stats, PQ gets code stats): per
+    * (subspace, sub-cell), member count and the integer-mean squared
+    * distortion between the sub-vector and its assigned sub-centroid
+    * (floor(dist²·1e6) per row, then integer `div` — deterministic under
+    * any partitioning). Distortion creep per subspace is the number that
+    * decides when to retrain the codebooks under a new generation token;
+    * a sub-cell whose membership collapses to ~0 means the codebook no
+    * longer spans the ingested distribution.
+    *
+    * Scale shape: one narrow map (codebooks ride the closure, a few KB) +
+    * one hash aggregation on (sub, cell) — ≤ m × ksub output rows, no
+    * joins, no explode beyond the in-row m-way emit.
+    */
+  def pqCodeStats(spark: SparkSession, d: String, m: Int = 8,
+      ksub: Int = 16): DataFrame = {
+    import spark.implicits._
+    val books = codebooks(spark, d, m, ksub)
+    val dsub = books(0)(0).length
+    Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (_, e) =>
+        (0 until m).iterator.map { s0 =>
+          val c = nearestSub(e, s0 * dsub, books(s0))
+          val ct = books(s0)(c)
+          var d2 = 0.0
+          var j = 0
+          while (j < dsub) {
+            val diff = e(s0 * dsub + j) - ct(j)
+            d2 += diff * diff
+            j += 1
+          }
+          (s0, c, math.floor(d2 * 1e6).toLong)
+        }
+      }
+      .toDF("sub", "cell", "d2_e6")
+      .groupBy(col("sub"), col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("d2_e6")).cast("long").as("d2_e6_sum"))
+      .withColumn("mean_d2_e6", expr("d2_e6_sum div n_members"))
+      .select(col("sub"), col("cell"), col("n_members"), col("mean_d2_e6"))
+      .orderBy("sub", "cell")
+  }
+
   /** Cross-method ANN quality panel — the monitoring face of the whole
     * similarity family (the analogue of [[Similarity.ivfCellStats]] for
     * method choice rather than index drift): per approximate path

@@ -222,6 +222,42 @@ class PqSpec extends SparkSuite {
     assert(r2.toSeq == r1.toSeq)
   }
 
+  test("pq code stats: partition per subspace, assignment-consistent with stored codes") {
+    val m = 8; val ksub = 16
+    val rows = Pq.pqCodeStats(spark, sf, m, ksub).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.embeddings(spark, sf).count()
+    // per subspace, memberships partition the corpus
+    (0 until m).foreach { s0 =>
+      val sub = rows.filter(_.getAs[Int]("sub") == s0)
+      assert(sub.map(_.getAs[Long]("n_members")).sum == n,
+        s"subspace $s0 memberships must sum to the corpus")
+      sub.foreach { r =>
+        val c = r.getAs[Int]("cell")
+        assert(c >= 0 && c < ksub)
+        assert(r.getAs[Long]("mean_d2_e6") >= 0L)
+      }
+    }
+    // the stats' assignments are the SAME the stored codes carry: per
+    // (sub, cell), the count must equal the code-column decode
+    val bits = java.lang.Integer.numberOfTrailingZeros(ksub)
+    val mask = ksub - 1
+    val fromCodes = Pq.codes(spark, sf, m, ksub).collect()
+      .flatMap { r =>
+        val code = r.getAs[Long]("code")
+        (0 until m).map(s0 => (s0, ((code >>> (s0 * bits)) & mask).toInt))
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Int]("sub"), r.getAs[Int]("cell"))
+      assert(r.getAs[Long]("n_members") == fromCodes.getOrElse(key, 0L),
+        s"stats and stored codes disagree at $key")
+    }
+    // determinism
+    val again = Pq.pqCodeStats(spark, sf, m, ksub).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("fresh-session pqTopK loads the published codebooks+codes, bit-identical") {
     // non-default parameter point: no other suite can have pre-warmed it
     val before = AnnStore.buildCount.get()
