@@ -47,7 +47,8 @@ object Tables {
 
   /** Ticks of `events.ts` per millisecond (NANOS → 1e6, MICROS → 1e3,
     * MILLIS → 1), read from the parquet FOOTER's logical-type annotation
-    * and cached for the JVM per (path, child-file fingerprint) — the SAME
+    * and cached for the JVM per path under the LATEST child-file
+    * fingerprint only (regenerations replace, never accumulate) — the SAME
     * identity [[AnnStore.corpusFingerprint]] computes — so a driver that
     * REGENERATES testdata mid-JVM with a different unit (the exact r14
     * precedent this accessor defends against) gets a fresh footer read,
@@ -69,34 +70,42 @@ object Tables {
     // cache, because that is exactly the r14 NANOS→MICROS precedent this
     // accessor defends against. One listStatus per call — metadata only.
     val rootSt = fs.getFileStatus(root)
-    val key = s"$root|${AnnStore.corpusFingerprint(spark, d, "events")}"
-    tsUnitCache.computeIfAbsent(key, { _ =>
-      import org.apache.parquet.schema.LogicalTypeAnnotation
-      val file =
-        if (rootSt.isDirectory)
-          fs.listStatus(root).map(_.getPath)
-            .filter(p => !p.getName.startsWith("_")).minBy(_.getName.toString)
-        else root
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
-      val ticks: Long =
-        try {
-          reader.getFooter.getFileMetaData.getSchema.getType(Seq("ts"): _*)
-            .asPrimitiveType().getLogicalTypeAnnotation match {
-            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-              t.getUnit match {
-                case LogicalTypeAnnotation.TimeUnit.NANOS  => 1000000L
-                case LogicalTypeAnnotation.TimeUnit.MICROS => 1000L
-                case LogicalTypeAnnotation.TimeUnit.MILLIS => 1L
-              }
-            case _ => 1000000L
-          }
-        } finally reader.close()
-      java.lang.Long.valueOf(ticks)
-    }).longValue()
+    val fp = AnnStore.corpusFingerprint(spark, d, "events")
+    // keyed by ROOT path, holding only the LATEST (fingerprint, ticks) pair
+    // per table — a long-lived driver that regenerates testdata many times
+    // replaces its entry instead of accumulating one per generation, so the
+    // cache is bounded by the number of distinct event tables ever read
+    val cached = tsUnitCache.compute(root.toString, { (_, prev) =>
+      if (prev != null && prev._1 == fp) prev
+      else {
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        val file =
+          if (rootSt.isDirectory)
+            fs.listStatus(root).map(_.getPath)
+              .filter(p => !p.getName.startsWith("_")).minBy(_.getName.toString)
+          else root
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+        val ticks: Long =
+          try {
+            reader.getFooter.getFileMetaData.getSchema.getType(Seq("ts"): _*)
+              .asPrimitiveType().getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit match {
+                  case LogicalTypeAnnotation.TimeUnit.NANOS  => 1000000L
+                  case LogicalTypeAnnotation.TimeUnit.MICROS => 1000L
+                  case LogicalTypeAnnotation.TimeUnit.MILLIS => 1L
+                }
+              case _ => 1000000L
+            }
+          } finally reader.close()
+        (fp, ticks)
+      }
+    })
+    cached._2
   }
   private val tsUnitCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
   def documents(spark: SparkSession, d: String): DataFrame = apply(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = apply(spark, d, "embeddings")
 }

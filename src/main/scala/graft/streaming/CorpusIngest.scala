@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions.{col, desc, row_number}
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -22,6 +22,36 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *  - REMOVE retires the doc's rows, full stop;
   *  - within a trigger, the LAST event per doc wins (`seq` order — a CDC
   *    micro-batch can carry a doc's whole INSERT→MODIFY→REMOVE life).
+  *
+  * ORDERING CONTRACT (per key, across triggers): `seq` orders events only
+  * WITHIN a trigger; ACROSS triggers, arrival order is authoritative —
+  * the store and tombstone subtrees are sequenced by `batch_id`, and a
+  * tombstone at batch T kills only rows with `batch_id < T`. The ingest
+  * therefore assumes the upstream CDC source delivers each key's events
+  * in order across triggers, which is exactly the guarantee the
+  * reference's source provides (DynamoDB Streams: a given item's
+  * modifications land on one shard in order —
+  * `/root/reference/lib/constructs/dynamo.ts:150-156` relies on it too).
+  * Under an out-of-order source, a REMOVE delivered a trigger EARLIER
+  * than its INSERT cannot kill it (the later-admitted rows outrank the
+  * tombstone), permanently resurrecting the doc — if such a source must
+  * be tolerated, sequence the subtrees by a global `seq` instead of
+  * `batch_id` (and give replays the same seq), rather than weakening the
+  * strictly-before kill rule here.
+  *
+  * ADMISSION-DEDUP CONSEQUENCE of the MODIFY composition: the retire is
+  * unconditional but the replacement is admitted only if the probe judges
+  * it non-duplicate — so a MODIFY whose new text near-dups ANOTHER doc
+  * leaves this doc with no PROBING index presence (by design: its content
+  * is represented by the matched doc's rows; two copies would double
+  * candidate volume for no recall). The forensic gap that opens — if the
+  * matched doc is later REMOVEd, near-copies of the rejected text admit
+  * freely, and takedown queries for the rejected content find nothing —
+  * is closed by the NON-PROBING rejected lane: every rejected upsert's
+  * shingle rows land in `<storeDir>_rejected` (batch_id-partitioned,
+  * replay-overwriting, never read by [[IndexTombstones.preBatchState]]),
+  * so lineage queries can still locate the content and its admission
+  * verdict without affecting any probe.
   *
   * Probe semantics: candidates come from the post-retire pre-admit state
   * over the WHOLE index — the initial (static corpus) rows sequenced at
@@ -53,6 +83,31 @@ object CorpusIngest {
     * stream position); REMOVE rows carry empty `text`.
     */
   final case class DocEvent(seq: Long, doc_id: Long, event: String, text: String)
+
+  /** The NON-PROBING rejected-shingle lane for a store (see the
+    * admission-dedup consequence in the object scaladoc).
+    */
+  def rejectedDir(storeDir: String): String =
+    storeDir.stripSuffix("/") + "_rejected"
+
+  /** Read the rejected lane: shingle rows + `batch_id` for every upsert the
+    * probe refused — the forensic/takedown lineage of content the index
+    * does NOT represent. Empty (with the store's shingle schema) before any
+    * rejection commits.
+    */
+  def readRejectedLane(spark: SparkSession, storeDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(rejectedDir(storeDir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id=")))
+      spark.read.parquet(rejectedDir(storeDir))
+    else {
+      import spark.implicits._
+      StreamingDedup.shingleBatch(spark.emptyDataset[StreamingDedup.Doc])
+        .withColumn("batch_id",
+          org.apache.spark.sql.functions.lit(0L))
+        .limit(0)
+    }
+  }
 
   def ingestStream(events: Dataset[DocEvent], initialIndex: DataFrame,
       storeDir: String, sink: (DataFrame, Long) => Unit,
@@ -98,12 +153,23 @@ object CorpusIngest {
         try {
           sink(verdicts, batchId)
           IndexTombstones.retire(spark, storeDir, retired, "doc_id", batchId)
+          val docEnc = org.apache.spark.sql.Encoders.product[StreamingDedup.Doc]
+          // non-probing rejected lane FIRST (scaladoc contract): a crash
+          // between the two writes must not leave an admitted doc without
+          // its lineage row, and replays overwrite their own partition
+          val rejected = upserts.join(
+            verdicts.filter(col("is_dup") =!= 0L).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          StreamingDedup.shingleBatch(rejected.as[StreamingDedup.Doc](docEnc))
+            .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(rejectedDir(storeDir))
           val admitted = upserts.join(
             verdicts.filter(col("is_dup") === 0L).select("doc_id"),
             Seq("doc_id"), "left_semi")
-          StreamingDedup.shingleBatch(
-            admitted.as[StreamingDedup.Doc](
-              org.apache.spark.sql.Encoders.product[StreamingDedup.Doc]))
+          StreamingDedup.shingleBatch(admitted.as[StreamingDedup.Doc](docEnc))
             .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -147,10 +147,19 @@ object IndexTombstones {
     * point; tombstones above it still apply to future reads and are carried
     * to the output's own tombstone subtree (folded rows take `batch_id =
     * upToBatchId` ≤ any carried tombstone's batch, so the LSM ordering is
-    * preserved). Written to a NEW directory (compact → repoint → retire —
-    * in-place rewrites would race a live stream's next trigger), and only
-    * ever called with a fold point at or below the stream checkpoint's
-    * committed horizon. Returns rows written.
+    * preserved). Written to a NEW directory (compact → repoint — in-place
+    * rewrites would race a live stream's next trigger), and only ever
+    * called with a fold point at or below the stream checkpoint's
+    * committed horizon. Two write-ordering guarantees (each closed a real
+    * failure mode): the output TOMBSTONE subtree is cleared
+    * unconditionally — even when no tombstones are carried — so a stale
+    * `<outDir>_tombstones` left by an earlier failed or different-fold
+    * attempt into the same outDir can never apply phantom deletes to the
+    * fresh fold; and the carried tombstones are written BEFORE the folded
+    * store, so a crash between the two writes leaves outDir without its
+    * store subtree (visibly unfinished — `readIndexStore`'s existence
+    * probe sees nothing to repoint to) rather than a complete-looking
+    * store silently missing its carried deletions. Returns rows written.
     */
   def compact(spark: SparkSession, all: DataFrame, storeDir: String,
       outDir: String, idCol: String, upToBatchId: Long,
@@ -161,11 +170,14 @@ object IndexTombstones {
       when(col("batch_id") <= upToBatchId, lit(upToBatchId))
         .otherwise(col("batch_id")))
     val n = folded.count()
-    folded.repartition(targetPartitions)
-      .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+    val outTombs = new org.apache.hadoop.fs.Path(dir(outDir))
+    val fs = outTombs.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(outTombs)) { fs.delete(outTombs, true); () }
     val carried = tombs.filter(col("batch_id") > upToBatchId)
     if (carried.limit(1).count() > 0)
       carried.write.mode("overwrite").partitionBy("batch_id").parquet(dir(outDir))
+    folded.repartition(targetPartitions)
+      .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
     n
   }
 }

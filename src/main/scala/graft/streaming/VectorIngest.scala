@@ -25,6 +25,15 @@ import graft.ops.Similarity
   * [[StreamingAnn.externalBatch]]: own-partition exclusion in both
   * subtrees, overwrite-only writes, per-trigger cost O(batch buckets ⋈
   * index home rows) + |retired| tombstone rows.
+  *
+  * ORDERING CONTRACT: identical to [[CorpusIngest]]'s — `seq` orders
+  * events only WITHIN a trigger; across triggers the subtrees are
+  * sequenced by `batch_id`, so the ingest assumes the upstream CDC source
+  * delivers each key's events in order across triggers (the reference's
+  * source guarantee — a DynamoDB item's modifications arrive on one shard
+  * in order). A REMOVE delivered a trigger earlier than its INSERT cannot
+  * kill it; tolerate such a source by sequencing on a global `seq`, not by
+  * weakening the strictly-before kill rule.
   */
 object VectorIngest {
 

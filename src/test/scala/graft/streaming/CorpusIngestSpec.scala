@@ -96,6 +96,97 @@ class CorpusIngestSpec extends SparkSuite {
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(3L, 5L, 7L))
   }
 
+  test("CorpusIngest: rejected upserts land in the NON-probing rejected lane") {
+    import spark.implicits._
+    val store = graft.ops.Scratch.dir("corpus_ingest_rej").toString + "/idx"
+    val indexSh = graft.ops.Dedup.shingles(
+      Seq((900L, "entirely different static corpus content with no overlap at all here truly"))
+        .toDF("doc_id", "text")).cache()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val sink: (DataFrame, Long) => Unit = (df, _) =>
+      buf.synchronized {
+        buf ++= df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+    def run(batchId: Long, events: CorpusIngest.DocEvent*): Unit =
+      CorpusIngest.ingestBatch(events.toDS(), batchId, indexSh, store, sink, 500000L, 256)
+    def verdicts = buf.map(r => r._1 -> ((r._2, r._4))).toMap
+    def liveIds = StreamingDedup.liveIndexStore(spark, store)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    def lane = CorpusIngest.readRejectedLane(spark, store)
+
+    // both docs novel → admitted; the lane stays empty (and reads empty
+    // with the store's shingle schema before any rejection commits)
+    run(0L, CorpusIngest.DocEvent(0L, 1L, "INSERT", textA),
+      CorpusIngest.DocEvent(1L, 2L, "INSERT", textB))
+    assert(lane.count() == 0L)
+    assert(lane.columns.toSeq == Seq("doc_id", "shingle", "batch_id"))
+
+    // MODIFY doc 2 to a near-copy of doc 1's text: retire is unconditional,
+    // admission refused → doc 2 has NO probing presence (the documented
+    // consequence), but its content's lineage lands in the rejected lane
+    buf.clear()
+    run(1L, CorpusIngest.DocEvent(0L, 2L, "MODIFY", textA + " with one extra tail"))
+    assert(verdicts(2L) == ((1L, 1L)), verdicts.toString)
+    assert(liveIds == Set(1L), "rejected MODIFY must not keep index presence")
+    assert(lane.filter("doc_id = 2 AND batch_id = 1").count() > 0,
+      "rejected MODIFY's shingles missing from the lane")
+
+    // replaying the trigger overwrites the lane partition, never doubles it
+    val laneRows = lane.count()
+    buf.clear()
+    run(1L, CorpusIngest.DocEvent(0L, 2L, "MODIFY", textA + " with one extra tail"))
+    assert(lane.count() == laneRows, "replay changed the rejected lane")
+    assert(verdicts(2L) == ((1L, 1L)))
+
+    // the lane is non-probing: a later near-copy of doc 2's rejected text
+    // matches doc 1 (the live representative), never doc 2
+    buf.clear()
+    run(2L, CorpusIngest.DocEvent(0L, 3L, "INSERT", textA + " with another tail"))
+    assert(verdicts(3L) == ((1L, 1L)), s"lane leaked into the probe: ${verdicts(3L)}")
+
+    // the forensic gap the lane closes: REMOVE the matched doc and the
+    // rejected content admits freely — but takedown queries still find
+    // doc 2's shingles in the lane
+    buf.clear()
+    run(3L, CorpusIngest.DocEvent(0L, 1L, "REMOVE", ""))
+    run(4L, CorpusIngest.DocEvent(0L, 4L, "INSERT", textA + " with a third tail"))
+    assert(verdicts(4L)._2 == 0L, s"expected free admission: ${verdicts(4L)}")
+    assert(lane.filter("doc_id = 2").count() > 0,
+      "takedown lineage for the rejected content must survive")
+  }
+
+  test("IndexTombstones.compact clears a stale output tombstone subtree") {
+    import spark.implicits._
+    val store = graft.ops.Scratch.dir("corpus_ingest_stale").toString + "/idx"
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink: (DataFrame, Long) => Unit = (df, _) => { df.count(); () }
+    val indexSh = graft.ops.Dedup.shingles(
+      Seq((900L, "entirely different static corpus content with no overlap at all here truly"))
+        .toDF("doc_id", "text")).cache()
+    def run(batchId: Long, events: CorpusIngest.DocEvent*): Unit =
+      CorpusIngest.ingestBatch(events.toDS(), batchId, indexSh, store, sink, 500000L, 256)
+    run(0L, CorpusIngest.DocEvent(0L, 1L, "INSERT", textA))
+    run(1L, CorpusIngest.DocEvent(0L, 2L, "INSERT", textB))
+
+    // an earlier failed/different-fold attempt left tombstones under the
+    // SAME outDir — killing doc 1 at a batch far past the fold point
+    val out = graft.ops.Scratch.dir("corpus_ingest_stale_c").toString + "/idx"
+    IndexTombstones.retire(spark, out, Seq(1L).toDF("doc_id"), "doc_id", 99L)
+    assert(IndexTombstones.read(spark, out, "doc_id").count() == 1L)
+
+    // this compaction carries NO tombstones — the stale subtree must be
+    // cleared, not survive to phantom-delete doc 1
+    val n = StreamingDedup.compactIndexStore(spark, store, out, upToBatchId = 1L)
+    assert(n == StreamingDedup.readIndexStore(spark, store).count())
+    assert(IndexTombstones.read(spark, out, "doc_id").count() == 0L,
+      "stale tombstone subtree survived compaction")
+    assert(StreamingDedup.liveIndexStore(spark, out)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "phantom delete applied to the compacted store")
+    assert(buf.isEmpty) // silence unused warning
+  }
+
   test("CorpusIngest: CDC events retire STATIC initial-index content too") {
     import spark.implicits._
     val store = graft.ops.Scratch.dir("corpus_ingest_init").toString + "/idx"
