@@ -104,6 +104,8 @@ object SparkEntry {
     "rolling_7d_revenue" -> ((s, d) => Temporal.rollingRevenue7d(s, d)),
     "funnel_conversion" -> ((s, d) => Temporal.funnelConversion(s, d)),
     "snapshot_diff" -> ((s, d) => Temporal.snapshotDiff(s, d)),
+    "temporal_join" -> ((s, d) => Temporal.temporalJoin(s, d)),
+    "event_anomalies" -> ((s, d) => Temporal.eventAnomalies(s, d)),
     "zorder_layout" -> ((s, d) => Layout.zOrderEvidence(s, d)), // layout evidence: rows-only
     "batch_packing" -> ((s, d) => TextOps.batchPacking(s, d)),
     "priority_sample" -> ((s, d) => TextOps.prioritySample(s, d)),
@@ -1054,6 +1056,45 @@ object SparkEntry {
         |       CAST(CASE WHEN lead(ms) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
         |            THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM c ORDER BY user_id, event_id""".stripMargin,
+    "temporal_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, event_id, event_type, ms FROM e
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |), dim AS (
+        |  SELECT user_id, event_id AS state_event_id, event_type AS state,
+        |         ms AS valid_from_ms,
+        |         lead(ms) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to_ms
+        |  FROM c
+        |)
+        |SELECT f.event_id, f.user_id, epoch_ms(f.ts) AS ms,
+        |       CAST(CAST(f.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_c2,
+        |       d.state_event_id, d.state, d.valid_from_ms AS state_since_ms
+        |FROM events f JOIN dim d
+        |  ON f.user_id = d.user_id
+        | AND epoch_ms(f.ts) >= d.valid_from_ms
+        | AND (d.valid_to_ms IS NULL OR epoch_ms(f.ts) < d.valid_to_ms)
+        |WHERE f.event_type = 'purchase'
+        |ORDER BY f.event_id""".stripMargin,
+    "event_anomalies" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events
+        |), s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS q
+        |  FROM v GROUP BY 1
+        |)
+        |SELECT v.event_id, v.event_type, v.v AS value_c2,
+        |       CAST(CASE WHEN CAST(s.n AS HUGEINT) * v.v - s.s > 0 THEN 1 ELSE -1 END AS BIGINT) AS z_sign
+        |FROM v JOIN s USING (event_type)
+        |WHERE (CAST(s.n AS HUGEINT) * v.v - s.s) * (CAST(s.n AS HUGEINT) * v.v - s.s)
+        |      > 9 * (CAST(s.n AS HUGEINT) * s.q - CAST(s.s AS HUGEINT) * s.s)
+        |ORDER BY v.event_id""".stripMargin,
     "timeseries_gapfill" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS n,

@@ -45,6 +45,78 @@ object Temporal {
       .orderBy("user_id", "event_id")
   }
 
+  /** Point-in-time (validity-range) enrichment against the SCD2 dimension —
+    * the join every warehouse fact load runs after [[scd2Dimension]]
+    * materializes: each purchase event picks the dimension version whose
+    * `[valid_from_ms, valid_to_ms)` range contains the event's time (AS OF
+    * containment — the half-open ranges tile `[first_change, ∞)` per key
+    * without overlap, so every fact matches EXACTLY one version; two state
+    * changes sharing a millisecond leave an empty `[m, m)` range that can
+    * never match, which both engines agree on by construction).
+    *
+    * Plan shape: equi-join on `user_id` with the range predicate as a
+    * post-join filter — Catalyst keeps the hash join and evaluates the
+    * band residual per matched pair, so cost is (facts ⋈ versions-per-user)
+    * with versions-per-user bounded by that user's change count, NOT a
+    * cartesian. Both sides arrive hash-partitioned on the key; at 100 TB
+    * the collapsed dimension is orders of magnitude below the fact log and
+    * AQE broadcasts it.
+    */
+  def temporalJoin(spark: SparkSession, d: String): DataFrame = {
+    val dim = scd2Dimension(spark, d).select(
+      col("user_id"),
+      col("event_id").as("state_event_id"),
+      col("event_type").as("state"),
+      col("valid_from_ms"),
+      col("valid_to_ms"))
+    Tables.events(spark, d)
+      .filter(col("event_type") === "purchase")
+      .withColumn("ms", Sessions.msFloor(spark, d))
+      .select(col("event_id"), col("user_id"), col("ms"),
+        Exact.c2(col("value")).as("value_c2"))
+      .join(dim, Seq("user_id"))
+      .filter(col("ms") >= col("valid_from_ms") &&
+        (col("valid_to_ms").isNull || col("ms") < col("valid_to_ms")))
+      .select(col("event_id"), col("user_id"), col("ms"), col("value_c2"),
+        col("state_event_id"), col("state"),
+        col("valid_from_ms").as("state_since_ms"))
+      .orderBy("event_id")
+  }
+
+  /** Integer-exact z-score anomaly detection over the event log: flag
+    * events whose value sits more than 3 population standard deviations
+    * from their type's mean. The entire test is carried out in scaled
+    * integers — with `v = cents(value)`, `n = count`, `s = Σv`, `q = Σv²`
+    * per type, the condition `|z| > 3  ⟺  (n·v − s)² > 9·(n·q − s²)`
+    * clears every denominator, so no floating-point mean/variance ever
+    * materializes and both engines agree bit-for-bit (the cross-products
+    * reach ~10³⁰ at petabyte row counts, so the comparison runs in
+    * DECIMAL(38,0) / HUGEINT — accumulator-width discipline, same as
+    * [[Exact.sumLong]]; only BIGINT columns are exported).
+    *
+    * Plan shape: one map-side-combinable aggregation for the per-type
+    * moments (5 rows), broadcast back over a second scan, filter. At scale
+    * the moment pass and the flag pass pipeline into two whole-stage
+    * codegen spans over the same pruned scan.
+    */
+  def eventAnomalies(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("event_id"), col("event_type"), Exact.c2(col("value")).as("v"))
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      Exact.sumLong(col("v")).as("s"),
+      Exact.sumLong(col("v") * col("v")).as("q"))
+    val dec = DecimalType(38, 0)
+    val dev = col("n").cast(dec) * col("v").cast(dec) - col("s").cast(dec)
+    val varN2 = col("n").cast(dec) * col("q").cast(dec) -
+      col("s").cast(dec) * col("s").cast(dec)
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(dev * dev > lit(9).cast(dec) * varN2)
+      .select(col("event_id"), col("event_type"), col("v").as("value_c2"),
+        when(dev > 0, 1L).otherwise(-1L).as("z_sign"))
+      .orderBy("event_id")
+  }
+
   /** Daily per-type totals with interior gaps filled as explicit zero rows
     * (resampling to a regular grid — what a downstream forecasting job
     * needs). The grid is generated per type from its own [min, max] day span

@@ -24,6 +24,57 @@ class TemporalSpec extends SparkSuite {
     }
   }
 
+  test("temporalJoin: every purchase maps to exactly ONE containing version") {
+    val facts = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+    val out = Temporal.temporalJoin(spark, sf).collect()
+    // one output row per fact — the half-open ranges tile without overlap
+    assert(out.length.toLong == facts.count())
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    // containment holds row by row, and the picked state is genuinely the
+    // version active at the fact's time: from <= ms < to
+    out.foreach { r =>
+      val ms = r.getLong(2); val since = r.getLong(6)
+      assert(ms >= since, s"fact ${r.getLong(0)} before its version")
+    }
+    // spot-reconcile against the dimension: the matched version must be the
+    // LAST version opened at or before the fact's ms for that user
+    val dim = Temporal.scd2Dimension(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(3))).toMap
+    out.take(200).foreach { r =>
+      val versions = dim(r.getLong(1))
+      val expect = versions.filter(_.getLong(3) <= r.getLong(2)).last
+      assert(expect.getLong(1) == r.getLong(4),
+        s"fact ${r.getLong(0)} picked version ${r.getLong(4)}, expected ${expect.getLong(1)}")
+    }
+  }
+
+  test("eventAnomalies: flags exactly the |z|>3 tail, integer-exactly") {
+    val out = Temporal.eventAnomalies(spark, sf).collect()
+    assert(out.nonEmpty)
+    // recompute the moments driver-side in BigInt and re-derive the flag set
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), Exact.c2(col("value")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byType = ev.groupBy(_._2).view.mapValues { rows =>
+      val n = BigInt(rows.length)
+      val s = rows.map(r => BigInt(r._3)).sum
+      val q = rows.map(r => BigInt(r._3) * BigInt(r._3)).sum
+      (n, s, q)
+    }.toMap
+    val expected = ev.filter { case (_, t, v) =>
+      val (n, s, q) = byType(t)
+      val dev = n * BigInt(v) - s
+      dev * dev > 9 * (n * q - s * s)
+    }.map(_._1).toSet
+    assert(out.map(_.getLong(0)).toSet == expected)
+    // z_sign marks the side of the mean
+    out.foreach { r =>
+      val (n, s, _) = byType(r.getString(1))
+      val dev = n * BigInt(r.getLong(2)) - s
+      assert((if (dev > 0) 1L else -1L) == r.getLong(3))
+    }
+  }
+
   test("gapFillDaily: per-type day grid is contiguous, fills are zero, totals are preserved") {
     val out = Temporal.gapFillDaily(spark, sf).collect()
     out.groupBy(_.getString(0)).foreach { case (_, days) =>
