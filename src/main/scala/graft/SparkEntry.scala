@@ -113,6 +113,7 @@ object SparkEntry {
     "mv_join_delta" -> ((s, d) => Incremental.mvJoinDelta(s, d)),
     "bloom_semi_join" -> ((s, d) => Incremental.bloomPrunedSemiJoin(s, d)),
     "bm25_scores" -> ((s, d) => Scoring.bm25Scores(s, d)),
+    "incremental_bm25" -> ((s, d) => Scoring.incrementalBm25(s, d)),
     "unigram_logprob" -> ((s, d) => Scoring.unigramLogprob(s, d)),
     "editdist_pairs" -> ((s, d) => Scoring.editDistPairs(s, d)),
     "full_outer_activity" -> ((s, d) => Analytics.userActivityFullOuter(s, d)),
@@ -1237,6 +1238,34 @@ object SparkEntry {
         |         max(CASE WHEN term = 'window' THEN sc END) AS s_window
         |  FROM s GROUP BY 1
         |) ORDER BY doc_id""".stripMargin,
+    // full-corpus statistics, NEW-batch scoring — merged incremental stats
+    // equal scratch stats exactly (disjoint integer aggregates), so the
+    // batch form's output is pinned by the same formula over all documents
+    "incremental_bm25" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t, n_chars FROM documents),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_len FROM d),
+        |e AS (
+        |  SELECT doc_id, n_chars, term,
+        |         CAST((length(t) - length(replace(t, term, ''))) // length(term) AS BIGINT) AS tf
+        |  FROM d, (SELECT unnest(['spark', 'stream', 'window']) AS term)
+        |),
+        |f AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM e WHERE tf > 0 GROUP BY 1),
+        |s AS (
+        |  SELECT e.doc_id, e.term,
+        |         ln((g.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) * (e.tf * (1.2 + 1.0)) /
+        |           (e.tf + 1.2 * ((1.0 - 0.75) + 0.75 * e.n_chars / (CAST(g.sum_len AS DOUBLE) / g.n_docs))) AS sc
+        |  FROM e JOIN f USING (term) CROSS JOIN g WHERE e.tf > 0
+        |)
+        |SELECT doc_id,
+        |       CAST(floor((coalesce(s_spark, 0.0) + coalesce(s_stream, 0.0) + coalesce(s_window, 0.0))
+        |            * 1000000.0) AS BIGINT) AS score_e6
+        |FROM (
+        |  SELECT doc_id,
+        |         max(CASE WHEN term = 'spark' THEN sc END) AS s_spark,
+        |         max(CASE WHEN term = 'stream' THEN sc END) AS s_stream,
+        |         max(CASE WHEN term = 'window' THEN sc END) AS s_window
+        |  FROM s GROUP BY 1
+        |) WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
     "editdist_pairs" ->
       """WITH w AS (
         |  SELECT greatest(1, least(32,

@@ -29,25 +29,42 @@ object Scoring {
   def bm25Scores(spark: SparkSession, d: String,
                  terms: Seq[String] = Seq("spark", "stream", "window"),
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import spark.implicits._
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), lower(col("text")).as("t"), col("n_chars"))
-    val termTable = terms.toDF("term")
     // The term-match rows feed BOTH the df aggregation and the scoring pivot;
     // without materialization Catalyst re-expands the subtree and the corpus
     // is scanned once per consumer. Persisted via Memo, the heavy text scan
     // runs once and both consumers read the (much smaller) match rows.
     val e = Memo(spark, s"bm25_matches|$d|${terms.mkString(",")}") {
-      docs.crossJoin(broadcast(termTable))
-        .withColumn("tf", expr("(length(t) - length(replace(t, term, ''))) div length(term)"))
-        .filter(col("tf") > 0)
-        .persist()
+      matchRows(spark, docs, terms).persist()
     }
     val byTerm = e.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val global = docs.agg(count(lit(1)).as("n_docs"), Exact.sumLong(col("n_chars")).as("sum_len"))
-    // Same association as the oracle: ((n_docs - df) + 0.5) / (df + 0.5) + 1.0;
-    // k1+1 and 1-b are spelled as (k1 + 1.0) / (1.0 - b) on BOTH sides so the
-    // two engines round the composite literals identically.
+    scoreDocs(e, byTerm, global, terms, k1, b)
+  }
+
+  /** Substring term-frequency match rows `(doc_id, t, n_chars, term, tf)`
+    * for one document slice — the shared scan both the batch and the
+    * incremental BM25 forms run.
+    */
+  private def matchRows(spark: SparkSession, docs: DataFrame,
+      terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    docs.crossJoin(broadcast(terms.toDF("term")))
+      .withColumn("tf", expr("(length(t) - length(replace(t, term, ''))) div length(term)"))
+      .filter(col("tf") > 0)
+  }
+
+  /** The BM25 scoring tail shared by both forms: join match rows to the
+    * (term → df) table and the (n_docs, sum_len) global row, score, pivot
+    * per term, fixed-order sum, floor-e6 export.
+    *
+    * Same association as the oracle: ((n_docs - df) + 0.5) / (df + 0.5) + 1.0;
+    * k1+1 and 1-b are spelled as (k1 + 1.0) / (1.0 - b) on BOTH sides so the
+    * two engines round the composite literals identically.
+    */
+  private def scoreDocs(e: DataFrame, byTerm: DataFrame, global: DataFrame,
+      terms: Seq[String], k1: Double, b: Double): DataFrame = {
     val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val avgdl = col("sum_len").cast("double") / col("n_docs")
     val score = idf * (col("tf") * (lit(k1) + lit(1.0))) /
@@ -64,6 +81,62 @@ object Scoring {
     pivoted
       .select(col("doc_id"), floor(total * lit(1000000.0)).cast("long").as("score_e6"))
       .orderBy("doc_id")
+  }
+
+  /** INCREMENTAL BM25 — relevance scoring under corpus growth, the lexical
+    * rung of the incremental ladder (the ANN/dedup families' CDC posture,
+    * applied to scoring): the persisted corpus contributes only its
+    * ingest-time AGGREGATES (per-term df, doc count, total length — a
+    * vocabulary-bounded handful of integers, session-memoized here exactly
+    * like the bloom sketch), the arriving batch (doc_id ≡ 0 mod `batchMod`,
+    * the same micro-batch stand-in the other incremental ops use) computes
+    * its own match rows, and the batch is scored under the MERGED statistics
+    * — so arriving docs get scores consistent with the full corpus without
+    * ever rescanning the old corpus text.
+    *
+    * Because df/n_docs/sum_len are exact integers over disjoint slices,
+    * merged stats equal scratch full-corpus stats EXACTLY, and the batch's
+    * scores hash-match the batch rows of [[bm25Scores]] — which is what the
+    * DuckDB oracle pins (full-corpus stats, new-batch scoring). The trade
+    * this form accepts: already-scored OLD docs' scores drift as idf/avgdl
+    * move with corpus growth; rescoring them is a periodic batch job
+    * (the same retraining-cadence decision [[Similarity]]'s IVF centroids
+    * document), not a per-trigger one.
+    *
+    * Scale shape: per batch one bounded text scan (the batch), one
+    * broadcast of vocabulary-sized merged stats; the old corpus is touched
+    * only at ingest time when its aggregates were built.
+    */
+  def incrementalBm25(spark: SparkSession, d: String,
+      terms: Seq[String] = Seq("spark", "stream", "window"),
+      k1: Double = 1.2, b: Double = 0.75, batchMod: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), lower(col("text")).as("t"), col("n_chars"))
+    val isNew = col("doc_id") % batchMod === 0
+    val oldDocs = docs.filter(!isNew)
+    val newDocs = docs.filter(isNew)
+    // the persisted corpus's ingest-time aggregates (df is per-term doc
+    // counts — mergeable; so are n_docs/sum_len)
+    val termKey = terms.mkString(",")
+    val dfOld = Memo(spark, s"bm25_df_old|$d|$termKey|$batchMod") {
+      matchRows(spark, oldDocs, terms)
+        .groupBy(col("term")).agg(count(lit(1)).as("df_old")).persist()
+    }
+    val globalOld = Memo(spark, s"bm25_global_old|$d|$batchMod") {
+      oldDocs.agg(count(lit(1)).as("n_docs_old"),
+        Exact.sumLong(col("n_chars")).as("sum_len_old")).persist()
+    }
+    val eNew = matchRows(spark, newDocs, terms)
+    val dfNew = eNew.groupBy(col("term")).agg(count(lit(1)).as("df_new"))
+    val byTerm = dfOld.join(dfNew, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L))).as("df"))
+    val global = newDocs
+      .agg(count(lit(1)).as("n_docs_new"), Exact.sumLong(col("n_chars")).as("sum_len_new"))
+      .crossJoin(broadcast(globalOld))
+      .select((col("n_docs_old") + col("n_docs_new")).as("n_docs"),
+        (col("sum_len_old") + col("sum_len_new")).as("sum_len"))
+    scoreDocs(eNew, byTerm, global, terms, k1, b)
   }
 
   /** Corpus-derived unigram language-model score — the "perplexity-lite"

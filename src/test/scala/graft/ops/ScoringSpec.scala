@@ -63,6 +63,22 @@ class ScoringSpec extends SparkSuite {
       s"doc ${sample.getLong(0)}: got $got expected ~${math.floor(expected * 1e6)}")
   }
 
+  test("incrementalBm25: merged-stats scoring equals the batch form on the new slice") {
+    // the load-bearing property: stats merged from disjoint slice aggregates
+    // are EXACTLY the scratch full-corpus stats, so the arriving batch's
+    // scores are bit-identical to what a full rescore would assign it
+    val full = Scoring.bm25Scores(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inc = Scoring.incrementalBm25(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc.nonEmpty)
+    assert(inc.keySet.forall(_ % 10 == 0), "incremental form scored old-slice docs")
+    assert(inc.keySet == full.keySet.filter(_ % 10 == 0),
+      "batch coverage differs from the batch form's new-slice rows")
+    val diff = inc.collect { case (k, v) if full(k) != v => (k, v, full(k)) }
+    assert(diff.isEmpty, s"scores drifted from the batch form: ${diff.take(5)}")
+  }
+
   test("editDistPairs: non-ASCII prefixes are excluded on both sides (oracle parity guard)") {
     // DuckDB levenshtein counts bytes, Spark counts characters; the operator
     // filters non-ASCII prefixes so the two can never diverge. Pin it.
