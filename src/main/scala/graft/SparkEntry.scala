@@ -294,6 +294,7 @@ object SparkEntry {
     // (n-gram Jaccard) and exact semantic (cosine) rankings — integer
     // rank-space fusion, hash-oracled end to end
     "rrf_fusion" -> ((s, d) => Retrieval.rrfFusion(s, d)),
+    "mmr_rerank" -> ((s, d) => Retrieval.mmrRerank(s, d)),
     // same fusion core over the ANN semantic list (approx: rows-only)
     "rrf_fusion_ann" -> ((s, d) => Retrieval.rrfFusionAnn(s, d)),
     // SemDeDup: cluster-pruned semantic near-dup groups with a canonical
@@ -2108,6 +2109,50 @@ object SparkEntry {
     // hybrid retrieval: DuckDB replays BOTH rankings (distinct word-5-gram
     // Jaccard with the df<=256 stop-shingle cap; floor-e6 cosine) and the
     // integer RRF fusion — every score is exact integer arithmetic, so the
+    // greedy MMR replayed move-for-move: a recursive CTE carries each
+    // query's accumulating selected-list; every score is exact integer
+    // (7·rel_e6 − 3·max_sim_e6, score scale ×10), ties on cid
+    "mmr_rerank" ->
+      """WITH RECURSIVE emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |), p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    CAST(floor(list_dot_product(q.e, c.e) / (q.nrm * c.nrm) * 1000000.0) AS BIGINT) AS sim_e6
+        |  FROM emb q JOIN emb c ON q.vec_id < 8 AND q.vec_id <> c.vec_id
+        |), cand AS (
+        |  SELECT qid, cid, sim_e6 AS rel_e6 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, cid) AS rn FROM p
+        |  ) WHERE rn <= 20
+        |), pairsim AS (
+        |  SELECT x.qid, x.cid AS a, y.cid AS b,
+        |    CAST(floor(list_dot_product(ex.e, ey.e) / (ex.nrm * ey.nrm) * 1000000.0) AS BIGINT) AS sim_e6
+        |  FROM cand x JOIN cand y ON x.qid = y.qid AND x.cid <> y.cid
+        |  JOIN emb ex ON ex.vec_id = x.cid JOIN emb ey ON ey.vec_id = y.cid
+        |), sel AS (
+        |  SELECT qid, CAST(1 AS BIGINT) AS sel_rank, cid,
+        |         7 * rel_e6 AS mmr_score10, [cid] AS selected
+        |  FROM (
+        |    SELECT qid, cid, rel_e6,
+        |           row_number() OVER (PARTITION BY qid ORDER BY 7 * rel_e6 DESC, cid) AS rn
+        |    FROM cand
+        |  ) WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.qid, s.sel_rank + 1, nxt.cid, nxt.sc, list_append(s.selected, nxt.cid)
+        |  FROM sel s, LATERAL (
+        |    SELECT c.cid,
+        |           7 * c.rel_e6 - 3 * (SELECT max(ps.sim_e6) FROM pairsim ps
+        |                               WHERE ps.qid = c.qid AND ps.a = c.cid
+        |                                 AND list_contains(s.selected, ps.b)) AS sc
+        |    FROM cand c
+        |    WHERE c.qid = s.qid AND NOT list_contains(s.selected, c.cid)
+        |    ORDER BY sc DESC, c.cid
+        |    LIMIT 1
+        |  ) nxt
+        |  WHERE s.sel_rank < 10
+        |)
+        |SELECT qid, sel_rank, cid, mmr_score10 FROM sel ORDER BY qid, sel_rank""".stripMargin,
     // full fused ranking hash-matches
     "rrf_fusion" ->
       """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

@@ -123,6 +123,82 @@ object Retrieval {
     fuse(semanticTopK(spark, d, listK, nQueries),
       lexicalTopK(spark, d, listK, nQueries, maxDf), k, rrfK)
 
+  final case class MmrCand(qid: Long, cid: Long, rel_e6: Long)
+  final case class MmrPair(qid: Long, a: Long, b: Long, sim_e6: Long)
+  final case class MmrPick(qid: Long, sel_rank: Long, cid: Long, mmr_score10: Long)
+
+  /** MMR-diversified rerank (Carbonell & Goldstein 1998): from each query's
+    * exact top-`listK` semantic candidates, greedily select `k` maximizing
+    * `λ·relevance − (1−λ)·max-similarity-to-already-selected` — the
+    * redundancy-suppressing rerank a retrieval pipeline runs so the final
+    * list isn't `k` near-copies of the same best hit. With λ = `lamNum /
+    * lamDen`, every score is the exact integer `lamNum·rel_e6 −
+    * (lamDen−lamNum)·max_sim_e6` (scores scaled by lamDen — hence
+    * `mmr_score10` at the 7/10 default; the first pick carries no penalty
+    * term), ties broken on cid, so the greedy trajectory is deterministic
+    * and DuckDB replays it move-for-move with a recursive CTE over an
+    * accumulating selected-list.
+    *
+    * Execution shape — the one operator family where per-group IMPERATIVE
+    * logic is genuinely right: greedy selection is inherently sequential in
+    * `k`, but each query's state is bounded (listK candidates + their
+    * listK² pairwise sims), so the iteration runs inside
+    * `KeyValueGroupedDataset.cogroup` per qid — queries spread across
+    * executors, no driver-side loop, no k-round job cascade. Candidate and
+    * pairwise-sim generation stay declarative: the candidate list is the
+    * session-memoized [[semanticTopK]], and the pair sims are one bounded
+    * self-join of the candidate embeddings within each qid (nQueries·listK²
+    * rows total), reusing the exact floor-e6 cosine convention.
+    *
+    * At 100 TB the candidate stage swaps to the ANN probe exactly as
+    * [[rrfFusionAnn]] does; the greedy stage's cost is unchanged (it never
+    * sees the corpus, only the per-query candidate lists).
+    */
+  def mmrRerank(spark: SparkSession, d: String, k: Int = 10, listK: Int = 20,
+      nQueries: Int = 8, lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
+    import spark.implicits._
+    val cand = semanticTopK(spark, d, listK, nQueries)
+      .select(col("qid"), col("cid"), col("sim_e6").as("rel_e6"))
+    val emb = Similarity.withNorm(Tables.embeddings(spark, d))
+    val ce = cand.select(col("qid"), col("cid"))
+      .join(emb.select(col("vec_id").as("cid"), col("embedding"), col("nrm")), Seq("cid"))
+    val a = ce.select(col("qid"), col("cid").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = ce.select(col("qid").as("qid_b"), col("cid").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, col("qid") === col("qid_b") && col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        floor(graft.functions.VectorFunctions.dot_product(col("ea"), col("eb")) /
+          (col("na") * col("nb")) * lit(1000000.0)).cast("long").as("sim_e6"))
+    val penalty = (lamDen - lamNum).toLong
+    val out = cand.as[MmrCand].groupByKey(_.qid)
+      .cogroup(pairs.as[MmrPair].groupByKey(_.qid)) { (qid, cs, ps) =>
+        val cands = cs.toArray.sortBy(c => (c.cid))
+        val sim = ps.map(p => (p.a, p.b) -> p.sim_e6).toMap
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val picks = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+        val remaining = scala.collection.mutable.LinkedHashSet(cands.map(_.cid): _*)
+        val rel = cands.map(c => c.cid -> c.rel_e6).toMap
+        var step = 1L
+        while (step <= k && remaining.nonEmpty) {
+          // argmax of the integer MMR score; ties -> smallest cid (the
+          // candidate array is cid-sorted, and strict > keeps the first)
+          var bestCid = -1L
+          var bestSc = Long.MinValue
+          remaining.toSeq.sorted.foreach { cid =>
+            val sc =
+              if (selected.isEmpty) lamNum * rel(cid)
+              else lamNum * rel(cid) - penalty * selected.map(s => sim((cid, s))).max
+            if (sc > bestSc) { bestSc = sc; bestCid = cid }
+          }
+          picks += MmrPick(qid, step, bestCid, bestSc)
+          selected += bestCid
+          remaining -= bestCid
+          step += 1
+        }
+        picks.iterator
+      }
+    out.toDF().orderBy("qid", "sel_rank")
+  }
+
   /** The scale form: SAME lexical list and SAME fusion, but the semantic
     * list comes from the multi-probe LSH ANN top-k ([[Similarity.annTopK]])
     * instead of the exact brute force — what the fusion runs at a corpus

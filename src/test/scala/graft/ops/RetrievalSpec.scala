@@ -54,6 +54,57 @@ class RetrievalSpec extends SparkSuite {
     } finally { df.unpersist(); () }
   }
 
+  test("mmr_rerank: equals an independent driver-side greedy, and diversifies") {
+    val out = Retrieval.mmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // independent quadratic greedy from the same inputs
+    val cand = Retrieval.semanticTopK(spark, sf, 20, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // qid, cid, rel
+    val embRows = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosE6(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6).toLong
+    }
+    val expected = cand.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+      val rel = cs.map(c => c._2 -> c._3).toMap
+      var remaining = cs.map(_._2).sorted.toVector
+      var selected = Vector.empty[Long]
+      (1 to 10).flatMap { step =>
+        if (remaining.isEmpty) None
+        else {
+          val scored = remaining.map { cid =>
+            val sc =
+              if (selected.isEmpty) 7L * rel(cid)
+              else 7L * rel(cid) - 3L * selected.map(s => cosE6(embRows(cid), embRows(s))).max
+            (cid, sc)
+          }
+          val (bestCid, bestSc) = scored.maxBy { case (cid, sc) => (sc, -cid) }
+          selected :+= bestCid
+          remaining = remaining.filterNot(_ == bestCid)
+          Some((qid, step.toLong, bestCid, bestSc))
+        }
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(out.toSeq == expected,
+      s"greedy divergence, first diff: ${out.zip(expected).find(p => p._1 != p._2)}")
+    // the rerank genuinely diversifies on this corpus: mean pairwise sim of
+    // the MMR selection never exceeds that of the plain top-k-by-rel prefix
+    val byQ = out.groupBy(_._1)
+    val topk = cand.groupBy(_._1).view.mapValues(
+      _.sortBy(c => (-c._3, c._2)).take(10).map(_._2)).toMap
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for { a <- ids; b <- ids if a < b } yield cosE6(embRows(a), embRows(b)).toDouble
+      if (ps.isEmpty) 0.0 else ps.sum / ps.size
+    }
+    byQ.foreach { case (qid, rows) =>
+      assert(meanPairSim(rows.map(_._3).toSeq) <= meanPairSim(topk(qid).toSeq) + 1e-9,
+        s"qid $qid: MMR selection is LESS diverse than plain top-k")
+    }
+  }
+
   test("rrf_fusion_ann: same fusion over the ANN list, high panel agreement") {
     val exact = Retrieval.rrfFusion(spark, sf)
       .select("qid", "rank", "cid").collect().toSet
