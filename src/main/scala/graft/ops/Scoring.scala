@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object Scoring {
 
+  /** [[AnnStore]] kind for the incremental-BM25 ingest-time aggregates. */
+  private[graft] val Bm25StatsKind = "bm25stats-v1"
+
   /** BM25 relevance scores for a fixed query over the corpus.
     *
     * tf = substring occurrences in the lowercased text, df from one small
@@ -87,8 +90,9 @@ object Scoring {
     * rung of the incremental ladder (the ANN/dedup families' CDC posture,
     * applied to scoring): the persisted corpus contributes only its
     * ingest-time AGGREGATES (per-term df, doc count, total length — a
-    * vocabulary-bounded handful of integers, session-memoized here exactly
-    * like the bloom sketch), the arriving batch (doc_id ≡ 0 mod `batchMod`,
+    * vocabulary-bounded handful of integers, [[AnnStore]]-persisted exactly
+    * like the bloom sketch, so a fresh query session loads them without
+    * rescanning the old corpus), the arriving batch (doc_id ≡ 0 mod `batchMod`,
     * the same micro-batch stand-in the other incremental ops use) computes
     * its own match rows, and the batch is scored under the MERGED statistics
     * — so arriving docs get scores consistent with the full corpus without
@@ -116,16 +120,32 @@ object Scoring {
     val oldDocs = docs.filter(!isNew)
     val newDocs = docs.filter(isNew)
     // the persisted corpus's ingest-time aggregates (df is per-term doc
-    // counts — mergeable; so are n_docs/sum_len)
+    // counts — mergeable; so are n_docs/sum_len): ONE AnnStore artifact
+    // (kind bm25stats-v1) keyed by the corpus fingerprint + term set +
+    // slice, so a fresh query session LOADS the handful of integers
+    // instead of rescanning the old corpus text — the same ingest-time /
+    // query-time split the bloom sketch and the ANN indexes use. The
+    // sentinel term "" row carries the global (n_docs, sum_len) pair.
     val termKey = terms.mkString(",")
-    val dfOld = Memo(spark, s"bm25_df_old|$d|$termKey|$batchMod") {
-      matchRows(spark, oldDocs, terms)
-        .groupBy(col("term")).agg(count(lit(1)).as("df_old")).persist()
+    val termHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(termKey.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val statsOld = Memo(spark, s"bm25_stats_old|$d|$termKey|$batchMod") {
+      AnnStore.loadOrBuild(spark,
+        AnnStore.path(spark, Bm25StatsKind, d, s"$termHash-x$batchMod",
+          corpusTable = "documents")) {
+        matchRows(spark, oldDocs, terms)
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .select(col("term"), col("df"),
+            lit(null).cast("long").as("n_docs"), lit(null).cast("long").as("sum_len"))
+          .unionByName(oldDocs
+            .agg(count(lit(1)).as("n_docs"), Exact.sumLong(col("n_chars")).as("sum_len"))
+            .select(lit("").as("term"), lit(0L).as("df"), col("n_docs"), col("sum_len")))
+      }.persist()
     }
-    val globalOld = Memo(spark, s"bm25_global_old|$d|$batchMod") {
-      oldDocs.agg(count(lit(1)).as("n_docs_old"),
-        Exact.sumLong(col("n_chars")).as("sum_len_old")).persist()
-    }
+    val dfOld = statsOld.filter(col("term") =!= "")
+      .select(col("term"), col("df").as("df_old"))
+    val globalOld = statsOld.filter(col("term") === "")
+      .select(col("n_docs").as("n_docs_old"), col("sum_len").as("sum_len_old"))
     val eNew = matchRows(spark, newDocs, terms)
     val dfNew = eNew.groupBy(col("term")).agg(count(lit(1)).as("df_new"))
     val byTerm = dfOld.join(dfNew, Seq("term"), "full_outer")

@@ -146,6 +146,26 @@ class AnnStoreSpec extends SparkSuite {
     assert(r2.toSeq == Incremental.plainSemiJoin(spark, sf).collect().toSeq)
   }
 
+  test("bm25 stats: fresh session loads the published aggregates, scores identical") {
+    // non-default term set + slice so no other suite pre-warmed this key
+    val terms = Seq("spark", "data")
+    val before = AnnStore.buildCount.get()
+    val r1 = Scoring.incrementalBm25(spark, sf, terms = terms, batchMod = 7).collect()
+    val afterBuild = AnnStore.buildCount.get()
+    assert(afterBuild > before, "first call on a cold stats store must build+publish")
+    assert(r1.nonEmpty)
+
+    Memo.clear(spark)
+    val r2 = Scoring.incrementalBm25(spark, sf, terms = terms, batchMod = 7).collect()
+    assert(AnnStore.buildCount.get() == afterBuild,
+      "fresh session must LOAD the stats, not rescan the old corpus")
+    assert(r2.toSeq == r1.toSeq)
+    // merged-stat scoring still equals the batch form on the slice
+    val full = Scoring.bm25Scores(spark, sf, terms = terms).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1.forall(r => full(r.getLong(0)) == r.getLong(1)))
+  }
+
   test("store round-trip preserves the LSH index rows exactly") {
     // the frame annTopK consumes vs the raw parquet it was published from:
     // identical row multisets, embedding floats compared bit-for-bit
