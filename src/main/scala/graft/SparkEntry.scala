@@ -34,7 +34,7 @@ object SparkEntry {
     "ivf_topk", "ivf_topk_recall", "incremental_ivf", "ivf_cell_stats",
     "pq_topk", "ivfpq_topk", "incremental_ivfpq", "pq_code_stats",
     "ann_method_panel",
-    "dedup_embedding", "rrf_fusion_ann", "semantic_dedup",
+    "dedup_embedding", "rrf_fusion_ann", "mmr_rerank_ann", "semantic_dedup",
     "incremental_semantic_dedup",
     // the BPE merge loop has no SQL form (BpeSpec carries the parity gate)
     "bpe_vocab", "bpe_token_counts", "batch_packing_bpe",
@@ -295,6 +295,7 @@ object SparkEntry {
     // rank-space fusion, hash-oracled end to end
     "rrf_fusion" -> ((s, d) => Retrieval.rrfFusion(s, d)),
     "mmr_rerank" -> ((s, d) => Retrieval.mmrRerank(s, d)),
+    "mmr_rerank_ann" -> ((s, d) => Retrieval.mmrRerankAnn(s, d)),
     // same fusion core over the ANN semantic list (approx: rows-only)
     "rrf_fusion_ann" -> ((s, d) => Retrieval.rrfFusionAnn(s, d)),
     // SemDeDup: cluster-pruned semantic near-dup groups with a canonical

@@ -155,13 +155,42 @@ object Retrieval {
     * sees the corpus, only the per-query candidate lists).
     */
   def mmrRerank(spark: SparkSession, d: String, k: Int = 10, listK: Int = 20,
-      nQueries: Int = 8, lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
+      nQueries: Int = 8, lamNum: Int = 7, lamDen: Int = 10): DataFrame =
+    mmrSelect(spark, d,
+      semanticTopK(spark, d, listK, nQueries).select(col("qid"), col("cid")),
+      k, lamNum, lamDen)
+
+  /** The scale form: SAME greedy core over the multi-probe LSH ANN
+    * candidate list instead of the exact brute force. Rows-only — the
+    * candidate set is approximate; RetrievalSpec pins the core's
+    * list-agnosticism and the panel agreement between the two forms.
+    */
+  def mmrRerankAnn(spark: SparkSession, d: String, k: Int = 10, listK: Int = 20,
+      nQueries: Int = 8, lamNum: Int = 7, lamDen: Int = 10): DataFrame =
+    mmrSelect(spark, d,
+      Similarity.annTopK(spark, d, k = listK, recallQueries = 0)
+        .filter(col("qid") < nQueries)
+        .select(col("qid"), col("cid")),
+      k, lamNum, lamDen)
+
+  /** Candidate-list-agnostic MMR greedy: the list supplies only
+    * `(qid, cid)` — relevance AND pairwise similarity are recomputed here
+    * as exact floor-e6 cosines (so any candidate source, exact or
+    * approximate, feeds the same deterministic selection), then the
+    * per-qid sequential selection runs inside cogroup.
+    */
+  private def mmrSelect(spark: SparkSession, d: String, cand0: DataFrame,
+      k: Int, lamNum: Int, lamDen: Int): DataFrame = {
     import spark.implicits._
-    val cand = semanticTopK(spark, d, listK, nQueries)
-      .select(col("qid"), col("cid"), col("sim_e6").as("rel_e6"))
     val emb = Similarity.withNorm(Tables.embeddings(spark, d))
-    val ce = cand.select(col("qid"), col("cid"))
+    val ce = cand0.select(col("qid"), col("cid"))
       .join(emb.select(col("vec_id").as("cid"), col("embedding"), col("nrm")), Seq("cid"))
+    val cand = ce
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn")), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        floor(graft.functions.VectorFunctions.dot_product(col("qe"), col("embedding")) /
+          (col("qn") * col("nrm")) * lit(1000000.0)).cast("long").as("rel_e6"))
     val a = ce.select(col("qid"), col("cid").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = ce.select(col("qid").as("qid_b"), col("cid").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
     val pairs = a.join(b, col("qid") === col("qid_b") && col("a") =!= col("b"))

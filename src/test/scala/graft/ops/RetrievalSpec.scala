@@ -105,6 +105,29 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("mmr_rerank_ann: same greedy core over the ANN list, high panel agreement") {
+    val exact = Retrieval.mmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ann = Retrieval.mmrRerankAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ann.nonEmpty)
+    val byQ = ann.groupBy(_._1)
+    // contract: same panel, k selections with contiguous ranks, no repeats
+    assert(byQ.keySet == exact.keySet)
+    byQ.foreach { case (qid, rows) =>
+      val ranks = rows.map(_._2).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq, s"qid $qid ranks: $ranks")
+      assert(rows.map(_._3).distinct.length == rows.length)
+    }
+    // the approximate candidate list preserves most of the exact selection
+    val agree = byQ.toSeq.map { case (qid, rows) =>
+      rows.map(_._3).count(exact(qid)) .toDouble / rows.length
+    }
+    assert(agree.sum / agree.size >= 0.7,
+      s"panel agreement ${agree.sum / agree.size} below 0.7")
+  }
+
   test("rrf_fusion_ann: same fusion over the ANN list, high panel agreement") {
     val exact = Retrieval.rrfFusion(spark, sf)
       .select("qid", "rank", "cid").collect().toSet
