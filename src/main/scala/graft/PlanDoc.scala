@@ -231,7 +231,22 @@ object PlanDoc {
       "narrow cell assignment, high-cosine pairs come from a cell-keyed self-join — " +
       "(n/nCells)^2 per cell, never n^2, with nCells the corpus-growth knob — and " +
       "canonicalization reuses the shared min-label connected-components core, so transitive " +
-      "chains collapse to one keeper without any driver-side iteration over the corpus."))
+      "chains collapse to one keeper without any driver-side iteration over the corpus."),
+    "temporal_join" -> ("Point-in-time enrichment: equi-join on user_id with the validity-range " +
+      "residual evaluated per matched pair (never a cartesian — versions-per-user bounds the " +
+      "fanout), purchase filter pushed to the fact scan; the collapsed SCD2 dim is orders of " +
+      "magnitude below the fact log, so AQE broadcasts it at scale."),
+    "event_anomalies" -> ("Integer z-score outliers: one map-side-combinable moment aggregation " +
+      "(5 rows) broadcast back over a second pruned scan; the |z|>3 test is pure DECIMAL(38,0) " +
+      "arithmetic inside the filter's codegen span — no float moments, no second shuffle."),
+    "incremental_bm25" -> ("Scoring under corpus growth: the old corpus appears ONLY as its " +
+      "AnnStore-persisted aggregates (per-term df + one global row — a vocabulary-bounded " +
+      "broadcast); the batch-side text scan is the only corpus-sized work, and the merged-stats " +
+      "join is broadcast on both tiny sides."),
+    "mmr_rerank" -> ("Diversified rerank: candidate lists and pairwise sims are bounded " +
+      "declarative joins (panel x listK rows; listK^2 pairs per query); the inherently " +
+      "sequential greedy runs inside cogroup per qid — queries spread across executors, " +
+      "zero driver-side iteration, and the corpus is never touched past candidate generation."))
 
   /** Strip run-nondeterministic tokens (JVM lambda addresses, object
     * hashes, AQE plan/stage ids, expression ids) so a regenerated PLANS.md
