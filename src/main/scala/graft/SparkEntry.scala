@@ -106,6 +106,7 @@ object SparkEntry {
     "snapshot_diff" -> ((s, d) => Temporal.snapshotDiff(s, d)),
     "temporal_join" -> ((s, d) => Temporal.temporalJoin(s, d)),
     "event_anomalies" -> ((s, d) => Temporal.eventAnomalies(s, d)),
+    "event_anomalies_robust" -> ((s, d) => Temporal.eventAnomaliesRobust(s, d)),
     "zorder_layout" -> ((s, d) => Layout.zOrderEvidence(s, d)), // layout evidence: rows-only
     "batch_packing" -> ((s, d) => TextOps.batchPacking(s, d)),
     "priority_sample" -> ((s, d) => TextOps.prioritySample(s, d)),
@@ -1098,6 +1099,36 @@ object SparkEntry {
         |WHERE (CAST(s.n AS HUGEINT) * v.v - s.s) * (CAST(s.n AS HUGEINT) * v.v - s.s)
         |      > 9 * (CAST(s.n AS HUGEINT) * s.q - CAST(s.s AS HUGEINT) * s.s)
         |ORDER BY v.event_id""".stripMargin,
+    "event_anomalies_robust" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v
+        |), med AS (
+        |  SELECT event_type, CAST(max(CASE WHEN rn <= (n + 1) // 2 THEN v END) AS BIGINT) AS med
+        |  FROM r GROUP BY 1
+        |), dev AS (
+        |  SELECT v.event_id, v.event_type, v.v, m.med, abs(v.v - m.med) AS ad
+        |  FROM v JOIN med m USING (event_type)
+        |), r2 AS (
+        |  SELECT event_type, ad,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dev
+        |), mad AS (
+        |  SELECT event_type, CAST(max(CASE WHEN rn <= (n + 1) // 2 THEN ad END) AS BIGINT) AS mad
+        |  FROM r2 GROUP BY 1
+        |)
+        |SELECT d.event_id, d.event_type, d.v AS value_c2,
+        |       d.med AS med_c2, m.mad AS mad_c2
+        |FROM dev d JOIN mad m USING (event_type)
+        |WHERE d.ad > 5 * m.mad
+        |ORDER BY d.event_id""".stripMargin,
     "timeseries_gapfill" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS n,

@@ -117,6 +117,44 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** ROBUST anomaly twin of [[eventAnomalies]]: flag events farther than
+    * `5·MAD` from their type's MEDIAN (≈3.4σ under normality) — the
+    * estimator heavy-tailed telemetry actually wants, since mean/stddev are
+    * themselves dragged by the outliers they're meant to find (z-scores
+    * mask adjacent outliers; the median/MAD breakdown point is 50%).
+    * Median and MAD are exact discrete value-at-rank selections over the
+    * integer cents domain ([[DistributedSelect.exactGroupPercentiles]] —
+    * the two-pass histogram split, no whole-group sort task), so the whole
+    * test is integer-exact and DuckDB replays it with rank windows.
+    * Exports the per-type median/MAD as evidence columns.
+    */
+  def eventAnomaliesRobust(spark: SparkSession, d: String): DataFrame = {
+    // both selection passes consume their input three times (min/max,
+    // histogram, in-bucket rank) — session-memoized persists, the
+    // DistributedSelect caller contract
+    val ev = Memo(spark, s"anom_robust_ev|$d") {
+      Tables.events(spark, d)
+        .select(col("event_id"), col("event_type"), Exact.c2(col("value")).as("v"))
+        .persist()
+    }
+    val med = DistributedSelect
+      .exactGroupPercentiles(ev, "event_type", "v", Seq(("med", 1L, 2L)))
+      .select(col("event_type"), col("med"))
+    val dev = Memo(spark, s"anom_robust_dev|$d") {
+      ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("ad", abs(col("v") - col("med")))
+        .persist()
+    }
+    val mad = DistributedSelect
+      .exactGroupPercentiles(dev, "event_type", "ad", Seq(("mad", 1L, 2L)))
+      .select(col("event_type"), col("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("ad") > lit(5L) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("v").as("value_c2"),
+        col("med").as("med_c2"), col("mad").as("mad_c2"))
+      .orderBy("event_id")
+  }
+
   /** Daily per-type totals with interior gaps filled as explicit zero rows
     * (resampling to a regular grid — what a downstream forecasting job
     * needs). The grid is generated per type from its own [min, max] day span

