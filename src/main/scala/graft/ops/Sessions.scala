@@ -107,7 +107,7 @@ object Sessions {
     * testdata's physical unit has changed across generations (nanos →
     * micros), so no call site may hard-code a divisor.
     */
-  private[ops] def msFloor(spark: SparkSession, d: String): org.apache.spark.sql.Column =
+  private[graft] def msFloor(spark: SparkSession, d: String): org.apache.spark.sql.Column =
     msFloorExpr(Tables.tsTicksPerMs(spark, d))
 
   /** Day index: ms div 86400000. The outer `div` TRUNCATES toward zero on
