@@ -248,6 +248,44 @@ object StreamingBench {
     statsFrom(q, wall, inputRows, busRows = verdictCount.get())
   }
 
+  /** Streaming-SCD2 maintenance throughput (`streaming_scd2`): the event
+    * log arrives as a bounded file stream and each trigger updates the
+    * dimension store via the REAL operator ([[graft.streaming.Scd2Ingest]]
+    * — spec-pinned row-equal to the batch scd2_dimension build). Input
+    * files are event_id-RANGE partitioned so per-user order holds across
+    * triggers (the ingest's ordering contract; part-file name order is the
+    * file source's pickup order here). `busRows` carries the store's final
+    * version-row count — the materialized dimension the run produced.
+    */
+  def scd2E2e(spark: SparkSession, d: String, nFiles: Int = 8,
+      maxFilesPerTrigger: Int = 1): StreamStats = {
+    import spark.implicits._
+    import graft.streaming.Scd2Ingest
+    val base = graft.ops.Scratch.dir("graft_scd2bench")
+    val in = s"$base/in"
+    graft.ops.Tables.events(spark, d)
+      .withColumn("ms", graft.ops.Sessions.msFloor(spark, d))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ms"))
+      .repartitionByRange(nFiles, col("event_id"))
+      .write.mode("overwrite").json(in)
+    val inputRows = spark.read.json(in).count()
+    val store = s"$base/store/dim"
+
+    val schema = org.apache.spark.sql.Encoders.product[Scd2Ingest.DimEvent].schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .json(in).as[Scd2Ingest.DimEvent]
+    val t0 = System.nanoTime()
+    val q = Scd2Ingest.ingestStream(stream, store)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    statsFrom(q, wall, inputRows,
+      busRows = Scd2Ingest.readStore(spark, store).count())
+  }
+
   def dedupE2e(spark: SparkSession, d: String, nFiles: Int = 8,
       maxFilesPerTrigger: Int = 1, arrivalCopies: Int = 64): StreamStats = {
     import spark.implicits._
