@@ -107,6 +107,8 @@ object SparkEntry {
     "temporal_join" -> ((s, d) => Temporal.temporalJoin(s, d)),
     "event_anomalies" -> ((s, d) => Temporal.eventAnomalies(s, d)),
     "event_anomalies_robust" -> ((s, d) => Temporal.eventAnomaliesRobust(s, d)),
+    "scd2_as_of" -> ((s, d) => Temporal.scd2AsOf(s, d)),
+    "winsorized_stats" -> ((s, d) => Temporal.winsorizedStats(s, d)),
     "zorder_layout" -> ((s, d) => Layout.zOrderEvidence(s, d)), // layout evidence: rows-only
     "batch_packing" -> ((s, d) => TextOps.batchPacking(s, d)),
     "priority_sample" -> ((s, d) => TextOps.prioritySample(s, d)),
@@ -1099,6 +1101,47 @@ object SparkEntry {
         |WHERE (CAST(s.n AS HUGEINT) * v.v - s.s) * (CAST(s.n AS HUGEINT) * v.v - s.s)
         |      > 9 * (CAST(s.n AS HUGEINT) * s.q - CAST(s.s AS HUGEINT) * s.s)
         |ORDER BY v.event_id""".stripMargin,
+    "scd2_as_of" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, event_id, event_type, ms FROM e
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |), dim AS (
+        |  SELECT user_id, event_id, event_type, ms AS valid_from_ms,
+        |         lead(ms) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to_ms
+        |  FROM c
+        |)
+        |SELECT user_id, event_id, event_type, valid_from_ms
+        |FROM dim
+        |WHERE valid_from_ms <= 1706572800000
+        |  AND (valid_to_ms IS NULL OR 1706572800000 < valid_to_ms)
+        |ORDER BY user_id""".stripMargin,
+    "winsorized_stats" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v
+        |), cuts AS (
+        |  SELECT event_type,
+        |    CAST(max(CASE WHEN rn <= (n + 19) // 20 THEN v END) AS BIGINT) AS p05,
+        |    CAST(max(CASE WHEN rn <= (19 * n + 19) // 20 THEN v END) AS BIGINT) AS p95
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT v.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(least(greatest(v.v, c.p05), c.p95)) AS BIGINT) AS winsorized_sum_c2,
+        |  CAST(SUM(CASE WHEN v.v < c.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(SUM(CASE WHEN v.v > c.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  max(c.p05) AS p05_c2, max(c.p95) AS p95_c2
+        |FROM v JOIN cuts c USING (event_type)
+        |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin,
     "event_anomalies_robust" ->
       """WITH v AS (
         |  SELECT event_id, event_type,

@@ -117,6 +117,53 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** Point-in-time SNAPSHOT of the SCD2 dimension — the dimension "AS OF
+    * T" read every backfill and late-arriving-fact join needs: each user's
+    * single version whose `[valid_from, valid_to)` range contains T
+    * (users whose history starts after T are absent). Same containment
+    * algebra as [[temporalJoin]] with a constant probe time; one window
+    * pass + a filter, no join at all.
+    */
+  def scd2AsOf(spark: SparkSession, d: String,
+      tMs: Long = 1706572800000L /* 2024-01-30T00:00Z */): DataFrame =
+    scd2Dimension(spark, d)
+      .filter(col("valid_from_ms") <= tMs &&
+        (col("valid_to_ms").isNull || lit(tMs) < col("valid_to_ms")))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from_ms"))
+      .orderBy("user_id")
+
+  /** Winsorized per-type aggregates — the robust summary a telemetry
+    * rollup wants when [[eventAnomalies]]-grade outliers would otherwise
+    * own the mean: values clip to the type's exact [p05, p95] before
+    * summation. The clip points are discrete value-at-rank selections
+    * (ceil(n/20), ceil(19n/20) — [[DistributedSelect.exactGroupPercentiles]],
+    * no whole-group sort), the clipped sum is exact integer cents, and the
+    * clip counts ride along as evidence. Everything DuckDB can replay with
+    * rank windows.
+    */
+  def winsorizedStats(spark: SparkSession, d: String): DataFrame = {
+    val ev = Memo(spark, s"anom_robust_ev|$d") {
+      Tables.events(spark, d)
+        .select(col("event_id"), col("event_type"), Exact.c2(col("value")).as("v"))
+        .persist()
+    }
+    val cuts = DistributedSelect.exactGroupPercentiles(ev, "event_type", "v",
+      Seq(("p05", 1L, 20L), ("p95", 19L, 20L)))
+      .select(col("event_type"), col("p05"), col("p95"))
+    ev.join(broadcast(cuts), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        Exact.sumLong(least(greatest(col("v"), col("p05")), col("p95")))
+          .as("winsorized_sum_c2"),
+        Exact.sumLong(when(col("v") < col("p05"), 1L).otherwise(0L)).as("n_clip_lo"),
+        Exact.sumLong(when(col("v") > col("p95"), 1L).otherwise(0L)).as("n_clip_hi"),
+        max(col("p05")).as("p05_c2"),
+        max(col("p95")).as("p95_c2"))
+      .orderBy("event_type")
+  }
+
   /** ROBUST anomaly twin of [[eventAnomalies]]: flag events farther than
     * `5·MAD` from their type's MEDIAN (≈3.4σ under normality) — the
     * estimator heavy-tailed telemetry actually wants, since mean/stddev are

@@ -102,6 +102,39 @@ class TemporalSpec extends SparkSuite {
     assert(out.map(_.getString(1)).toSet.nonEmpty)
   }
 
+  test("scd2AsOf: at most one version per user, and exactly the containing one") {
+    val t = 1706572800000L
+    val out = Temporal.scd2AsOf(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(0)).distinct.length == out.length, "a user got two versions")
+    val dim = Temporal.scd2Dimension(spark, sf).collect()
+    val expected = dim.filter { r =>
+      r.getLong(3) <= t && (r.isNullAt(4) || t < r.getLong(4))
+    }.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+  }
+
+  test("winsorizedStats: clipped sums and clip counts recompute exactly") {
+    val out = Temporal.winsorizedStats(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), Exact.c2(col("value")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = ev.groupBy(_._1)
+    assert(out.map(_.getString(0)).toSet == byType.keySet)
+    out.foreach { r =>
+      val vs = byType(r.getString(0)).map(_._2).toSeq
+      val sorted = vs.sorted
+      def atRank(num: Long, den: Long): Long =
+        sorted(((num * vs.size + den - 1) / den - 1).toInt)
+      val (p05, p95) = (atRank(1, 20), atRank(19, 20))
+      assert(r.getLong(5) == p05 && r.getLong(6) == p95, "clip points drifted")
+      assert(r.getLong(1) == vs.size.toLong)
+      assert(r.getLong(2) == vs.map(v => v.max(p05).min(p95)).map(BigInt(_)).sum)
+      assert(r.getLong(3) == vs.count(_ < p05).toLong)
+      assert(r.getLong(4) == vs.count(_ > p95).toLong)
+    }
+  }
+
   test("gapFillDaily: per-type day grid is contiguous, fills are zero, totals are preserved") {
     val out = Temporal.gapFillDaily(spark, sf).collect()
     out.groupBy(_.getString(0)).foreach { case (_, days) =>
