@@ -107,6 +107,7 @@ object SparkEntry {
     "temporal_join" -> ((s, d) => Temporal.temporalJoin(s, d)),
     "event_anomalies" -> ((s, d) => Temporal.eventAnomalies(s, d)),
     "event_anomalies_robust" -> ((s, d) => Temporal.eventAnomaliesRobust(s, d)),
+    "incremental_anomalies" -> ((s, d) => Temporal.incrementalAnomalies(s, d)),
     "scd2_as_of" -> ((s, d) => Temporal.scd2AsOf(s, d)),
     "winsorized_stats" -> ((s, d) => Temporal.winsorizedStats(s, d)),
     "zorder_layout" -> ((s, d) => Layout.zOrderEvidence(s, d)), // layout evidence: rows-only
@@ -1100,6 +1101,25 @@ object SparkEntry {
         |FROM v JOIN s USING (event_type)
         |WHERE (CAST(s.n AS HUGEINT) * v.v - s.s) * (CAST(s.n AS HUGEINT) * v.v - s.s)
         |      > 9 * (CAST(s.n AS HUGEINT) * s.q - CAST(s.s AS HUGEINT) * s.s)
+        |ORDER BY v.event_id""".stripMargin,
+    // full-log moments, NEW-batch flags — merged incremental moments equal
+    // scratch moments exactly (disjoint integer slices)
+    "incremental_anomalies" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events
+        |), s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS q
+        |  FROM v GROUP BY 1
+        |)
+        |SELECT v.event_id, v.event_type, v.v AS value_c2,
+        |       CAST(CASE WHEN CAST(s.n AS HUGEINT) * v.v - s.s > 0 THEN 1 ELSE -1 END AS BIGINT) AS z_sign
+        |FROM v JOIN s USING (event_type)
+        |WHERE (CAST(s.n AS HUGEINT) * v.v - s.s) * (CAST(s.n AS HUGEINT) * v.v - s.s)
+        |      > 9 * (CAST(s.n AS HUGEINT) * s.q - CAST(s.s AS HUGEINT) * s.s)
+        |  AND v.event_id % 10 = 0
         |ORDER BY v.event_id""".stripMargin,
     "scd2_as_of" ->
       """WITH e AS (

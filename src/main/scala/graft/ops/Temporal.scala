@@ -164,6 +164,61 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** [[AnnStore]] kind for the incremental-anomaly ingest-time moments. */
+  private[graft] val MomentsKind = "evmoments-v1"
+
+  /** INCREMENTAL anomaly detection — [[eventAnomalies]]' rung on the
+    * incremental ladder (the `incremental_bm25` recipe applied to
+    * monitoring): the persisted event history contributes only its
+    * ingest-time MOMENTS (per-type n, Σv, Σv² — five rows,
+    * [[AnnStore]]-persisted under the corpus fingerprint), the arriving
+    * batch (event_id ≡ 0 mod `batchMod`) computes its own moments, and the
+    * batch's events are flagged under the MERGED statistics. Moments are
+    * exact integers over disjoint slices, so merged == scratch and the
+    * batch's flags hash-match the batch rows of the full-log detector —
+    * which is what the oracle pins. The trade is the same as every rung:
+    * old events' verdicts drift as moments move; re-flagging history is a
+    * periodic batch job, not per-trigger work.
+    */
+  def incrementalAnomalies(spark: SparkSession, d: String,
+      batchMod: Int = 10): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("event_id"), col("event_type"), Exact.c2(col("value")).as("v"))
+    val isNew = pmod(col("event_id"), lit(batchMod)) === 0
+    val momentsOld = Memo(spark, s"ev_moments_old|$d|$batchMod") {
+      AnnStore.loadOrBuild(spark,
+        AnnStore.path(spark, MomentsKind, d, s"x$batchMod", corpusTable = "events")) {
+        ev.filter(!isNew).groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          Exact.sumLong(col("v")).as("s"),
+          Exact.sumLong(col("v") * col("v")).as("q"))
+      }.persist()
+    }
+    val batch = ev.filter(isNew)
+    val momentsNew = batch.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_new"),
+      Exact.sumLong(col("v")).as("s_new"),
+      Exact.sumLong(col("v") * col("v")).as("q_new"))
+    // full outer: a type appearing only in one slice still carries exact
+    // merged moments (coalesce 0 on the absent side)
+    val merged = momentsOld
+      .select(col("event_type"), col("n").as("n_old"), col("s").as("s_old"), col("q").as("q_old"))
+      .join(momentsNew, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L))).as("n"),
+        (coalesce(col("s_old"), lit(0L)) + coalesce(col("s_new"), lit(0L))).as("s"),
+        (coalesce(col("q_old"), lit(0L)) + coalesce(col("q_new"), lit(0L))).as("q"))
+    val dec = DecimalType(38, 0)
+    val dev = col("n").cast(dec) * col("v").cast(dec) - col("s").cast(dec)
+    val varN2 = col("n").cast(dec) * col("q").cast(dec) -
+      col("s").cast(dec) * col("s").cast(dec)
+    batch.join(broadcast(merged), Seq("event_type"))
+      .filter(dev * dev > lit(9).cast(dec) * varN2)
+      .select(col("event_id"), col("event_type"), col("v").as("value_c2"),
+        when(dev > 0, 1L).otherwise(-1L).as("z_sign"))
+      .orderBy("event_id")
+  }
+
   /** ROBUST anomaly twin of [[eventAnomalies]]: flag events farther than
     * `5·MAD` from their type's MEDIAN (≈3.4σ under normality) — the
     * estimator heavy-tailed telemetry actually wants, since mean/stddev are

@@ -102,6 +102,18 @@ class TemporalSpec extends SparkSuite {
     assert(out.map(_.getString(1)).toSet.nonEmpty)
   }
 
+  test("incrementalAnomalies: merged-moment flags equal the batch detector's new-slice rows") {
+    val full = Temporal.eventAnomalies(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    val inc = Temporal.incrementalAnomalies(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(inc.nonEmpty)
+    assert(inc.forall(_._1 % 10 == 0), "incremental form flagged old-slice events")
+    assert(inc.map(_._1).toSet == full.keySet.filter(_ % 10 == 0),
+      "flag coverage differs from the batch detector's new slice")
+    assert(inc.forall { case (id, z) => full(id) == z }, "z_sign drifted")
+  }
+
   test("scd2AsOf: at most one version per user, and exactly the containing one") {
     val t = 1706572800000L
     val out = Temporal.scd2AsOf(spark, sf).collect()
