@@ -3,7 +3,7 @@ package graft.obs
 import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, concat, explode, expr, lit, shiftleft, when}
+import org.apache.spark.sql.functions.{col, concat, explode, expr, lit, max, min, shiftleft, when}
 
 import graft.attr.{Json, JsonParser}
 import graft.cdc.{CdcConfig, CdcPipeline}
@@ -251,11 +251,16 @@ object StreamingBench {
   /** Streaming-SCD2 maintenance throughput (`streaming_scd2`): the event
     * log arrives as a bounded file stream and each trigger updates the
     * dimension store via the REAL operator ([[graft.streaming.Scd2Ingest]]
-    * — spec-pinned row-equal to the batch scd2_dimension build). Input
-    * files are event_id-RANGE partitioned so per-user order holds across
-    * triggers (the ingest's ordering contract; part-file name order is the
-    * file source's pickup order here). `busRows` carries the store's final
-    * version-row count — the materialized dimension the run produced.
+    * — spec-pinned row-equal to the batch scd2_dimension build). The
+    * ingest's ordering contract (per-user order across triggers) is
+    * honored by CONSTRUCTION, not by name order: FileStreamSource picks
+    * new files up in modification-time order, so the event_id ranges are
+    * written as nFiles SEQUENTIAL single-file appends — file i's mtime
+    * strictly precedes file i+1's, and each trigger therefore consumes a
+    * strictly later event_id range (a single range-partitioned parallel
+    * write gives no such mtime guarantee). `busRows` carries the store's
+    * final version-row count — the materialized dimension the run
+    * produced.
     */
   def scd2E2e(spark: SparkSession, d: String, nFiles: Int = 8,
       maxFilesPerTrigger: Int = 1): StreamStats = {
@@ -263,11 +268,23 @@ object StreamingBench {
     import graft.streaming.Scd2Ingest
     val base = graft.ops.Scratch.dir("graft_scd2bench")
     val in = s"$base/in"
-    graft.ops.Tables.events(spark, d)
+    val ev = graft.ops.Tables.events(spark, d)
       .withColumn("ms", graft.ops.Sessions.msFloor(spark, d))
       .select(col("event_id"), col("user_id"), col("event_type"), col("ms"))
-      .repartitionByRange(nFiles, col("event_id"))
-      .write.mode("overwrite").json(in)
+      .persist()
+    val (loId, hiId) = {
+      val r = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val span = hiId - loId + 1
+    (0 until nFiles).foreach { i =>
+      val from = loId + i * span / nFiles
+      val to = loId + (i + 1) * span / nFiles
+      ev.filter(col("event_id") >= from && col("event_id") < to)
+        .coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").json(in)
+    }
+    ev.unpersist()
     val inputRows = spark.read.json(in).count()
     val store = s"$base/store/dim"
 

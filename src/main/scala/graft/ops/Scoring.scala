@@ -146,7 +146,11 @@ object Scoring {
       .select(col("term"), col("df").as("df_old"))
     val globalOld = statsOld.filter(col("term") === "")
       .select(col("n_docs").as("n_docs_old"), col("sum_len").as("sum_len_old"))
-    val eNew = matchRows(spark, newDocs, terms)
+    // the batch match rows feed BOTH the df delta and the scoring tail —
+    // materialized once (same re-expansion trap bm25Scores documents)
+    val eNew = Memo(spark, s"bm25_matches_new|$d|$termKey|$batchMod") {
+      matchRows(spark, newDocs, terms).persist()
+    }
     val dfNew = eNew.groupBy(col("term")).agg(count(lit(1)).as("df_new"))
     val byTerm = dfOld.join(dfNew, Seq("term"), "full_outer")
       .select(col("term"),

@@ -54,6 +54,14 @@ object Temporal {
     * changes sharing a millisecond leave an empty `[m, m)` range that can
     * never match, which both engines agree on by construction).
     *
+    * DATA CONTRACT: the exactly-one-match tiling — and with it the
+    * uniqueness of the `ORDER BY event_id` export key — requires `ts` to be
+    * monotone in `event_id` per user (versions are ordered by event_id but
+    * ranged by ms; an inverted timestamp would let ranges overlap and a
+    * fact match twice). True of every testdata generation to date and
+    * guarded by the TemporalSpec monotonicity check, the same
+    * regeneration-defence posture as [[Tables.tsTicksPerMs]].
+    *
     * Plan shape: equi-join on `user_id` with the range predicate as a
     * post-join filter — Catalyst keeps the hash join and evaluates the
     * band residual per matched pair, so cost is (facts ⋈ versions-per-user)

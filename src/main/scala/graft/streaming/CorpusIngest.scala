@@ -99,7 +99,11 @@ object CorpusIngest {
     val p = new org.apache.hadoop.fs.Path(rejectedDir(storeDir))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id=")))
+      // partition discovery infers batch_id as INT — cast back to the long
+      // the writer put in (same discipline as the sibling store readers)
       spark.read.parquet(rejectedDir(storeDir))
+        .select(col("doc_id"), col("shingle"),
+          col("batch_id").cast("long").as("batch_id"))
     else {
       import spark.implicits._
       StreamingDedup.shingleBatch(spark.emptyDataset[StreamingDedup.Doc])

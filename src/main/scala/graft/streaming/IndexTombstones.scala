@@ -150,14 +150,16 @@ object IndexTombstones {
     * preserved). Written to a NEW directory (compact → repoint — in-place
     * rewrites would race a live stream's next trigger), and only ever
     * called with a fold point at or below the stream checkpoint's
-    * committed horizon. Two write-ordering guarantees (each closed a real
-    * failure mode): the output TOMBSTONE subtree is cleared
-    * unconditionally — even when no tombstones are carried — so a stale
-    * `<outDir>_tombstones` left by an earlier failed or different-fold
-    * attempt into the same outDir can never apply phantom deletes to the
-    * fresh fold; and the carried tombstones are written BEFORE the folded
-    * store, so a crash between the two writes leaves outDir without its
-    * store subtree (visibly unfinished — `readIndexStore`'s existence
+    * committed horizon. Write-ordering guarantees (each closed a real
+    * failure mode): BOTH output subtrees — the store AND its tombstones —
+    * are deleted unconditionally up front, so nothing left by an earlier
+    * completed-but-never-repointed or crashed different-fold attempt into
+    * the same outDir can pair with this attempt's writes (a stale
+    * tombstone subtree would phantom-delete the fresh fold; a stale store
+    * paired with a fresh carried set would resurrect rows whose tombstones
+    * this fold spent); and the carried tombstones are written BEFORE the
+    * folded store, so a crash between the two writes leaves outDir without
+    * its store subtree (visibly unfinished — `readIndexStore`'s existence
     * probe sees nothing to repoint to) rather than a complete-looking
     * store silently missing its carried deletions. Returns rows written.
     */
@@ -171,8 +173,10 @@ object IndexTombstones {
         .otherwise(col("batch_id")))
     val n = folded.count()
     val outTombs = new org.apache.hadoop.fs.Path(dir(outDir))
+    val outStore = new org.apache.hadoop.fs.Path(outDir)
     val fs = outTombs.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(outTombs)) { fs.delete(outTombs, true); () }
+    if (fs.exists(outStore)) { fs.delete(outStore, true); () }
     val carried = tombs.filter(col("batch_id") > upToBatchId)
     if (carried.limit(1).count() > 0)
       carried.write.mode("overwrite").partitionBy("batch_id").parquet(dir(outDir))

@@ -39,7 +39,19 @@ class TemporalSpec extends SparkSuite {
     // spot-reconcile against the dimension: the matched version must be the
     // LAST version opened at or before the fact's ms for that user
     val dim = Temporal.scd2Dimension(spark, sf).collect()
-      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(3))).toMap
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    // data contract (temporalJoin scaladoc): ts monotone in event_id per
+    // user — version valid_from must be non-decreasing in event_id order,
+    // else ranges overlap and the exactly-one-match tiling breaks. This is
+    // the testdata-regeneration tripwire for the whole temporal family.
+    dim.values.foreach { versions =>
+      versions.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(3) <= b.getLong(3),
+            s"ts not monotone in event_id for user ${a.getLong(0)} — temporal ranges overlap")
+        case _ =>
+      }
+    }
     out.take(200).foreach { r =>
       val versions = dim(r.getLong(1))
       val expect = versions.filter(_.getLong(3) <= r.getLong(2)).last
