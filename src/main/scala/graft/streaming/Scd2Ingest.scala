@@ -84,6 +84,32 @@ object Scd2Ingest {
       .parquet(storeDir)
   }
 
+  /** Seed the store with a BATCH-built dimension — the bootstrap every
+    * real deployment runs before switching the tail over to the stream
+    * (the reference starts its stream at LATEST with no backfill —
+    * `/root/reference/lib/constructs/dynamo.ts:154` — which is exactly
+    * this split: history by batch, future by stream). `versionRows` is
+    * the batch build's version-open set `(user_id, event_id, event_type,
+    * valid_from_ms)` (i.e. [[graft.ops.Temporal.scd2Dimension]] output
+    * minus the derived columns); it lands in partition `batch_id = -1`,
+    * which no stream trigger ever owns (checkpointed batch ids start at
+    * 0), so replay exclusion and compaction work unchanged and the first
+    * trigger's change detection falls back to the bootstrapped current
+    * versions exactly as it would to stream-written ones.
+    */
+  def bootstrap(spark: SparkSession, storeDir: String,
+      versionRows: DataFrame): Long = {
+    val rows = versionRows
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ms"))
+      .withColumn("batch_id", lit(-1L))
+    val n = rows.count()
+    rows.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(storeDir)
+    n
+  }
+
   /** Version-open rows `(user_id, event_id, event_type, ms, batch_id)`;
     * empty before the first trigger commits.
     */

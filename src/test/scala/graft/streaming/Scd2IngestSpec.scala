@@ -63,6 +63,35 @@ class Scd2IngestSpec extends SparkSuite {
     assert(Scd2Ingest.dimension(spark, compacted).collect().toSeq == expected)
   }
 
+  test("batch bootstrap + streamed tail equals the full batch build") {
+    import spark.implicits._
+    val all = dimEvents.collect().sortBy(_.event_id)
+    val expected = batchDim
+    val mid = all(all.length / 2).event_id
+
+    // history by batch: build the dimension over events <= mid and seed
+    // the store with its version-open rows (bootstrap strips the derived
+    // columns — ms is the version's valid_from)
+    val store = graft.ops.Scratch.dir("scd2_ingest_boot").toString + "/dim"
+    // the prefix's batch build: one trigger over the prefix IS it (the
+    // single-trigger==batch equality is pinned by the first test)
+    val prefixEvents = all.filter(_.event_id <= mid)
+    val prefixStore = graft.ops.Scratch.dir("scd2_ingest_boot_prefix").toString + "/dim"
+    Scd2Ingest.ingestBatch(prefixEvents.toSeq.toDS(), 0L, prefixStore)
+    val prefixDim = Scd2Ingest.dimension(spark, prefixStore)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from_ms").as("ms"))
+    val seeded = Scd2Ingest.bootstrap(spark, store, prefixDim)
+    assert(seeded > 0)
+
+    // future by stream: two triggers over the tail
+    val tail = all.filter(_.event_id > mid)
+    Scd2Ingest.ingestBatch(tail.take(tail.length / 2).toSeq.toDS(), 0L, store)
+    Scd2Ingest.ingestBatch(tail.drop(tail.length / 2).toSeq.toDS(), 1L, store)
+    assert(Scd2Ingest.dimension(spark, store).collect().toSeq == expected,
+      "bootstrap + streamed tail diverged from the full batch build")
+  }
+
   test("a mid-stream state change spanning triggers opens exactly one version") {
     import spark.implicits._
     val store = graft.ops.Scratch.dir("scd2_ingest_span").toString + "/dim"
