@@ -96,6 +96,7 @@ object SparkEntry {
     "repetition_stats" -> ((s, d) => TextOps.repetitionStats(s, d)),
     "term_doc_freq" -> ((s, d) => TextOps.termDocFreq(s, d)),
     "percentile_quantity" -> ((s, d) => Analytics.quantityPercentiles(s, d)),
+    "join_explosion_check" -> ((s, d) => Analytics.joinExplosionCheck(s, d)),
     "running_revenue" -> ((s, d) => Analytics.runningRevenue(s, d)),
     "ranking_windows" -> ((s, d) => Analytics.rankingWindows(s, d)),
     // --- temporal / CDC-consumer materializations ---
@@ -1102,6 +1103,19 @@ object SparkEntry {
         |WHERE (CAST(s.n AS HUGEINT) * v.v - s.s) * (CAST(s.n AS HUGEINT) * v.v - s.s)
         |      > 9 * (CAST(s.n AS HUGEINT) * s.q - CAST(s.s AS HUGEINT) * s.s)
         |ORDER BY v.event_id""".stripMargin,
+    "join_explosion_check" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) * CAST(count(*) AS BIGINT) AS pairs
+        |  FROM events GROUP BY 1
+        |), t AS (SELECT SUM(CAST(pairs AS HUGEINT)) AS total_pairs FROM c)
+        |SELECT CAST(row_number() OVER (ORDER BY pairs DESC, user_id) AS BIGINT) AS rank,
+        |       user_id, n, pairs,
+        |       CAST((CAST(pairs AS HUGEINT) * 1000000) // t.total_pairs AS BIGINT) AS share_ppm,
+        |       CAST(t.total_pairs AS BIGINT) AS total_pairs
+        |FROM c, t
+        |QUALIFY rank <= 10
+        |ORDER BY rank""".stripMargin,
     // full-log moments, NEW-batch flags — merged incremental moments equal
     // scratch moments exactly (disjoint integer slices)
     "incremental_anomalies" ->

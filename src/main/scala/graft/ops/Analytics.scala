@@ -673,4 +673,36 @@ object Analytics {
         floor(col("ps")(2)).cast("long").as("p75_c2"),
         col("n_rows"))
       .orderBy("l_returnflag")
+
+  /** Pre-join fanout diagnostic — the query an operator runs BEFORE a
+    * key-equality self-join (pair mining, co-session analysis) to learn
+    * whether it will explode and which keys own the blast radius: per
+    * `user_id`, the self-join contribution is n², so the report carries
+    * total output cardinality (Σn², DECIMAL(38,0) accumulated — a 100 TB
+    * hot key squares past BIGINT) and the top-`k` keys with their exact
+    * integer ppm share. Reading it decides the mitigation: a few dominant
+    * keys → salt them ([[VariantOps.saltedEventAgg]]'s recipe); a flat
+    * tail → cap or sample per key. One map-side-combinable count + a
+    * top-k window over |keys| rows — the diagnostic never runs the join
+    * it predicts.
+    */
+  def joinExplosionCheck(spark: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cnt = Tables.events(spark, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .withColumn("pairs", col("n") * col("n"))
+    val total = cnt.agg(sum(col("pairs").cast(dec)).as("total_pairs"))
+    val w = Window.orderBy(desc("pairs"), asc("user_id"))
+    cnt.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("user_id"), col("n"), col("pairs"),
+        // integral `div`, not decimal `/`: decimal division ROUNDS to the
+        // result scale before any cast, which can disagree with DuckDB's
+        // floor `//` at share boundaries
+        expr("(CAST(pairs AS DECIMAL(38,0)) * 1000000) div total_pairs")
+          .as("share_ppm"),
+        col("total_pairs").cast("long").as("total_pairs"))
+      .orderBy("rank")
+  }
 }

@@ -1545,6 +1545,24 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("joinExplosionCheck: totals, top-k order, and shares recompute exactly") {
+    val out = Analytics.joinExplosionCheck(spark, sf).collect()
+    assert(out.length == 10)
+    val counts = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = counts.map { case (_, n) => BigInt(n) * BigInt(n) }.sum
+    assert(out.forall(_.getLong(5) == total.toLong), "total_pairs drifted")
+    val expectedTop = counts.map { case (u, n) => (u, n, n * n) }
+      .sortBy { case (u, _, p) => (-p, u) }.take(10)
+    out.zip(expectedTop).zipWithIndex.foreach { case ((r, (u, n, p)), i) =>
+      assert(r.getLong(0) == i + 1L && r.getLong(1) == u
+        && r.getLong(2) == n && r.getLong(3) == p,
+        s"rank ${i + 1} drifted: got ${r.toSeq}, want ($u,$n,$p)")
+      assert(r.getLong(4) == (BigInt(p) * 1000000 / total).toLong, "share_ppm drifted")
+    }
+  }
+
   test("lateral top-2 rewrites to a windowed per-key limit and returns the true top-2") {
     import spark.implicits._
     val df = Analytics.lateralTopOrders(spark, sf)

@@ -92,6 +92,35 @@ class Scd2IngestSpec extends SparkSuite {
       "bootstrap + streamed tail diverged from the full batch build")
   }
 
+  test("model check: random event sequences under random order-preserving splits") {
+    import spark.implicits._
+    // the r15 vector-ingest model-check pattern applied here: the streamed
+    // dimension must be invariant to HOW the (order-preserving) trigger
+    // boundary dice fall — any divergence from the single-trigger build is
+    // a cross-trigger state bug by construction
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 4).foreach { iter =>
+      val evs = (1L to 60L).map { id =>
+        Scd2Ingest.DimEvent(id, rnd.nextInt(4).toLong, s"T${rnd.nextInt(3)}", id * 10L)
+      }
+      val ref = graft.ops.Scratch.dir(s"scd2_model_ref_$iter").toString + "/dim"
+      Scd2Ingest.ingestBatch(evs.toDS(), 0L, ref)
+      val expected = Scd2Ingest.dimension(spark, ref).collect().toSeq
+
+      val store = graft.ops.Scratch.dir(s"scd2_model_$iter").toString + "/dim"
+      val nCuts = 1 + rnd.nextInt(5)
+      val cuts = (Seq.fill(nCuts)(1 + rnd.nextInt(evs.length - 1)).distinct.sorted
+        :+ evs.length).distinct
+      var lo = 0
+      cuts.zipWithIndex.foreach { case (hi, i) =>
+        Scd2Ingest.ingestBatch(evs.slice(lo, hi).toDS(), i.toLong, store)
+        lo = hi
+      }
+      assert(Scd2Ingest.dimension(spark, store).collect().toSeq == expected,
+        s"iter $iter: split at $cuts diverged from the single-trigger build")
+    }
+  }
+
   test("a mid-stream state change spanning triggers opens exactly one version") {
     import spark.implicits._
     val store = graft.ops.Scratch.dir("scd2_ingest_span").toString + "/dim"
