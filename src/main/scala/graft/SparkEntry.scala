@@ -194,6 +194,7 @@ object SparkEntry {
     // --- LLM-data-pipeline: dedup family ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d)),
     // exact cross-doc substring runs (Lee et al. direction): positions +
     // run lengths of verbatim shared >=14-token spans, gaps-and-islands on
     // the positional shingle index
@@ -1673,6 +1674,36 @@ object SparkEntry {
         |  CAST((h.n_hits * 1000000) // s.n_sh AS BIGINT) AS containment_e6
         |FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
         |ORDER BY h.doc_id""".stripMargin,
+    // asymmetric containment over the SAME mined pair set as the jaccard
+    // oracle; the contained side is the smaller shingle set (ties -> a)
+    "containment_pairs" ->
+      """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 3), i ->
+        |      w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+        |    FROM docs WHERE len(w) >= 5
+        |  )
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |sh2 AS (
+        |  SELECT s.doc_id, s.shingle FROM sh s
+        |  JOIN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 256) f
+        |    ON s.shingle = f.shingle
+        |),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+        |  FROM sh2 x JOIN sh2 y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT * FROM (
+        |  SELECT CASE WHEN sa.n_sh <= sb.n_sh THEN a ELSE b END AS contained,
+        |         CASE WHEN sa.n_sh <= sb.n_sh THEN b ELSE a END AS container,
+        |         CAST(n_common AS BIGINT) AS n_common,
+        |         CAST(least(sa.n_sh, sb.n_sh) AS BIGINT) AS n_contained_sh,
+        |         CAST(CAST(n_common AS HUGEINT) * 1000000 // least(sa.n_sh, sb.n_sh) AS BIGINT) AS cont_ppm
+        |  FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+        |) WHERE cont_ppm >= 900000 ORDER BY contained, container""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |sh AS (

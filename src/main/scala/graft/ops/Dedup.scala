@@ -498,12 +498,25 @@ object Dedup {
     * shingles; it never inflates a score. The oracle SQL applies the same
     * cap, keeping the operator exactly checkable.
     */
-  def jaccardPairs(sh: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
+  def jaccardPairs(sh: DataFrame, threshold: Double, maxDf: Int): DataFrame =
+    minedPairsWithSizes(sh, maxDf)
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("n_common"), col("jaccard"))
+      .orderBy("a", "b")
+
+  /** The shared pair-mining core: `(a, b, n_common, n_a, n_b)` with a < b.
+    * Pair generation via the inverted index: group docs per shingle, DROP
+    * singleton shingles early (the vast majority) and hot shingles past
+    * maxDf, then explode ordered doc pairs within each group. One shuffle
+    * on the shingle, never a quadratic doc-pair join. Doc sizes count ALL
+    * shingles (the cap only drops intersection evidence — see
+    * [[jaccardPairs]]' stop-shingle note).
+    */
+  private def minedPairsWithSizes(sh: DataFrame, maxDf: Int): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // Pair generation via the inverted index: group docs per shingle, DROP
-    // singleton shingles early (the vast majority) and hot shingles past
-    // maxDf, then explode ordered doc pairs within each group. One shuffle
-    // on the shingle, never a quadratic doc-pair join.
     val inter = sh.groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))
       .select(explode(expr(
@@ -514,13 +527,40 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "n_a"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "n_b"), "b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("n_common"), col("jaccard"))
-      .orderBy("a", "b")
   }
+
+  /** ASYMMETRIC containment pairs — the quote/excerpt detector symmetric
+    * Jaccard is blind to: a short doc fully embedded in a much longer one
+    * scores `|A|/|B| ≈ 0` on Jaccard but `n_common/min(|A|,|B|) ≈ 1` on
+    * containment (the same asymmetry [[sourceOverlap]] exploits at source
+    * granularity, here per doc pair). For each mined pair the CONTAINED
+    * side is the smaller shingle set (ties → smaller id), and the score is
+    * the exact integer `n_common·10⁶ div n_contained` — oracle-stable.
+    * Same inverted-index mining as [[jaccardPairs]], same stop-shingle
+    * cap; a contained doc whose evidence lives in capped shingles is the
+    * cap's documented false-negative trade, identical on both engines.
+    */
+  def containmentPairs(spark: SparkSession, d: String,
+      thresholdPpm: Long = 900000L, maxDf: Int = 256): DataFrame =
+    containmentPairsOf(cachedShingles(spark, d), thresholdPpm, maxDf)
+
+  /** [[containmentPairs]] over a caller-supplied shingle index. */
+  def containmentPairsOf(sh: DataFrame,
+      thresholdPpm: Long, maxDf: Int): DataFrame =
+    minedPairsWithSizes(sh, maxDf)
+      .withColumn("contained",
+        when(col("n_a") < col("n_b") ||
+          (col("n_a") === col("n_b") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")))
+      .withColumn("container",
+        when(col("contained") === col("a"), col("b")).otherwise(col("a")))
+      .withColumn("n_contained_sh", least(col("n_a"), col("n_b")))
+      .withColumn("cont_ppm",
+        expr("(n_common * 1000000) div n_contained_sh"))
+      .filter(col("cont_ppm") >= thresholdPpm)
+      .select(col("contained"), col("container"), col("n_common"),
+        col("n_contained_sh"), col("cont_ppm"))
+      .orderBy("contained", "container")
 
   /** MinHash signatures: k universal-hash functions over xxhash64 shingle
     * hashes, `min((a_i * h + b_i) mod p)` per doc.

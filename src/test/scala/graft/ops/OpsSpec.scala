@@ -564,6 +564,34 @@ class OpsSpec extends SparkSuite {
     assert(got.size == 40 && got.values.forall(_ == 0L))
   }
 
+  test("containmentPairs: catches an embedded quote symmetric Jaccard misses") {
+    import spark.implicits._
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (20 to 30).map(i => s"w$i").mkString(" ") // fully inside big
+    val docs = Seq((1L, big), (2L, quote), (3L, "entirely unrelated words " +
+      "about different topics nothing shared here at all truly")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs)
+    // jaccard at the dedup threshold misses the pair (|quote|/|big| ~ 0.13)
+    assert(Dedup.jaccardPairs(sh, threshold = 0.5, maxDf = 256).count() == 0)
+    // ...while containment flags exactly (quote contained-in big)
+    val caught = Dedup.containmentPairsOf(sh, 900000L, 256).collect()
+    assert(caught.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 1L)),
+      caught.mkString(";"))
+    assert(caught.head.getLong(4) == 1000000L, "full embedding must score 1e6 ppm")
+    // driver-side recompute of the containment on live data
+    val out = Dedup.containmentPairs(spark, sf).collect()
+    val sizes = Dedup.shingles(Tables.documents(spark, sf)).groupBy("doc_id")
+      .agg(count(lit(1)).as("n")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (cd, ct) = (r.getLong(0), r.getLong(1))
+      assert(sizes(cd) <= sizes(ct), s"contained side $cd is the larger set")
+      assert(r.getLong(3) == math.min(sizes(cd), sizes(ct)))
+      assert(r.getLong(4) == r.getLong(2) * 1000000L / r.getLong(3))
+      assert(r.getLong(4) >= 900000L)
+    }
+  }
+
   test("jaccardPairs: boilerplate shingle past maxDf generates no pairs") {
     import spark.implicits._
     // 10 docs, all sharing one boilerplate 5-gram; docs 0 and 1 additionally
