@@ -108,6 +108,9 @@ object SparkEntry {
     "temporal_join" -> ((s, d) => Temporal.temporalJoin(s, d)),
     "event_anomalies" -> ((s, d) => Temporal.eventAnomalies(s, d)),
     "event_anomalies_robust" -> ((s, d) => Temporal.eventAnomaliesRobust(s, d)),
+    // CUSUM level-shift estimator per type: argmax |S_t - (t/n)S_n| over
+    // daily prefix sums, DECIMAL(38,0)-ranked, exported floored to cents
+    "event_changepoint" -> ((s, d) => Temporal.eventChangepoint(s, d)),
     "incremental_anomalies" -> ((s, d) => Temporal.incrementalAnomalies(s, d)),
     "scd2_as_of" -> ((s, d) => Temporal.scd2AsOf(s, d)),
     "winsorized_stats" -> ((s, d) => Temporal.winsorizedStats(s, d)),
@@ -120,6 +123,9 @@ object SparkEntry {
     "bm25_scores" -> ((s, d) => Scoring.bm25Scores(s, d)),
     "incremental_bm25" -> ((s, d) => Scoring.incrementalBm25(s, d)),
     "unigram_logprob" -> ((s, d) => Scoring.unigramLogprob(s, d)),
+    // per-source KL(source||corpus) + cross-entropy in e6 nats — the
+    // data-mixing diagnostic (floor-e6 logs, integer-summed)
+    "source_divergence" -> ((s, d) => Scoring.sourceDivergence(s, d)),
     "editdist_pairs" -> ((s, d) => Scoring.editDistPairs(s, d)),
     "full_outer_activity" -> ((s, d) => Analytics.userActivityFullOuter(s, d)),
     "lateral_top_orders" -> ((s, d) => Analytics.lateralTopOrders(s, d)),
@@ -147,6 +153,10 @@ object SparkEntry {
     "approx_event_stats_check" -> ((s, d) => Sketches.approxEventStatsCheck(s, d)), // sketch err evidence: rows-only
     // --- event-stream windowing ---
     "session_window" -> ((s, d) => Sessions.sessionize(s, d)),
+    // cohort-by-first-day retention triangle (window min, no self-join)
+    "cohort_retention" -> ((s, d) => Sessions.cohortRetention(s, d)),
+    // first-order Markov transition matrix with integer ppm row shares
+    "event_transitions" -> ((s, d) => Sessions.eventTransitions(s, d)),
     "event_type_stats" -> ((s, d) => Sessions.eventTypeStats(s, d)),
     "daily_counts" -> ((s, d) => Sessions.dailyCounts(s, d)),
     "value_histogram" -> ((s, d) => Sessions.valueHistogram(s, d)),
@@ -159,6 +169,8 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprint(s, d)),
     "binary_content" -> ((s, d) => TextOps.binaryContent(s, d)),
     "quality_filter" -> ((s, d) => TextOps.qualityFilter(s, d)),
+    // one-scan retention curve over the quality score (11 thresholds)
+    "quality_threshold_sweep" -> ((s, d) => TextOps.qualityThresholdSweep(s, d)),
     // per-language RELATIVE length cuts via exact distributed selection
     "length_percentile_filter" -> ((s, d) => TextOps.lengthPercentileFilter(s, d)),
     // corpus heavy hitters: exact groupBy gate + Misra-Gries mergeable twin
@@ -1207,6 +1219,56 @@ object SparkEntry {
         |FROM dev d JOIN mad m USING (event_type)
         |WHERE d.ad > 5 * m.mad
         |ORDER BY d.event_id""".stripMargin,
+    "event_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS day_c2
+        |  FROM events GROUP BY 1, 2
+        |), w AS (
+        |  SELECT event_type, day, day_c2,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t,
+        |    CAST(sum(day_c2) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS prefix_c2,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+        |    CAST(sum(day_c2) OVER (PARTITION BY event_type) AS HUGEINT) AS total_c2
+        |  FROM daily
+        |), s AS (
+        |  SELECT *, abs(prefix_c2 * n_days - t * total_c2) AS stat38,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(prefix_c2 * n_days - t * total_c2) DESC, day ASC) AS rk
+        |  FROM w
+        |)
+        |SELECT event_type, day AS cp_day, t AS cp_t, n_days,
+        |  CAST(stat38 // n_days AS BIGINT) AS cusum_stat_c2,
+        |  CAST((prefix_c2 - ((prefix_c2 % t + t) % t)) // t AS BIGINT) AS mean_before_c2,
+        |  CAST(CASE WHEN n_days > t THEN
+        |    ((total_c2 - prefix_c2) - (((total_c2 - prefix_c2) % (n_days - t) + (n_days - t)) % (n_days - t)))
+        |      // (n_days - t) END AS BIGINT) AS mean_after_c2
+        |FROM s WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    "cohort_retention" ->
+      """WITH ud AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+        |), c AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1
+        |)
+        |SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+        |  CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users,
+        |  count(*) AS n_events
+        |FROM ud JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "event_transitions" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+        |  FROM events
+        |), g AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT prev_type, next_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS ppm
+        |FROM g ORDER BY prev_type, next_type""".stripMargin,
     "timeseries_gapfill" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS n,
@@ -1324,6 +1386,26 @@ object SparkEntry {
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
         |       CAST(SUM(tf * lp) AS BIGINT) AS logprob_sum_e6
         |FROM tf JOIN lm USING (tok) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "source_divergence" ->
+      """WITH docs AS (SELECT source, string_split(trim(lower(text)), ' ') AS w FROM documents),
+        |tok AS (SELECT source, unnest(w) AS tok FROM docs),
+        |st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_st FROM tok GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |ct AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM ct),
+        |lm AS (SELECT tok, CAST(floor(ln(CAST(c_t AS DOUBLE) / n) * 1000000.0) AS BIGINT) AS lp_c
+        |       FROM ct, tot),
+        |sc AS (
+        |  SELECT st.source, st.tok, st.c_st,
+        |    CAST(floor(ln(CAST(st.c_st AS DOUBLE) / ns.n_s) * 1000000.0) AS BIGINT) AS lp_s
+        |  FROM st JOIN ns USING (source)
+        |)
+        |SELECT sc.source,
+        |  CAST(sum(c_st * (lp_s - lp_c)) AS BIGINT) AS kl_sum_e6,
+        |  CAST(sum(-c_st * lp_c) AS BIGINT) AS xent_sum_e6,
+        |  CAST(sum(c_st) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_terms
+        |FROM sc JOIN lm USING (tok) GROUP BY 1 ORDER BY source""".stripMargin,
     "bm25_scores" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t, n_chars FROM documents),
         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_len FROM d),
@@ -1559,6 +1641,32 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct
         |  FROM documents
         |) ORDER BY doc_id""".stripMargin,
+    "quality_threshold_sweep" ->
+      """WITH s AS (
+        |  SELECT CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+        |    least(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) / 100.0, 1.0) * 0.6
+        |      + (CAST(len(regexp_extract_all(text, '\bthe\b|\ba\b')) AS DOUBLE)
+        |         / CAST(greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) AS DOUBLE)) * 0.4 AS quality_score
+        |  FROM documents
+        |), b AS (
+        |  SELECT CAST(floor(quality_score * 10.0) AS BIGINT) AS bucket,
+        |    count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_toks
+        |  FROM s GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+        |         CAST(sum(n_toks) AS BIGINT) AS total_tokens FROM b
+        |), sp AS (SELECT unnest(range(0, 11)) AS thr_e1),
+        |k AS (
+        |  SELECT thr_e1,
+        |    CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS docs_kept,
+        |    CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS tokens_kept
+        |  FROM sp LEFT JOIN b ON b.bucket >= sp.thr_e1
+        |  GROUP BY 1
+        |)
+        |SELECT thr_e1, docs_kept, tokens_kept,
+        |  CAST(docs_kept * 1000000 // total_docs AS BIGINT) AS docs_kept_ppm,
+        |  CAST(tokens_kept * 1000000 // total_tokens AS BIGINT) AS tokens_kept_ppm
+        |FROM k CROSS JOIN tot ORDER BY thr_e1""".stripMargin,
     "length_percentile_filter" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

@@ -182,6 +182,49 @@ object Scoring {
     * table, one per-doc aggregate. The LM table is bounded by vocabulary,
     * not corpus size.
     */
+  /** Per-source unigram-distribution divergence from the corpus-wide
+    * distribution: scaled KL(source‖corpus) and cross-entropy — the data-
+    * mixing diagnostic behind temperature/rebalance decisions (a source
+    * whose KL is near zero adds no distributional diversity; a high-KL
+    * source shifts the mixture). Follows the [[unigramLogprob]] parity
+    * recipe exactly: each log-probability is floored to an e6 integer
+    * FIRST, contributions `c_st·(lp_s − lp_c)` are integer-summed (a
+    * double sum over the vocabulary would hash-diverge on aggregation
+    * order). `kl_sum_e6 / n_tokens` is the per-token KL in nats; the ratio
+    * is left to the reader (division parity rule). Every source term
+    * appears in the corpus vocabulary by construction, so no zero-prob
+    * smoothing is needed.
+    *
+    * Scale shape: one token explode → (source, tok) aggregate (map-side
+    * combined); everything downstream is vocabulary- or source-bounded —
+    * the per-source totals broadcast, the corpus LM joins on `tok`.
+    */
+  def sourceDivergence(spark: SparkSession, d: String): DataFrame = {
+    val st = Tables.documents(spark, d)
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+    val srcTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val ct = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val tot = ct.agg(sum(col("c_t")).as("n"))
+    val lmC = ct.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        floor(log(col("c_t").cast("double") / col("n")) * lit(1000000.0))
+          .cast("long").as("lp_c"))
+    st.join(broadcast(srcTot), Seq("source"))
+      .withColumn("lp_s",
+        floor(log(col("c_st").cast("double") / col("n_s")) * lit(1000000.0))
+          .cast("long"))
+      .join(lmC, Seq("tok"))
+      .groupBy(col("source"))
+      .agg(
+        Exact.sumLong(col("c_st") * (col("lp_s") - col("lp_c"))).as("kl_sum_e6"),
+        Exact.sumLong(-col("c_st") * col("lp_c")).as("xent_sum_e6"),
+        Exact.sumLong(col("c_st")).as("n_tokens"),
+        count(lit(1)).as("n_terms"))
+      .orderBy("source")
+  }
+
   def unigramLogprob(spark: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(spark, d)
       .select(col("doc_id"),

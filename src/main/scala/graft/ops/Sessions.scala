@@ -93,6 +93,50 @@ object Sessions {
       .orderBy(desc("n_events"), asc("user_id"))
       .limit(k)
 
+  /** Cohort retention matrix: users grouped by first-active day, activity
+    * counted per day offset — the DAU-retention triangle every
+    * product/ingest-health dashboard reads. The cohort day derives from a
+    * window `min` over the SAME `user_id` partitioning the aggregation
+    * reuses (no self-join back to a firsts table, no second shuffle of the
+    * raw log). Day arithmetic is the sanctioned [[dayIdx]] (footer-detected
+    * tick unit). Output is one row per (cohort_day, day_offset) — bounded
+    * by days², corpus-size-independent — with distinct-user and raw event
+    * counts (BIGINT both sides).
+    */
+  def cohortRetention(spark: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    Tables.events(spark, d)
+      .select(col("user_id"), Sessions.dayIdx(spark, d).as("day"))
+      .withColumn("cohort_day", min(col("day")).over(byUser))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** First-order Markov transition matrix over each user's event sequence
+    * (ordered by `event_id`, the engine's per-user sequence key — same
+    * ordering contract as the CDC pairing): counts per (prev_type,
+    * next_type) plus the integer row-normalized transition share in ppm
+    * (`n·10⁶ div row_total` — integral `div` on both engines; decimal `/`
+    * would round and can disagree with DuckDB floor at share boundaries,
+    * the join_explosion_check parity rule). One shuffle for the per-user
+    * lag window, one for the (prev,next) aggregation; the row-total window
+    * runs over the ≤|types|² aggregated frame, not the raw log.
+    */
+  def eventTransitions(spark: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .withColumn("ppm", expr("n * 1000000 div row_total"))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** Floor(ts / T), raw ticks → epoch-ms for T ticks per ms, exact for
     * NEGATIVE (pre-1970) timestamps too: `pmod` is non-negative, so
     * `ts - pmod(ts, T)` is the largest multiple of T ≤ ts, and the remaining

@@ -265,6 +265,53 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** CUSUM change-point estimation per event type: the day at which the
+    * daily value series most likely shifted its mean — Page's classic
+    * estimator `argmax_t |S_t − (t/n)·S_n|` over prefix sums, the third
+    * rung of the anomaly family (z-score catches point outliers, MAD
+    * catches them robustly, CUSUM catches LEVEL SHIFTS no per-point test
+    * sees). Everything is exact integers: daily totals in cents, the
+    * scaled statistic `|prefix·n − t·total|` accumulated in DECIMAL(38,0)
+    * (prefix ~1e15 cents × 1e4 days exceeds BIGINT at 100 TB — the
+    * join_explosion_check overflow rule), ranked at full precision and
+    * exported floored back to cents (`div n_days`, BIGINT-safe because
+    * |stat|/n ≤ total). Segment means use the pmod floor-division identity
+    * (exact for negative daily sums — the value_histogram rule; plain
+    * `div` truncates toward zero and disagrees with DuckDB `//` floor).
+    *
+    * Plan shape: one aggregation shuffle to (type, day) — after which
+    * every window (prefix, totals, argmax rank) runs over the tiny
+    * days-per-type frame partitioned by type. The raw log is scanned once.
+    */
+  def eventChangepoint(spark: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val whole = Window.partitionBy(col("event_type"))
+    Tables.events(spark, d)
+      .select(col("event_type"), Sessions.dayIdx(spark, d).as("day"),
+        Exact.c2(col("value")).as("c2"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(Exact.sumLong(col("c2")).as("day_c2"))
+      .withColumn("t", row_number().over(byType).cast("long"))
+      .withColumn("prefix_c2", sum(col("day_c2")).over(
+        byType.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_days", count(lit(1)).over(whole))
+      .withColumn("total_c2", sum(col("day_c2")).over(whole))
+      .withColumn("stat38", abs(col("prefix_c2").cast(dec) * col("n_days").cast(dec)
+        - col("t").cast(dec) * col("total_c2").cast(dec)))
+      .withColumn("rk", row_number().over(
+        whole.orderBy(col("stat38").desc, col("day").asc)))
+      .where(col("rk") === 1)
+      .select(col("event_type"), col("day").as("cp_day"), col("t").as("cp_t"),
+        col("n_days"),
+        expr("CAST(stat38 div n_days AS BIGINT)").as("cusum_stat_c2"),
+        expr("(prefix_c2 - pmod(prefix_c2, t)) div t").as("mean_before_c2"),
+        expr("""CASE WHEN n_days > t THEN
+                  ((total_c2 - prefix_c2) - pmod(total_c2 - prefix_c2, n_days - t))
+                    div (n_days - t) END""").as("mean_after_c2"))
+      .orderBy("event_type")
+  }
+
   /** Daily per-type totals with interior gaps filled as explicit zero rows
     * (resampling to a regular grid — what a downstream forecasting job
     * needs). The grid is generated per type from its own [min, max] day span

@@ -46,6 +46,42 @@ object TextOps {
           + col("stop_ratio") * lit(0.4))
       .orderBy("doc_id")
 
+  /** Retention sweep over the [[textStats]] quality score: for each
+    * threshold t/10 (t = 0..10), how many documents and tokens survive
+    * `quality_score ≥ t/10` — the curve read before picking a production
+    * cut-off, produced in ONE corpus scan instead of eleven. Uses the
+    * floor-bucket identity `floor(10·score) ≥ t ⟺ score ≥ t/10` (t
+    * integer), so the scan aggregates to ≤11 bucket rows and the sweep
+    * itself — an 11×11 spine join + suffix sums — is corpus-size-
+    * independent. The score doubles are bit-identical cross-engine (the
+    * text_stats hash-match proves it), so the floor buckets are too;
+    * retention shares are integral-`div` ppm per the parity rules.
+    */
+  def qualityThresholdSweep(spark: SparkSession, d: String): DataFrame = {
+    val perBucket = scanned(spark, d)
+      .select(col("ts.n_tokens").as("n_tokens"),
+        (least(col("ts.n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.6)
+          + (col("ts.n_stop").cast("double")
+            / greatest(col("ts.n_tokens"), lit(1L)).cast("double")) * lit(0.4))
+          .as("quality_score"))
+      .withColumn("bucket", floor(col("quality_score") * lit(10.0)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("n_toks"))
+    val totals = perBucket.agg(
+      sum(col("n_docs")).cast("long").as("total_docs"),
+      sum(col("n_toks")).cast("long").as("total_tokens"))
+    spark.range(0, 11).toDF("thr_e1")
+      .join(perBucket, col("bucket") >= col("thr_e1"), "left")
+      .groupBy(col("thr_e1"))
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).cast("long").as("docs_kept"),
+        coalesce(sum(col("n_toks")), lit(0L)).cast("long").as("tokens_kept"))
+      .crossJoin(broadcast(totals))
+      .select(col("thr_e1"), col("docs_kept"), col("tokens_kept"),
+        expr("docs_kept * 1000000 div total_docs").as("docs_kept_ppm"),
+        expr("tokens_kept * 1000000 div total_tokens").as("tokens_kept_ppm"))
+      .orderBy("thr_e1")
+  }
+
   /** N-gram-marker language ID heuristic: argmax of per-language marker-token
     * counts with deterministic tie-breaking (en > de > es > fr).
     */

@@ -809,6 +809,63 @@ class OpsSpec extends SparkSuite {
     assert(sql == jvm)
   }
 
+  test("cohortRetention: driver recompute of the full triangle; events conserved") {
+    val out = Sessions.cohortRetention(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), Sessions.dayIdx(spark, sf).as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val first = ud.groupBy(_._1).map { case (u, rs) => (u, rs.map(_._2).min) }
+    val want = ud.groupBy { case (u, day) => (first(u), day - first(u)) }
+      .map { case (k, rs) => (k, (rs.map(_._1).distinct.length.toLong, rs.length.toLong)) }
+    assert(out == want)
+    // every event lands in exactly one cell; offsets are non-negative
+    assert(out.values.map(_._2).sum == ud.length.toLong)
+    assert(out.keys.forall(_._2 >= 0L))
+  }
+
+  test("eventTransitions: counts and floored ppm recompute; row shares sum to ~1e6") {
+    val out = Sessions.eventTransitions(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+    val ev = Tables.events(spark, sf).select("user_id", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val pairs = ev.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val seq = rs.sortBy(_._2).map(_._3)
+      seq.zip(seq.drop(1))
+    }
+    val cnt = pairs.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val rowTot = cnt.groupBy(_._1._1).map { case (p, m) => (p, m.values.sum) }
+    val want = cnt.map { case ((p, nx), c) => ((p, nx), (c, rowTot(p), c * 1000000L / rowTot(p))) }
+    assert(out.toMap == want)
+    // per prev_type, floored ppm shares sum to 1e6 minus at most one floor
+    // unit per row (Σ floor(x_i) ∈ (Σx_i − k, Σx_i])
+    out.groupBy(_._1._1).foreach { case (p, rows) =>
+      val s = rows.map(_._2._3).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length, s"ppm sum off for $p: $s")
+    }
+  }
+
+  test("qualityThresholdSweep: each threshold equals the direct cut; curve monotone") {
+    val sweep = TextOps.qualityThresholdSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(sweep.map(_._1).toSeq == (0L to 10L))
+    val stats = TextOps.textStats(spark, sf).select("n_tokens", "quality_score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val totalDocs = stats.length.toLong
+    val totalToks = stats.map(_._1).sum
+    sweep.foreach { case (t, (dk, tk, dppm, tppm)) =>
+      // floor identity: floor(10q) >= t  <=>  10q >= t (t integer)
+      val keep = stats.filter { case (_, q) => q * 10.0 >= t }
+      assert(dk == keep.length.toLong, s"docs_kept at thr $t")
+      assert(tk == keep.map(_._1).sum, s"tokens_kept at thr $t")
+      assert(dppm == dk * 1000000L / totalDocs)
+      assert(tppm == tk * 1000000L / totalToks)
+    }
+    val dks = sweep.sortBy(_._1).map(_._2._1)
+    dks.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
+    assert(dks.head == totalDocs, "threshold 0 keeps everything")
+  }
+
   test("msFloorExpr floors negative (pre-1970) ticks like DuckDB epoch_ms, per unit") {
     import spark.implicits._
     val ticks = Seq(-1L, -999999L, -1000000L, -1000001L, 0L, 1L, 999999L,

@@ -131,4 +131,34 @@ class ScoringSpec extends SparkSuite {
     val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want)
   }
+
+  test("sourceDivergence: exact driver recompute; true KL non-negative per source") {
+    import spark.implicits._
+    val out = Scoring.sourceDivergence(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val toks = Tables.documents(spark, sf).select("source", "text")
+      .as[(String, String)].collect()
+      .flatMap { case (src, t) => t.toLowerCase.trim.split(" ", -1).map((src, _)) }
+    val st = toks.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val ns = st.groupBy(_._1._1).map { case (s, m) => (s, m.values.sum) }
+    val ctM = st.groupBy(_._1._2).map { case (tk, m) => (tk, m.values.sum) }
+    val n = ctM.values.sum
+    def lp(c: Long, t: Long): Long =
+      math.floor(math.log(c.toDouble / t) * 1000000.0).toLong
+    val want = st.toSeq.groupBy(_._1._1).map { case (src, rows) =>
+      val kl = rows.map { case ((_, tk), c) => c * (lp(c, ns(src)) - lp(ctM(tk), n)) }.sum
+      val xe = rows.map { case ((_, tk), c) => -c * lp(ctM(tk), n) }.sum
+      (src, (kl, xe, rows.map(_._2).sum, rows.size.toLong))
+    }
+    assert(out == want)
+    // Gibbs' inequality on the TRUE (double) distributions, per source
+    want.keys.foreach { src =>
+      val klTrue = st.collect { case ((s, tk), c) if s == src =>
+        val ps = c.toDouble / ns(src)
+        ps * math.log(ps / (ctM(tk).toDouble / n))
+      }.sum
+      assert(klTrue >= -1e-9, s"true KL negative for $src: $klTrue")
+    }
+  }
 }

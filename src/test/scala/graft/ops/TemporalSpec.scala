@@ -159,6 +159,38 @@ class TemporalSpec extends SparkSuite {
     }
   }
 
+  test("eventChangepoint: BigInt recompute of the argmax and every floored export") {
+    val out = Temporal.eventChangepoint(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), if (r.isNullAt(6)) None else Some(r.getLong(6)))))
+      .toMap
+    def floorDiv(a: BigInt, b: BigInt): BigInt = {
+      val q = a / b
+      if (a % b != 0 && (a < 0) != (b < 0)) q - 1 else q
+    }
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), Sessions.dayIdx(spark, sf).as("day"),
+        Exact.c2(col("value")).as("c2"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = daily.groupBy(_._1).map { case (et, rows) =>
+      val byDay = rows.groupBy(_._2)
+        .map { case (day, rs) => (day, rs.map(x => BigInt(x._3)).sum) }
+        .toSeq.sortBy(_._1)
+      val n = BigInt(byDay.size)
+      val total = byDay.map(_._2).sum
+      var prefix = BigInt(0)
+      val scored = byDay.zipWithIndex.map { case ((day, v), i) =>
+        prefix += v
+        (day, BigInt(i + 1), prefix, (prefix * n - BigInt(i + 1) * total).abs)
+      }
+      // argmax stat, earliest day on ties (strict-greater keeps the first)
+      val (day, t, pfx, stat) = scored.reduceLeft((a, b) => if (b._4 > a._4) b else a)
+      val after = if (t < n) Some(floorDiv(total - pfx, n - t).toLong) else None
+      (et, (day, t.toLong, n.toLong, (stat / n).toLong, floorDiv(pfx, t).toLong, after))
+    }
+    assert(out == want)
+  }
+
   test("gapFillDaily: per-type day grid is contiguous, fills are zero, totals are preserved") {
     val out = Temporal.gapFillDaily(spark, sf).collect()
     out.groupBy(_.getString(0)).foreach { case (_, days) =>
