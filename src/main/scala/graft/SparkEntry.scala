@@ -111,6 +111,9 @@ object SparkEntry {
     // CUSUM level-shift estimator per type: argmax |S_t - (t/n)S_n| over
     // daily prefix sums, DECIMAL(38,0)-ranked, exported floored to cents
     "event_changepoint" -> ((s, d) => Temporal.eventChangepoint(s, d)),
+    // incremental rung: persisted per-(type,day) sums merged with the
+    // batch slice — hash-matches the full-log CUSUM (shared oracle)
+    "incremental_changepoint" -> ((s, d) => Temporal.incrementalChangepoint(s, d)),
     "incremental_anomalies" -> ((s, d) => Temporal.incrementalAnomalies(s, d)),
     "scd2_as_of" -> ((s, d) => Temporal.scd2AsOf(s, d)),
     "winsorized_stats" -> ((s, d) => Temporal.winsorizedStats(s, d)),
@@ -126,6 +129,9 @@ object SparkEntry {
     // per-source KL(source||corpus) + cross-entropy in e6 nats — the
     // data-mixing diagnostic (floor-e6 logs, integer-summed)
     "source_divergence" -> ((s, d) => Scoring.sourceDivergence(s, d)),
+    // incremental rung: persisted (source,token) counts merged with the
+    // batch slice — hash-matches the full-corpus form (shared oracle)
+    "incremental_divergence" -> ((s, d) => Scoring.incrementalDivergence(s, d)),
     "editdist_pairs" -> ((s, d) => Scoring.editDistPairs(s, d)),
     "full_outer_activity" -> ((s, d) => Analytics.userActivityFullOuter(s, d)),
     "lateral_top_orders" -> ((s, d) => Analytics.lateralTopOrders(s, d)),
@@ -569,6 +575,59 @@ object SparkEntry {
         |             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS lo
         |  FROM gr JOIN t USING (doc_id) GROUP BY gr.doc_id
         |)""".stripMargin
+
+  /** The event_changepoint oracle SQL, shared verbatim by
+    * incremental_changepoint (disjoint integer slices merge exactly, so the
+    * incremental form is pinned to the SAME full-log computation). */
+  private val eventChangepointSql: String =
+    """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS day_c2
+        |  FROM events GROUP BY 1, 2
+        |), w AS (
+        |  SELECT event_type, day, day_c2,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t,
+        |    CAST(sum(day_c2) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS prefix_c2,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+        |    CAST(sum(day_c2) OVER (PARTITION BY event_type) AS HUGEINT) AS total_c2
+        |  FROM daily
+        |), s AS (
+        |  SELECT *, abs(prefix_c2 * n_days - t * total_c2) AS stat38,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(prefix_c2 * n_days - t * total_c2) DESC, day ASC) AS rk
+        |  FROM w
+        |)
+        |SELECT event_type, day AS cp_day, t AS cp_t, n_days,
+        |  CAST(stat38 // n_days AS BIGINT) AS cusum_stat_c2,
+        |  CAST((prefix_c2 - ((prefix_c2 % t + t) % t)) // t AS BIGINT) AS mean_before_c2,
+        |  CAST(CASE WHEN n_days > t THEN
+        |    ((total_c2 - prefix_c2) - (((total_c2 - prefix_c2) % (n_days - t) + (n_days - t)) % (n_days - t)))
+        |      // (n_days - t) END AS BIGINT) AS mean_after_c2
+        |FROM s WHERE rk = 1 ORDER BY event_type""".stripMargin
+
+  /** The source_divergence oracle SQL, shared verbatim by
+    * incremental_divergence (per-(source,token) counts merge exactly). */
+  private val sourceDivergenceSql: String =
+    """WITH docs AS (SELECT source, string_split(trim(lower(text)), ' ') AS w FROM documents),
+        |tok AS (SELECT source, unnest(w) AS tok FROM docs),
+        |st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_st FROM tok GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |ct AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM ct),
+        |lm AS (SELECT tok, CAST(floor(ln(CAST(c_t AS DOUBLE) / n) * 1000000.0) AS BIGINT) AS lp_c
+        |       FROM ct, tot),
+        |sc AS (
+        |  SELECT st.source, st.tok, st.c_st,
+        |    CAST(floor(ln(CAST(st.c_st AS DOUBLE) / ns.n_s) * 1000000.0) AS BIGINT) AS lp_s
+        |  FROM st JOIN ns USING (source)
+        |)
+        |SELECT sc.source,
+        |  CAST(sum(c_st * (lp_s - lp_c)) AS BIGINT) AS kl_sum_e6,
+        |  CAST(sum(-c_st * lp_c) AS BIGINT) AS xent_sum_e6,
+        |  CAST(sum(c_st) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_terms
+        |FROM sc JOIN lm USING (tok) GROUP BY 1 ORDER BY source""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "cdc_item_changed" -> (cdcCte +
@@ -1219,32 +1278,10 @@ object SparkEntry {
         |FROM dev d JOIN mad m USING (event_type)
         |WHERE d.ad > 5 * m.mad
         |ORDER BY d.event_id""".stripMargin,
-    "event_changepoint" ->
-      """WITH daily AS (
-        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS day_c2
-        |  FROM events GROUP BY 1, 2
-        |), w AS (
-        |  SELECT event_type, day, day_c2,
-        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t,
-        |    CAST(sum(day_c2) OVER (PARTITION BY event_type ORDER BY day
-        |      ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS prefix_c2,
-        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
-        |    CAST(sum(day_c2) OVER (PARTITION BY event_type) AS HUGEINT) AS total_c2
-        |  FROM daily
-        |), s AS (
-        |  SELECT *, abs(prefix_c2 * n_days - t * total_c2) AS stat38,
-        |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY abs(prefix_c2 * n_days - t * total_c2) DESC, day ASC) AS rk
-        |  FROM w
-        |)
-        |SELECT event_type, day AS cp_day, t AS cp_t, n_days,
-        |  CAST(stat38 // n_days AS BIGINT) AS cusum_stat_c2,
-        |  CAST((prefix_c2 - ((prefix_c2 % t + t) % t)) // t AS BIGINT) AS mean_before_c2,
-        |  CAST(CASE WHEN n_days > t THEN
-        |    ((total_c2 - prefix_c2) - (((total_c2 - prefix_c2) % (n_days - t) + (n_days - t)) % (n_days - t)))
-        |      // (n_days - t) END AS BIGINT) AS mean_after_c2
-        |FROM s WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    "event_changepoint" -> eventChangepointSql,
+    // disjoint integer slices merge exactly: the incremental form is
+    // pinned to the SAME full-log SQL (the hash-match IS the claim)
+    "incremental_changepoint" -> eventChangepointSql,
     "cohort_retention" ->
       """WITH ud AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
@@ -1386,26 +1423,10 @@ object SparkEntry {
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
         |       CAST(SUM(tf * lp) AS BIGINT) AS logprob_sum_e6
         |FROM tf JOIN lm USING (tok) GROUP BY 1 ORDER BY doc_id""".stripMargin,
-    "source_divergence" ->
-      """WITH docs AS (SELECT source, string_split(trim(lower(text)), ' ') AS w FROM documents),
-        |tok AS (SELECT source, unnest(w) AS tok FROM docs),
-        |st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_st FROM tok GROUP BY 1, 2),
-        |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
-        |ct AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
-        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM ct),
-        |lm AS (SELECT tok, CAST(floor(ln(CAST(c_t AS DOUBLE) / n) * 1000000.0) AS BIGINT) AS lp_c
-        |       FROM ct, tot),
-        |sc AS (
-        |  SELECT st.source, st.tok, st.c_st,
-        |    CAST(floor(ln(CAST(st.c_st AS DOUBLE) / ns.n_s) * 1000000.0) AS BIGINT) AS lp_s
-        |  FROM st JOIN ns USING (source)
-        |)
-        |SELECT sc.source,
-        |  CAST(sum(c_st * (lp_s - lp_c)) AS BIGINT) AS kl_sum_e6,
-        |  CAST(sum(-c_st * lp_c) AS BIGINT) AS xent_sum_e6,
-        |  CAST(sum(c_st) AS BIGINT) AS n_tokens,
-        |  count(*) AS n_terms
-        |FROM sc JOIN lm USING (tok) GROUP BY 1 ORDER BY source""".stripMargin,
+    "source_divergence" -> sourceDivergenceSql,
+    // disjoint integer slices merge exactly: the incremental form is
+    // pinned to the SAME full-corpus SQL (the hash-match IS the claim)
+    "incremental_divergence" -> sourceDivergenceSql,
     "bm25_scores" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t, n_chars FROM documents),
         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_len FROM d),

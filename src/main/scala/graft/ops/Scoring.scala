@@ -199,11 +199,57 @@ object Scoring {
     * combined); everything downstream is vocabulary- or source-bounded —
     * the per-source totals broadcast, the corpus LM joins on `tok`.
     */
-  def sourceDivergence(spark: SparkSession, d: String): DataFrame = {
-    val st = Tables.documents(spark, d)
+  def sourceDivergence(spark: SparkSession, d: String): DataFrame =
+    divergenceOfCounts(tokenCountsBySource(Tables.documents(spark, d)))
+
+  /** Per-(source, token) occurrence counts — the mergeable summary the
+    * divergence family reduces the corpus to (vocabulary×sources rows).
+    */
+  private def tokenCountsBySource(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"),
         explode(split(trim(lower(col("text"))), " ")).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+
+  /** [[AnnStore]] kind for the persisted per-(source, token) counts. */
+  private[graft] val SrcTokKind = "srctok-v1"
+
+  /** Divergence under corpus growth — the incremental rung, same contract
+    * as [[incrementalBm25]] / [[Temporal.incrementalAnomalies]]: the
+    * persisted history contributes only its ingest-time (source, token)
+    * counts (exactly mergeable by integer addition; vocabulary-bounded,
+    * AnnStore-kept), the arriving batch tokenizes only its own slice, and
+    * the merged counts reproduce the full-corpus [[sourceDivergence]]
+    * HASH-EXACTLY (the oracle pins that) — the old corpus text is never
+    * re-scanned.
+    */
+  def incrementalDivergence(spark: SparkSession, d: String,
+      batchMod: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val isNew = col("doc_id") % batchMod === 0
+    val oldCounts = Memo(spark, s"srctok_old|$d|$batchMod") {
+      AnnStore.loadOrBuild(spark,
+        AnnStore.path(spark, SrcTokKind, d, s"x$batchMod",
+          corpusTable = "documents")) {
+        tokenCountsBySource(docs.filter(!isNew))
+          .withColumnRenamed("c_st", "c_old")
+      }.persist()
+    }
+    val newCounts = tokenCountsBySource(docs.filter(isNew))
+      .withColumnRenamed("c_st", "c_new")
+    // full outer: a (source, token) cell seen by only one slice still
+    // carries its exact merged count
+    val merged = oldCounts.join(newCounts, Seq("source", "tok"), "full_outer")
+      .select(col("source"), col("tok"),
+        (coalesce(col("c_old"), lit(0L)) + coalesce(col("c_new"), lit(0L)))
+          .as("c_st"))
+    divergenceOfCounts(merged)
+  }
+
+  /** The scoring tail over an already-aggregated (source, tok, c_st) frame
+    * — shared by the batch and incremental forms.
+    */
+  private[graft] def divergenceOfCounts(st: DataFrame): DataFrame = {
     val srcTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
     val ct = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
     val tot = ct.agg(sum(col("c_t")).as("n"))

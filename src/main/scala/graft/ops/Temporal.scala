@@ -227,6 +227,43 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** [[AnnStore]] kind for the persisted per-(type, day) daily sums. */
+  private[graft] val DailyKind = "evdaily-v1"
+
+  /** Change-point detection under corpus growth — the incremental rung of
+    * the CUSUM family, same contract as [[incrementalAnomalies]]: the
+    * persisted history contributes only its ingest-time PER-DAY aggregates
+    * (the daily cents rollup is the mergeable summary — days×types rows,
+    * kept in [[AnnStore]]); the arriving batch aggregates its own slice and
+    * the two merge by exact integer addition per (type, day). Because the
+    * slices partition the log and the summary is exactly mergeable, the
+    * merged CUSUM HASH-MATCHES the full-log [[eventChangepoint]] — the
+    * oracle pins exactly that — while the full history is never re-scanned.
+    */
+  def incrementalChangepoint(spark: SparkSession, d: String,
+      batchMod: Int = 10): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("event_id"), col("event_type"),
+        Sessions.dayIdx(spark, d).as("day"), Exact.c2(col("value")).as("c2"))
+    val isNew = pmod(col("event_id"), lit(batchMod)) === 0
+    val dailyOld = Memo(spark, s"ev_daily_old|$d|$batchMod") {
+      AnnStore.loadOrBuild(spark,
+        AnnStore.path(spark, DailyKind, d, s"x$batchMod", corpusTable = "events")) {
+        ev.filter(!isNew).groupBy(col("event_type"), col("day"))
+          .agg(Exact.sumLong(col("c2")).as("c2_old"))
+      }.persist()
+    }
+    val dailyNew = ev.filter(isNew).groupBy(col("event_type"), col("day"))
+      .agg(Exact.sumLong(col("c2")).as("c2_new"))
+    // full outer: a (type, day) cell seen by only one slice still carries
+    // its exact merged total (coalesce 0 on the absent side)
+    val merged = dailyOld.join(dailyNew, Seq("event_type", "day"), "full_outer")
+      .select(col("event_type"), col("day"),
+        (coalesce(col("c2_old"), lit(0L)) + coalesce(col("c2_new"), lit(0L)))
+          .as("day_c2"))
+    changepointOfDaily(merged)
+  }
+
   /** ROBUST anomaly twin of [[eventAnomalies]]: flag events farther than
     * `5·MAD` from their type's MEDIAN (≈3.4σ under normality) — the
     * estimator heavy-tailed telemetry actually wants, since mean/stddev are
@@ -283,15 +320,23 @@ object Temporal {
     * every window (prefix, totals, argmax rank) runs over the tiny
     * days-per-type frame partitioned by type. The raw log is scanned once.
     */
-  def eventChangepoint(spark: SparkSession, d: String): DataFrame = {
+  def eventChangepoint(spark: SparkSession, d: String): DataFrame =
+    changepointOfDaily(
+      Tables.events(spark, d)
+        .select(col("event_type"), Sessions.dayIdx(spark, d).as("day"),
+          Exact.c2(col("value")).as("c2"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(Exact.sumLong(col("c2")).as("day_c2")))
+
+  /** The CUSUM argmax over an already-aggregated (event_type, day, day_c2)
+    * frame — shared by the batch and incremental forms (the daily rollup is
+    * the mergeable summary; everything below it is days×types-sized).
+    */
+  private[graft] def changepointOfDaily(daily: DataFrame): DataFrame = {
     val dec = DecimalType(38, 0)
     val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
     val whole = Window.partitionBy(col("event_type"))
-    Tables.events(spark, d)
-      .select(col("event_type"), Sessions.dayIdx(spark, d).as("day"),
-        Exact.c2(col("value")).as("c2"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(Exact.sumLong(col("c2")).as("day_c2"))
+    daily
       .withColumn("t", row_number().over(byType).cast("long"))
       .withColumn("prefix_c2", sum(col("day_c2")).over(
         byType.rowsBetween(Window.unboundedPreceding, 0)))

@@ -132,6 +132,13 @@ class ScoringSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("incrementalDivergence: merged counts reproduce the full-corpus divergence exactly") {
+    val full = Scoring.sourceDivergence(spark, sf).collect().toSeq
+    val inc = Scoring.incrementalDivergence(spark, sf).collect().toSeq
+    assert(inc == full)
+    assert(full.nonEmpty)
+  }
+
   test("sourceDivergence: exact driver recompute; true KL non-negative per source") {
     import spark.implicits._
     val out = Scoring.sourceDivergence(spark, sf).collect()

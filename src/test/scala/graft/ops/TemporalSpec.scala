@@ -191,6 +191,15 @@ class TemporalSpec extends SparkSuite {
     assert(out == want)
   }
 
+  test("incrementalChangepoint: merged daily sums reproduce the full-log CUSUM exactly") {
+    val full = Temporal.eventChangepoint(spark, sf).collect().toSeq
+    val inc = Temporal.incrementalChangepoint(spark, sf).collect().toSeq
+    assert(inc == full)
+    assert(full.nonEmpty)
+    // second call rides the memoized/persisted artifact and stays identical
+    assert(Temporal.incrementalChangepoint(spark, sf).collect().toSeq == full)
+  }
+
   test("gapFillDaily: per-type day grid is contiguous, fills are zero, totals are preserved") {
     val out = Temporal.gapFillDaily(spark, sf).collect()
     out.groupBy(_.getString(0)).foreach { case (_, days) =>
