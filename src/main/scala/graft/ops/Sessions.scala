@@ -162,6 +162,6 @@ object Sessions {
   private[ops] def dayIdxExpr(ticksPerMs: Long): org.apache.spark.sql.Column =
     expr(s"((ts - pmod(ts, ${ticksPerMs}L)) div ${ticksPerMs}L) div 86400000")
 
-  private[ops] def dayIdx(spark: SparkSession, d: String): org.apache.spark.sql.Column =
+  private[graft] def dayIdx(spark: SparkSession, d: String): org.apache.spark.sql.Column =
     dayIdxExpr(Tables.tsTicksPerMs(spark, d))
 }
