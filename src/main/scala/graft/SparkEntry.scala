@@ -132,6 +132,8 @@ object SparkEntry {
     // incremental rung: persisted (source,token) counts merged with the
     // batch slice — hash-matches the full-corpus form (shared oracle)
     "incremental_divergence" -> ((s, d) => Scoring.incrementalDivergence(s, d)),
+    // MLE bigram conditional LM per-doc scoring (context-normalized)
+    "bigram_logprob" -> ((s, d) => Scoring.bigramLogprob(s, d)),
     "editdist_pairs" -> ((s, d) => Scoring.editDistPairs(s, d)),
     "full_outer_activity" -> ((s, d) => Analytics.userActivityFullOuter(s, d)),
     "lateral_top_orders" -> ((s, d) => Analytics.lateralTopOrders(s, d)),
@@ -177,6 +179,8 @@ object SparkEntry {
     "quality_filter" -> ((s, d) => TextOps.qualityFilter(s, d)),
     // one-scan retention curve over the quality score (11 thresholds)
     "quality_threshold_sweep" -> ((s, d) => TextOps.qualityThresholdSweep(s, d)),
+    // quality-decile × source matrix with per-source ppm shares
+    "quality_source_matrix" -> ((s, d) => TextOps.qualitySourceMatrix(s, d)),
     // per-language RELATIVE length cuts via exact distributed selection
     "length_percentile_filter" -> ((s, d) => TextOps.lengthPercentileFilter(s, d)),
     // corpus heavy hitters: exact groupBy gate + Misra-Gries mergeable twin
@@ -1423,6 +1427,23 @@ object SparkEntry {
         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
         |       CAST(SUM(tf * lp) AS BIGINT) AS logprob_sum_e6
         |FROM tf JOIN lm USING (tok) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "bigram_logprob" ->
+      """WITH docs AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+        |  FROM docs WHERE len(w) >= 2
+        |),
+        |tfb AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf FROM bg GROUP BY 1, 2),
+        |cb AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS c2 FROM tfb GROUP BY 1),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c_ctx
+        |        FROM cb GROUP BY 1),
+        |lm AS (
+        |  SELECT bg, CAST(floor(ln(CAST(c2 AS DOUBLE) / c_ctx) * 1000000.0) AS BIGINT) AS lp
+        |  FROM cb JOIN ctx ON split_part(cb.bg, ' ', 1) = ctx.w1
+        |)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(tf * lp) AS BIGINT) AS logprob_sum_e6
+        |FROM tfb JOIN lm USING (bg) GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "source_divergence" -> sourceDivergenceSql,
     // disjoint integer slices merge exactly: the incremental form is
     // pinned to the SAME full-corpus SQL (the hash-match IS the claim)
@@ -1688,6 +1709,23 @@ object SparkEntry {
         |  CAST(docs_kept * 1000000 // total_docs AS BIGINT) AS docs_kept_ppm,
         |  CAST(tokens_kept * 1000000 // total_tokens AS BIGINT) AS tokens_kept_ppm
         |FROM k CROSS JOIN tot ORDER BY thr_e1""".stripMargin,
+    "quality_source_matrix" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+        |    least(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) / 100.0, 1.0) * 0.6
+        |      + (CAST(len(regexp_extract_all(text, '\bthe\b|\ba\b')) AS DOUBLE)
+        |         / CAST(greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) AS DOUBLE)) * 0.4 AS quality_score
+        |  FROM documents
+        |), b AS (
+        |  SELECT source, CAST(floor(quality_score * 10.0) AS BIGINT) AS bucket,
+        |    count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_toks
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT source, bucket, n_docs, n_toks,
+        |  CAST(n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS docs_ppm,
+        |  CAST(n_toks * 1000000 // sum(n_toks) OVER (PARTITION BY source) AS BIGINT) AS toks_ppm
+        |FROM b ORDER BY source, bucket""".stripMargin,
     "length_percentile_filter" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relevance scoring and fuzzy-matching operators over the documents
@@ -205,7 +206,7 @@ object Scoring {
   /** Per-(source, token) occurrence counts — the mergeable summary the
     * divergence family reduces the corpus to (vocabulary×sources rows).
     */
-  private def tokenCountsBySource(docs: DataFrame): DataFrame =
+  private[graft] def tokenCountsBySource(docs: DataFrame): DataFrame =
     docs
       .select(col("source"),
         explode(split(trim(lower(col("text"))), " ")).as("tok"))
@@ -269,6 +270,49 @@ object Scoring {
         Exact.sumLong(col("c_st")).as("n_tokens"),
         count(lit(1)).as("n_terms"))
       .orderBy("source")
+  }
+
+  /** Bigram conditional-LM document scoring — the next LM rung above
+    * [[unigramLogprob]]: each bigram instance contributes
+    * `ln(c(w₁w₂)/c_ctx(w₁))` where the CONTEXT count is the number of
+    * bigrams starting with w₁ (so conditional probabilities sum to 1 per
+    * context — the MLE bigram model). Same parity recipe: per-bigram
+    * log-probs floored to e6 integers FIRST, then integer-summed per doc.
+    * Docs with fewer than two tokens have no bigrams and are absent (both
+    * engines). `n_bigrams` rides so the reader can normalize; the ratio is
+    * left unexported (division parity rule).
+    *
+    * Scale shape: one windowed pass builds bigram instances (partitioned
+    * by doc — the same shuffle the tf aggregation needs anyway), the LM
+    * side is bigram-vocabulary-bounded, and the context table derives from
+    * the bigram counts (no second corpus scan).
+    */
+  def bigramLogprob(spark: SparkSession, d: String): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val inst = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), " ")).as(Seq("pos", "tok")))
+      .withColumn("prev", lag(col("tok"), 1).over(byDoc))
+      .where(col("prev").isNotNull)
+      // tokens contain no spaces (they were split on one), so the joined
+      // string is an unambiguous bigram key
+      .select(col("doc_id"), concat(col("prev"), lit(" "), col("tok")).as("bg"))
+    val tfb = inst.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+    val cb = tfb.groupBy(col("bg")).agg(sum(col("tf")).as("c2"))
+    val ctx = cb
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .groupBy(col("w1")).agg(sum(col("c2")).as("c_ctx"))
+    val lm = cb
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(ctx, Seq("w1"))
+      .select(col("bg"),
+        floor(log(col("c2").cast("double") / col("c_ctx")) * lit(1000000.0))
+          .cast("long").as("lp"))
+    tfb.join(lm, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(Exact.sumLong(col("tf")).as("n_bigrams"),
+        Exact.sumLong(col("tf") * col("lp")).as("logprob_sum_e6"))
+      .orderBy("doc_id")
   }
 
   def unigramLogprob(spark: SparkSession, d: String): DataFrame = {

@@ -82,6 +82,34 @@ object TextOps {
       .orderBy("thr_e1")
   }
 
+  /** Quality-by-source matrix: per (source, quality-decile-bucket) document
+    * and token counts with integral-`div` ppm shares of the source's totals
+    * — the "where does each source's mass sit on the quality axis" view
+    * that decides per-source mixture reweighting (a source whose tokens
+    * concentrate in the bottom buckets gets downweighted before a source
+    * whose tail does). Same floor-bucket derivation as
+    * [[qualityThresholdSweep]]; the share windows run over the
+    * sources×11-row aggregated frame, never the corpus.
+    */
+  def qualitySourceMatrix(spark: SparkSession, d: String): DataFrame = {
+    val bySrc = Window.partitionBy(col("source"))
+    scanned(spark, d)
+      .select(col("source"), col("ts.n_tokens").as("n_tokens"),
+        (least(col("ts.n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.6)
+          + (col("ts.n_stop").cast("double")
+            / greatest(col("ts.n_tokens"), lit(1L)).cast("double")) * lit(0.4))
+          .as("quality_score"))
+      .withColumn("bucket", floor(col("quality_score") * lit(10.0)).cast("long"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("n_toks"))
+      .withColumn("src_docs", sum(col("n_docs")).over(bySrc))
+      .withColumn("src_toks", sum(col("n_toks")).over(bySrc))
+      .select(col("source"), col("bucket"), col("n_docs"), col("n_toks"),
+        expr("n_docs * 1000000 div src_docs").as("docs_ppm"),
+        expr("n_toks * 1000000 div src_toks").as("toks_ppm"))
+      .orderBy("source", "bucket")
+  }
+
   /** N-gram-marker language ID heuristic: argmax of per-language marker-token
     * counts with deterministic tie-breaking (en > de > es > fr).
     */

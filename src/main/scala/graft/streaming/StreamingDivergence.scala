@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.ops.{Exact, Scoring}
+
+/** STREAMING source-divergence monitoring — the divergence family's
+  * streaming rung (batch [[graft.ops.Scoring.sourceDivergence]] →
+  * incremental [[graft.ops.Scoring.incrementalDivergence]] → this): each
+  * trigger tokenizes ONLY its arriving documents, appends the
+  * per-(source, token) count partials to a `batch_id`-partitioned store,
+  * and emits the KL/cross-entropy report over everything seen so far —
+  * the running "is this source drifting from the mixture" readout a
+  * continuously-ingesting corpus wants. Counts are exactly mergeable
+  * integers, so ONE trigger over the full corpus reproduces the batch
+  * operator row-for-row (spec-pinned) and a fresh session continues from
+  * the store.
+  *
+  * Replay safety: the store read excludes this batch's own partition and
+  * the write is a dynamic-partition overwrite of it (the
+  * [[StreamingAnomalies]] / [[StreamingChangepoint]] pattern).
+  * Store size: vocabulary×sources rows per epoch of triggers —
+  * [[compactCountStore]] folds committed partitions by integer summation
+  * when trigger count outgrows vocabulary growth.
+  *
+  * Scale shape: per trigger one tokenize+aggregate over the batch only,
+  * one store read bounded by vocabulary (never the corpus), and the
+  * scoring tail over the merged vocabulary frame.
+  */
+object StreamingDivergence {
+
+  /** One arriving document. */
+  final case class SourcedDoc(doc_id: Long, source: String, text: String)
+
+  def admissionStream(docs: Dataset[SourcedDoc], initialCounts: DataFrame,
+      storeDir: String, sink: (DataFrame, Long) => Unit): DataStreamWriter[SourcedDoc] =
+    docs.writeStream.foreachBatch { (batch: Dataset[SourcedDoc], batchId: Long) =>
+      admissionBatch(batch, batchId, initialCounts, storeDir, sink)
+    }
+
+  /** One trigger's work — exposed so specs can drive batches exactly as a
+    * (restarted) stream would. `initialCounts` is the static history's
+    * `(source, tok, c_st)` (empty frame for a cold start).
+    */
+  private[graft] def admissionBatch(batch: Dataset[SourcedDoc], batchId: Long,
+      initialCounts: DataFrame, storeDir: String,
+      sink: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    val bm = Scoring.tokenCountsBySource(batch.toDF()).persist()
+    try {
+      val stored = readCountStore(spark, storeDir)
+        .filter(col("batch_id") =!= batchId).drop("batch_id")
+      val merged = initialCounts.unionByName(stored).unionByName(bm)
+        .groupBy(col("source"), col("tok"))
+        .agg(Exact.sumLong(col("c_st")).as("c_st"))
+      sink(Scoring.divergenceOfCounts(merged), batchId)
+      bm.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(storeDir)
+    } finally { bm.unpersist(); () }
+  }
+
+  /** Per-trigger count partials `(source, tok, c_st, batch_id)`; empty
+    * before the first trigger commits.
+    */
+  def readCountStore(spark: SparkSession, storeDir: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id=")))
+      spark.read.parquet(storeDir)
+        .select(col("source"), col("tok"), col("c_st"),
+          col("batch_id").cast("long").as("batch_id"))
+    else Seq.empty[(String, String, Long, Long)]
+      .toDF("source", "tok", "c_st", "batch_id")
+  }
+
+  /** Fold partitions `batch_id <= upTo` into one summed `batch_id = upTo`
+    * partition written to a NEW `outDir` (the repoint convention) —
+    * probe-transparent because integer count sums reassociate freely.
+    * Returns the folded store's row count.
+    */
+  def compactCountStore(spark: SparkSession, storeDir: String, outDir: String,
+      upTo: Long): Long = {
+    val all = readCountStore(spark, storeDir)
+    val folded = all.filter(col("batch_id") <= upTo)
+      .groupBy(col("source"), col("tok"))
+      .agg(Exact.sumLong(col("c_st")).as("c_st"))
+      .withColumn("batch_id", lit(upTo))
+      .unionByName(all.filter(col("batch_id") > upTo))
+    val n = folded.count()
+    folded.write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+    n
+  }
+}

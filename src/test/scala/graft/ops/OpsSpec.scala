@@ -866,6 +866,30 @@ class OpsSpec extends SparkSuite {
     assert(dks.head == totalDocs, "threshold 0 keeps everything")
   }
 
+  test("qualitySourceMatrix: ppm row laws; marginals reconcile with the sweep") {
+    val m = TextOps.qualitySourceMatrix(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(m.nonEmpty)
+    // per source, floored ppm shares sum into (1e6 − k, 1e6]
+    m.groupBy(_._1._1).foreach { case (src, rows) =>
+      val d = rows.map(_._2._3).sum
+      assert(d <= 1000000L && d > 1000000L - rows.length, s"docs ppm off for $src: $d")
+      val t = rows.map(_._2._4).sum
+      assert(t <= 1000000L && t > 1000000L - rows.length, s"toks ppm off for $src: $t")
+    }
+    // cells partition the corpus, and bucket marginals suffix-sum to the
+    // threshold sweep's retention counts
+    assert(m.map(_._2._1).sum == Tables.documents(spark, sf).count())
+    val sweep = TextOps.qualityThresholdSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val byBucket = m.groupBy(_._1._2).map { case (b, rs) => (b, rs.map(_._2._1).sum) }
+    (0L to 10L).foreach { t =>
+      assert(sweep(t) == byBucket.filter(_._1 >= t).values.sum,
+        s"bucket marginal mismatch at thr $t")
+    }
+  }
+
   test("msFloorExpr floors negative (pre-1970) ticks like DuckDB epoch_ms, per unit") {
     import spark.implicits._
     val ticks = Seq(-1L, -999999L, -1000000L, -1000001L, 0L, 1L, 999999L,

@@ -139,6 +139,31 @@ class ScoringSpec extends SparkSuite {
     assert(full.nonEmpty)
   }
 
+  test("bigramLogprob: exact driver recompute of the conditional LM") {
+    import spark.implicits._
+    val out = Scoring.bigramLogprob(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val inst = texts.flatMap { case (id, t) =>
+      val w = t.toLowerCase.trim.split(" ", -1)
+      w.zip(w.drop(1)).map { case (a, b) => (id, (a, b)) }
+    }
+    val cb = inst.groupBy(_._2).map { case (k, v) => (k, v.length.toLong) }
+    val ctx = cb.groupBy(_._1._1).map { case (w1, m) => (w1, m.values.sum) }
+    def lp(p: (String, String)): Long =
+      math.floor(math.log(cb(p).toDouble / ctx(p._1)) * 1000000.0).toLong
+    val want = inst.groupBy(_._1).map { case (id, rs) =>
+      (id, (rs.length.toLong, rs.map(r => lp(r._2)).sum))
+    }
+    assert(out == want)
+    // conditional probabilities sum to 1 per context (MLE sanity)
+    ctx.keys.take(50).foreach { w1 =>
+      val s = cb.collect { case ((a, _), c) if a == w1 => c.toDouble / ctx(w1) }.sum
+      assert(math.abs(s - 1.0) < 1e-9)
+    }
+  }
+
   test("sourceDivergence: exact driver recompute; true KL non-negative per source") {
     import spark.implicits._
     val out = Scoring.sourceDivergence(spark, sf).collect()
