@@ -246,7 +246,23 @@ object PlanDoc {
     "mmr_rerank" -> ("Diversified rerank: candidate lists and pairwise sims are bounded " +
       "declarative joins (panel x listK rows; listK^2 pairs per query); the inherently " +
       "sequential greedy runs inside cogroup per qid — queries spread across executors, " +
-      "zero driver-side iteration, and the corpus is never touched past candidate generation."))
+      "zero driver-side iteration, and the corpus is never touched past candidate generation."),
+    "event_changepoint" -> ("CUSUM level-shift estimator: ONE aggregation shuffle to (type, day) " +
+      "— every window after it (prefix sum, totals, argmax rank) reuses the same type " +
+      "partitioning over the tiny days-per-type frame; the raw log is scanned once and the " +
+      "DECIMAL(38,0) rank precision never touches a data-sized exchange."),
+    "cohort_retention" -> ("Retention triangle: the cohort day is a window min over the SAME " +
+      "user_id partitioning the subsequent aggregation shuffles to — no self-join back to a " +
+      "firsts table, no second pass over the log; output is bounded by days^2 regardless of " +
+      "corpus size."),
+    "source_divergence" -> ("Data-mixing KL: one token explode feeds a map-side-combined " +
+      "(source, token) aggregation; everything downstream is vocabulary- or source-bounded — " +
+      "per-source totals broadcast, the corpus LM joins on token, and the floor-e6 log " +
+      "contributions integer-sum so the result is aggregation-order-free."),
+    "bigram_logprob" -> ("Conditional-LM scoring: the bigram instances come from one lag window " +
+      "partitioned by doc (the same shuffle the per-doc tf aggregation needs), context counts " +
+      "DERIVE from bigram counts (no second corpus pass), and the LM side is " +
+      "bigram-vocabulary-bounded."))
 
   /** Strip run-nondeterministic tokens (JVM lambda addresses, object
     * hashes, AQE plan/stage ids, expression ids) so a regenerated PLANS.md
