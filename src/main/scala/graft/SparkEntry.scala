@@ -114,6 +114,8 @@ object SparkEntry {
     // incremental rung: persisted per-(type,day) sums merged with the
     // batch slice — hash-matches the full-log CUSUM (shared oracle)
     "incremental_changepoint" -> ((s, d) => Temporal.incrementalChangepoint(s, d)),
+    // seasonal-naive backtest: the integer-exact forecasting baseline
+    "seasonal_forecast" -> ((s, d) => Temporal.seasonalForecast(s, d)),
     "incremental_anomalies" -> ((s, d) => Temporal.incrementalAnomalies(s, d)),
     "scd2_as_of" -> ((s, d) => Temporal.scd2AsOf(s, d)),
     "winsorized_stats" -> ((s, d) => Temporal.winsorizedStats(s, d)),
@@ -163,6 +165,9 @@ object SparkEntry {
     "session_window" -> ((s, d) => Sessions.sessionize(s, d)),
     // cohort-by-first-day retention triangle (window min, no self-join)
     "cohort_retention" -> ((s, d) => Sessions.cohortRetention(s, d)),
+    // incremental rung: persisted DAU summary merged with the batch slice
+    // — hash-matches the full-log triangle (shared oracle)
+    "incremental_cohort" -> ((s, d) => Sessions.incrementalCohortRetention(s, d)),
     // first-order Markov transition matrix with integer ppm row shares
     "event_transitions" -> ((s, d) => Sessions.eventTransitions(s, d)),
     "event_type_stats" -> ((s, d) => Sessions.eventTypeStats(s, d)),
@@ -632,6 +637,20 @@ object SparkEntry {
         |  CAST(sum(c_st) AS BIGINT) AS n_tokens,
         |  count(*) AS n_terms
         |FROM sc JOIN lm USING (tok) GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** The cohort_retention oracle SQL, shared verbatim by
+    * incremental_cohort (DAU summaries merge exactly). */
+  private val cohortRetentionSql: String =
+    """WITH ud AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+        |), c AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1
+        |)
+        |SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+        |  CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users,
+        |  count(*) AS n_events
+        |FROM ud JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "cdc_item_changed" -> (cdcCte +
@@ -1286,17 +1305,21 @@ object SparkEntry {
     // disjoint integer slices merge exactly: the incremental form is
     // pinned to the SAME full-log SQL (the hash-match IS the claim)
     "incremental_changepoint" -> eventChangepointSql,
-    "cohort_retention" ->
-      """WITH ud AS (
-        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
-        |), c AS (
-        |  SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1
+    "cohort_retention" -> cohortRetentionSql,
+    "incremental_cohort" -> cohortRetentionSql,
+    "seasonal_forecast" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS day_c2
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT event_type, day + 7 AS day, day_c2 AS pred_c2 FROM daily
         |)
-        |SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
-        |  CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users,
-        |  count(*) AS n_events
-        |FROM ud JOIN c USING (user_id)
-        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+        |SELECT event_type, count(*) AS n_pred,
+        |  CAST(sum(abs(d.day_c2 - p.pred_c2)) AS BIGINT) AS abs_err_sum_c2,
+        |  CAST(sum(d.day_c2 - p.pred_c2) AS BIGINT) AS bias_sum_c2
+        |FROM daily d JOIN p USING (event_type, day)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "event_transitions" ->
       """WITH p AS (
         |  SELECT user_id, event_type,

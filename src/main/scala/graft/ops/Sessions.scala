@@ -103,15 +103,63 @@ object Sessions {
     * by days², corpus-size-independent — with distinct-user and raw event
     * counts (BIGINT both sides).
     */
-  def cohortRetention(spark: SparkSession, d: String): DataFrame = {
+  def cohortRetention(spark: SparkSession, d: String): DataFrame =
+    cohortOfDau(
+      Tables.events(spark, d)
+        .select(col("user_id"), Sessions.dayIdx(spark, d).as("day"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n")))
+
+  /** The triangle over an already-aggregated DAU frame `(user_id, day, n)`
+    * (one row per ACTIVE user-day) — shared by the batch and incremental
+    * forms. A cell's `n_users` is its DAU row count (a user has at most
+    * one row per day), so no distinct aggregation runs here; the cohort
+    * window and the cell aggregation both operate on the users×days
+    * summary, never the raw log.
+    */
+  private[graft] def cohortOfDau(dau: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
-    Tables.events(spark, d)
-      .select(col("user_id"), Sessions.dayIdx(spark, d).as("day"))
+    dau
       .withColumn("cohort_day", min(col("day")).over(byUser))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"),
-        count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_users"),
+        Exact.sumLong(col("n")).as("n_events"))
       .orderBy("cohort_day", "day_offset")
+  }
+
+  /** [[AnnStore]] kind for the persisted DAU (distinct active user-day)
+    * summary.
+    */
+  private[graft] val DauKind = "evdau-v1"
+
+  /** Retention under log growth — the incremental rung: the persisted
+    * history contributes only its DAU summary (one row per active
+    * (user, day) with an event count — the standard warehouse DAU table,
+    * users×days rows instead of the raw log; exactly mergeable by integer
+    * addition), the arriving batch aggregates its own slice, and the
+    * merged triangle HASH-MATCHES the full-log [[cohortRetention]] (the
+    * oracle pins that). Note this stays exact even when a batch contains
+    * a user's EARLIEST activity — the cohort min re-derives from the
+    * merged DAU rows, so no per-user firsts column can go stale.
+    */
+  def incrementalCohortRetention(spark: SparkSession, d: String,
+      batchMod: Int = 10): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"), Sessions.dayIdx(spark, d).as("day"))
+    val isNew = pmod(col("event_id"), lit(batchMod)) === 0
+    val dauOld = Memo(spark, s"ev_dau_old|$d|$batchMod") {
+      AnnStore.loadOrBuild(spark,
+        AnnStore.path(spark, DauKind, d, s"x$batchMod", corpusTable = "events")) {
+        ev.filter(!isNew).groupBy(col("user_id"), col("day"))
+          .agg(count(lit(1)).as("n_old"))
+      }.persist()
+    }
+    val dauNew = ev.filter(isNew).groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_new"))
+    val merged = dauOld.join(dauNew, Seq("user_id", "day"), "full_outer")
+      .select(col("user_id"), col("day"),
+        (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L))).as("n"))
+    cohortOfDau(merged)
   }
 
   /** First-order Markov transition matrix over each user's event sequence

@@ -357,6 +357,38 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** Seasonal-naive forecast backtest per event type: predict each day's
+    * total as the SAME WEEKDAY's total one season (7 days) earlier and
+    * report the exact integer error profile — the baseline every real
+    * forecasting deployment must beat before it earns its complexity
+    * (M-competition practice), and the regression gate a pipeline runs
+    * when upstream data changes. Backtest rows are days whose day−7 exists
+    * (calendar gaps produce no prediction rather than a misaligned one —
+    * the self-join on (type, day−season) is gap-correct where a row-based
+    * `lag(7)` would silently slip across gaps). Everything is integer
+    * cents: `abs_err_sum_c2` (MAE numerator) and `bias_sum_c2` (signed,
+    * over/under-forecast direction); counts ride so the reader normalizes.
+    *
+    * Scale shape: one aggregation shuffle to (type, day); the backtest
+    * self-join runs on the days×types summary, broadcast-sized no matter
+    * how large the raw log is.
+    */
+  def seasonalForecast(spark: SparkSession, d: String, season: Int = 7): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .select(col("event_type"), Sessions.dayIdx(spark, d).as("day"),
+        Exact.c2(col("value")).as("c2"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(Exact.sumLong(col("c2")).as("day_c2"))
+    val pred = daily.select(col("event_type"),
+      (col("day") + lit(season.toLong)).as("day"), col("day_c2").as("pred_c2"))
+    daily.join(pred, Seq("event_type", "day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pred"),
+        Exact.sumLong(abs(col("day_c2") - col("pred_c2"))).as("abs_err_sum_c2"),
+        Exact.sumLong(col("day_c2") - col("pred_c2")).as("bias_sum_c2"))
+      .orderBy("event_type")
+  }
+
   /** Daily per-type totals with interior gaps filled as explicit zero rows
     * (resampling to a regular grid — what a downstream forecasting job
     * needs). The grid is generated per type from its own [min, max] day span

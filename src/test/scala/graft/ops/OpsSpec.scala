@@ -824,6 +824,13 @@ class OpsSpec extends SparkSuite {
     assert(out.keys.forall(_._2 >= 0L))
   }
 
+  test("incrementalCohortRetention: merged DAU reproduces the full-log triangle exactly") {
+    val full = Sessions.cohortRetention(spark, sf).collect().toSeq
+    val inc = Sessions.incrementalCohortRetention(spark, sf).collect().toSeq
+    assert(inc == full)
+    assert(full.nonEmpty)
+  }
+
   test("eventTransitions: counts and floored ppm recompute; row shares sum to ~1e6") {
     val out = Sessions.eventTransitions(spark, sf).collect()
       .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))

@@ -200,6 +200,23 @@ class TemporalSpec extends SparkSuite {
     assert(Temporal.incrementalChangepoint(spark, sf).collect().toSeq == full)
   }
 
+  test("seasonalForecast: driver recompute; gap days produce no prediction") {
+    val out = Temporal.seasonalForecast(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), Sessions.dayIdx(spark, sf).as("day"),
+        Exact.c2(col("value")).as("c2"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).map { case (k, rs) => (k, rs.map(_._3).sum) }
+    val want = daily.keys.toSeq.flatMap { case (et, day) =>
+      daily.get((et, day - 7)).map(pred => (et, daily((et, day)) - pred))
+    }.groupBy(_._1).map { case (et, errs) =>
+      (et, (errs.size.toLong, errs.map(e => math.abs(e._2)).sum, errs.map(_._2).sum))
+    }
+    assert(out == want)
+    assert(out.nonEmpty)
+  }
+
   test("gapFillDaily: per-type day grid is contiguous, fills are zero, totals are preserved") {
     val out = Temporal.gapFillDaily(spark, sf).collect()
     out.groupBy(_.getString(0)).foreach { case (_, days) =>
