@@ -298,12 +298,12 @@ object Scoring {
       // string is an unambiguous bigram key
       .select(col("doc_id"), concat(col("prev"), lit(" "), col("tok")).as("bg"))
     val tfb = inst.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+    // the context key derives ONCE — ctx and lm must agree on it or the
+    // conditional LM silently denormalizes
     val cb = tfb.groupBy(col("bg")).agg(sum(col("tf")).as("c2"))
-    val ctx = cb
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .groupBy(col("w1")).agg(sum(col("c2")).as("c_ctx"))
+    val ctx = cb.groupBy(col("w1")).agg(sum(col("c2")).as("c_ctx"))
     val lm = cb
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(ctx, Seq("w1"))
       .select(col("bg"),
         floor(log(col("c2").cast("double") / col("c_ctx")) * lit(1000000.0))

@@ -41,10 +41,18 @@ object TextOps {
         col("ts.n_punct").as("n_punct"))
       .withColumn("stop_ratio",
         col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1L)).cast("double"))
-      .withColumn("quality_score",
-        least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.6)
-          + col("stop_ratio") * lit(0.4))
+      .withColumn("quality_score", qualityScore(col("n_tokens"), col("n_stop")))
       .orderBy("doc_id")
+
+  /** THE quality-score formula — the single definition behind text_stats,
+    * the threshold sweep, and the source matrix (their oracles and the
+    * floor-bucket identity all assume bit-identical doubles, so the
+    * expression must never fork). Plain IEEE double arithmetic, identical
+    * operation order to the DuckDB mirrors.
+    */
+  private def qualityScore(nTokens: Column, nStop: Column): Column =
+    least(nTokens.cast("double") / lit(100.0), lit(1.0)) * lit(0.6) +
+      (nStop.cast("double") / greatest(nTokens, lit(1L)).cast("double")) * lit(0.4)
 
   /** Retention sweep over the [[textStats]] quality score: for each
     * threshold t/10 (t = 0..10), how many documents and tokens survive
@@ -60,10 +68,7 @@ object TextOps {
   def qualityThresholdSweep(spark: SparkSession, d: String): DataFrame = {
     val perBucket = scanned(spark, d)
       .select(col("ts.n_tokens").as("n_tokens"),
-        (least(col("ts.n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.6)
-          + (col("ts.n_stop").cast("double")
-            / greatest(col("ts.n_tokens"), lit(1L)).cast("double")) * lit(0.4))
-          .as("quality_score"))
+        qualityScore(col("ts.n_tokens"), col("ts.n_stop")).as("quality_score"))
       .withColumn("bucket", floor(col("quality_score") * lit(10.0)).cast("long"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("n_toks"))
@@ -95,10 +100,7 @@ object TextOps {
     val bySrc = Window.partitionBy(col("source"))
     scanned(spark, d)
       .select(col("source"), col("ts.n_tokens").as("n_tokens"),
-        (least(col("ts.n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.6)
-          + (col("ts.n_stop").cast("double")
-            / greatest(col("ts.n_tokens"), lit(1L)).cast("double")) * lit(0.4))
-          .as("quality_score"))
+        qualityScore(col("ts.n_tokens"), col("ts.n_stop")).as("quality_score"))
       .withColumn("bucket", floor(col("quality_score") * lit(10.0)).cast("long"))
       .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("n_toks"))

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.ops.Exact
+
+/** The `batch_id`-partitioned partial-aggregate store every streaming
+  * monitor shares (moments, daily sums, token counts): per-trigger partials
+  * land as one partition via dynamic-partition overwrite (replayed batches
+  * rewrite their own partition), probes exclude the probing batch's own
+  * partition for replay stability, and compaction folds committed
+  * partitions by exact integer summation into a NEW directory (the
+  * repoint convention). Factored after the pattern's fourth copy — the
+  * read-probe/overwrite/compact mechanics now exist exactly once.
+  */
+private[graft] object PartialStore {
+
+  /** All partials `(payload…, batch_id)`; `empty` supplies the typed
+    * frame (INCLUDING a `batch_id` long column) returned before the first
+    * trigger commits, and its column order is reproduced on read.
+    */
+  def read(spark: SparkSession, storeDir: String, empty: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id=")))
+      spark.read.parquet(storeDir)
+        .select(empty.columns.toSeq.map {
+          // partition column comes back as the inferred type; pin long
+          case "batch_id" => col("batch_id").cast("long").as("batch_id")
+          case c => col(c)
+        }: _*)
+    else empty
+  }
+
+  /** Publish one trigger's partials as its own partition (idempotent under
+    * replay: attempt 2 overwrites attempt 1's partition and nothing else).
+    */
+  def write(partials: DataFrame, batchId: Long, storeDir: String): Unit = {
+    partials.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(storeDir)
+    ()
+  }
+
+  /** Fold partitions `batch_id <= upTo` into one summed `batch_id = upTo`
+    * partition written to `outDir` — probe-transparent because integer
+    * sums reassociate freely. Returns the folded store's row count (the
+    * frame is persisted across the count and the write, so the fold runs
+    * once).
+    */
+  def compactSummed(spark: SparkSession, storeDir: String, outDir: String,
+      upTo: Long, empty: DataFrame, keyCols: Seq[String], sumCol: String): Long = {
+    val all = read(spark, storeDir, empty)
+    val folded = all.filter(col("batch_id") <= upTo)
+      .groupBy(keyCols.map(col): _*)
+      .agg(Exact.sumLong(col(sumCol)).as(sumCol))
+      .withColumn("batch_id", lit(upTo))
+      .select(empty.columns.toSeq.map(col): _*)
+      .unionByName(all.filter(col("batch_id") > upTo))
+      .persist()
+    try {
+      val n = folded.count()
+      folded.write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+      n
+    } finally { folded.unpersist(); () }
+  }
+}

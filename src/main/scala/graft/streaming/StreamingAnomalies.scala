@@ -84,11 +84,7 @@ object StreamingAnomalies {
           when(dev > 0, 1L).otherwise(-1L).as("z_sign"))
         .orderBy("event_id")
       sink(flags, batchId)
-      bm.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(storeDir)
+      PartialStore.write(bm, batchId, storeDir)
     } finally { b.unpersist(); () }
   }
 
@@ -97,13 +93,8 @@ object StreamingAnomalies {
     */
   def readMomentsStore(spark: SparkSession, storeDir: String): DataFrame = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id=")))
-      spark.read.parquet(storeDir)
-        .select(col("event_type"), col("n"), col("s"), col("q"),
-          col("batch_id").cast("long").as("batch_id"))
-    else Seq.empty[(String, Long, Long, Long, Long)]
-      .toDF("event_type", "n", "s", "q", "batch_id")
+    PartialStore.read(spark, storeDir,
+      Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("event_type", "n", "s", "q", "batch_id"))
   }
 }

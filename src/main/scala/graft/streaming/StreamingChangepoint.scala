@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.ops.{Exact, Temporal}
@@ -62,46 +62,28 @@ object StreamingChangepoint {
         .groupBy(col("event_type"), col("day"))
         .agg(Exact.sumLong(col("c2")).as("day_c2"))
       sink(Temporal.changepointOfDaily(merged), batchId)
-      bm.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(storeDir)
+      PartialStore.write(bm, batchId, storeDir)
     } finally { bm.unpersist(); () }
+  }
+
+  private def emptyStore(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Long, Long, Long)]
+      .toDF("event_type", "day", "c2", "batch_id")
   }
 
   /** Per-trigger daily partials `(event_type, day, c2, batch_id)`; empty
     * before the first trigger commits.
     */
-  def readDailyStore(spark: SparkSession, storeDir: String): DataFrame = {
-    import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id=")))
-      spark.read.parquet(storeDir)
-        .select(col("event_type"), col("day"), col("c2"),
-          col("batch_id").cast("long").as("batch_id"))
-    else Seq.empty[(String, Long, Long, Long)]
-      .toDF("event_type", "day", "c2", "batch_id")
-  }
+  def readDailyStore(spark: SparkSession, storeDir: String): DataFrame =
+    PartialStore.read(spark, storeDir, emptyStore(spark))
 
   /** Fold partitions `batch_id <= upTo` into one summed `batch_id = upTo`
-    * partition written to a NEW `outDir` (the repoint convention every
-    * store compaction here uses — never in-place surgery on a live store).
-    * Probe-transparent by construction: the probe sums the partials it
-    * reads, and integer sums reassociate freely. Returns the folded store's
-    * row count.
+    * partition written to a NEW `outDir` ([[PartialStore.compactSummed]] —
+    * the repoint convention, probe-transparent by integer reassociation).
     */
   def compactDailyStore(spark: SparkSession, storeDir: String, outDir: String,
-      upTo: Long): Long = {
-    val all = readDailyStore(spark, storeDir)
-    val folded = all.filter(col("batch_id") <= upTo)
-      .groupBy(col("event_type"), col("day"))
-      .agg(Exact.sumLong(col("c2")).as("c2"))
-      .withColumn("batch_id", lit(upTo))
-      .unionByName(all.filter(col("batch_id") > upTo))
-    val n = folded.count()
-    folded.write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
-    n
-  }
+      upTo: Long): Long =
+    PartialStore.compactSummed(spark, storeDir, outDir, upTo,
+      emptyStore(spark), Seq("event_type", "day"), "c2")
 }

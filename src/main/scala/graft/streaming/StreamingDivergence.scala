@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.ops.{Exact, Scoring}
@@ -56,44 +56,28 @@ object StreamingDivergence {
         .groupBy(col("source"), col("tok"))
         .agg(Exact.sumLong(col("c_st")).as("c_st"))
       sink(Scoring.divergenceOfCounts(merged), batchId)
-      bm.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(storeDir)
+      PartialStore.write(bm, batchId, storeDir)
     } finally { bm.unpersist(); () }
+  }
+
+  private def emptyStore(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, Long, Long)]
+      .toDF("source", "tok", "c_st", "batch_id")
   }
 
   /** Per-trigger count partials `(source, tok, c_st, batch_id)`; empty
     * before the first trigger commits.
     */
-  def readCountStore(spark: SparkSession, storeDir: String): DataFrame = {
-    import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id=")))
-      spark.read.parquet(storeDir)
-        .select(col("source"), col("tok"), col("c_st"),
-          col("batch_id").cast("long").as("batch_id"))
-    else Seq.empty[(String, String, Long, Long)]
-      .toDF("source", "tok", "c_st", "batch_id")
-  }
+  def readCountStore(spark: SparkSession, storeDir: String): DataFrame =
+    PartialStore.read(spark, storeDir, emptyStore(spark))
 
   /** Fold partitions `batch_id <= upTo` into one summed `batch_id = upTo`
-    * partition written to a NEW `outDir` (the repoint convention) —
-    * probe-transparent because integer count sums reassociate freely.
-    * Returns the folded store's row count.
+    * partition written to a NEW `outDir` ([[PartialStore.compactSummed]] —
+    * the repoint convention, probe-transparent by integer reassociation).
     */
   def compactCountStore(spark: SparkSession, storeDir: String, outDir: String,
-      upTo: Long): Long = {
-    val all = readCountStore(spark, storeDir)
-    val folded = all.filter(col("batch_id") <= upTo)
-      .groupBy(col("source"), col("tok"))
-      .agg(Exact.sumLong(col("c_st")).as("c_st"))
-      .withColumn("batch_id", lit(upTo))
-      .unionByName(all.filter(col("batch_id") > upTo))
-    val n = folded.count()
-    folded.write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
-    n
-  }
+      upTo: Long): Long =
+    PartialStore.compactSummed(spark, storeDir, outDir, upTo,
+      emptyStore(spark), Seq("source", "tok"), "c_st")
 }
