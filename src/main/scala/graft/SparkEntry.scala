@@ -116,6 +116,9 @@ object SparkEntry {
     "incremental_changepoint" -> ((s, d) => Temporal.incrementalChangepoint(s, d)),
     // seasonal-naive backtest: the integer-exact forecasting baseline
     "seasonal_forecast" -> ((s, d) => Temporal.seasonalForecast(s, d)),
+    // incremental rung: rides the SAME evdaily-v1 artifact as
+    // incremental_changepoint (one summary, many consumers); shared oracle
+    "incremental_forecast" -> ((s, d) => Temporal.incrementalForecast(s, d)),
     "incremental_anomalies" -> ((s, d) => Temporal.incrementalAnomalies(s, d)),
     "scd2_as_of" -> ((s, d) => Temporal.scd2AsOf(s, d)),
     "winsorized_stats" -> ((s, d) => Temporal.winsorizedStats(s, d)),
@@ -651,6 +654,22 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM ud JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** The seasonal_forecast oracle SQL, shared verbatim by
+    * incremental_forecast (daily sums merge exactly). */
+  private val seasonalForecastSql: String =
+    """WITH daily AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS day_c2
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT event_type, day + 7 AS day, day_c2 AS pred_c2 FROM daily
+        |)
+        |SELECT event_type, count(*) AS n_pred,
+        |  CAST(sum(abs(d.day_c2 - p.pred_c2)) AS BIGINT) AS abs_err_sum_c2,
+        |  CAST(sum(d.day_c2 - p.pred_c2) AS BIGINT) AS bias_sum_c2
+        |FROM daily d JOIN p USING (event_type, day)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "cdc_item_changed" -> (cdcCte +
@@ -1307,19 +1326,8 @@ object SparkEntry {
     "incremental_changepoint" -> eventChangepointSql,
     "cohort_retention" -> cohortRetentionSql,
     "incremental_cohort" -> cohortRetentionSql,
-    "seasonal_forecast" ->
-      """WITH daily AS (
-        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS day_c2
-        |  FROM events GROUP BY 1, 2
-        |), p AS (
-        |  SELECT event_type, day + 7 AS day, day_c2 AS pred_c2 FROM daily
-        |)
-        |SELECT event_type, count(*) AS n_pred,
-        |  CAST(sum(abs(d.day_c2 - p.pred_c2)) AS BIGINT) AS abs_err_sum_c2,
-        |  CAST(sum(d.day_c2 - p.pred_c2) AS BIGINT) AS bias_sum_c2
-        |FROM daily d JOIN p USING (event_type, day)
-        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "seasonal_forecast" -> seasonalForecastSql,
+    "incremental_forecast" -> seasonalForecastSql,
     "event_transitions" ->
       """WITH p AS (
         |  SELECT user_id, event_type,

@@ -241,7 +241,15 @@ object Temporal {
     * oracle pins exactly that — while the full history is never re-scanned.
     */
   def incrementalChangepoint(spark: SparkSession, d: String,
-      batchMod: Int = 10): DataFrame = {
+      batchMod: Int = 10): DataFrame =
+    changepointOfDaily(mergedDaily(spark, d, batchMod))
+
+  /** Old-slice daily sums (the AnnStore `evdaily-v1` artifact) merged with
+    * the arriving batch's — ONE persisted summary serving every daily-
+    * series consumer (the changepoint AND forecast incremental rungs ride
+    * the same artifact; an ingest pipeline maintains it once).
+    */
+  private def mergedDaily(spark: SparkSession, d: String, batchMod: Int): DataFrame = {
     val ev = Tables.events(spark, d)
       .select(col("event_id"), col("event_type"),
         Sessions.dayIdx(spark, d).as("day"), Exact.c2(col("value")).as("c2"))
@@ -257,12 +265,20 @@ object Temporal {
       .agg(Exact.sumLong(col("c2")).as("c2_new"))
     // full outer: a (type, day) cell seen by only one slice still carries
     // its exact merged total (coalesce 0 on the absent side)
-    val merged = dailyOld.join(dailyNew, Seq("event_type", "day"), "full_outer")
+    dailyOld.join(dailyNew, Seq("event_type", "day"), "full_outer")
       .select(col("event_type"), col("day"),
         (coalesce(col("c2_old"), lit(0L)) + coalesce(col("c2_new"), lit(0L)))
           .as("day_c2"))
-    changepointOfDaily(merged)
   }
+
+  /** Forecast backtest under log growth: the SAME merged daily summary the
+    * incremental changepoint probes ([[mergedDaily]] — no second artifact),
+    * scored by [[forecastOfDaily]]; hash-matches the full-log
+    * [[seasonalForecast]] because daily sums merge exactly.
+    */
+  def incrementalForecast(spark: SparkSession, d: String,
+      batchMod: Int = 10): DataFrame =
+    forecastOfDaily(mergedDaily(spark, d, batchMod))
 
   /** ROBUST anomaly twin of [[eventAnomalies]]: flag events farther than
     * `5·MAD` from their type's MEDIAN (≈3.4σ under normality) — the
@@ -373,12 +389,19 @@ object Temporal {
     * self-join runs on the days×types summary, broadcast-sized no matter
     * how large the raw log is.
     */
-  def seasonalForecast(spark: SparkSession, d: String, season: Int = 7): DataFrame = {
-    val daily = Tables.events(spark, d)
-      .select(col("event_type"), Sessions.dayIdx(spark, d).as("day"),
-        Exact.c2(col("value")).as("c2"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(Exact.sumLong(col("c2")).as("day_c2"))
+  def seasonalForecast(spark: SparkSession, d: String, season: Int = 7): DataFrame =
+    forecastOfDaily(
+      Tables.events(spark, d)
+        .select(col("event_type"), Sessions.dayIdx(spark, d).as("day"),
+          Exact.c2(col("value")).as("c2"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(Exact.sumLong(col("c2")).as("day_c2")),
+      season)
+
+  /** The backtest over an already-aggregated (event_type, day, day_c2)
+    * frame — shared by the batch and incremental forms.
+    */
+  private[graft] def forecastOfDaily(daily: DataFrame, season: Int = 7): DataFrame = {
     val pred = daily.select(col("event_type"),
       (col("day") + lit(season.toLong)).as("day"), col("day_c2").as("pred_c2"))
     daily.join(pred, Seq("event_type", "day"))

@@ -217,6 +217,13 @@ class TemporalSpec extends SparkSuite {
     assert(out.nonEmpty)
   }
 
+  test("incrementalForecast: merged daily sums reproduce the full-log backtest exactly") {
+    val full = Temporal.seasonalForecast(spark, sf).collect().toSeq
+    val inc = Temporal.incrementalForecast(spark, sf).collect().toSeq
+    assert(inc == full)
+    assert(full.nonEmpty)
+  }
+
   test("gapFillDaily: per-type day grid is contiguous, fills are zero, totals are preserved") {
     val out = Temporal.gapFillDaily(spark, sf).collect()
     out.groupBy(_.getString(0)).foreach { case (_, days) =>
