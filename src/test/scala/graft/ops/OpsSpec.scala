@@ -897,6 +897,35 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("plan: cohort_retention has no join — the cohort derives from a window") {
+    val df = Sessions.cohortRetention(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"cohort triangle grew a join:\n${plan.take(500)}")
+  }
+
+  test("plan: event_changepoint runs ONE data-sized exchange (the daily agg)") {
+    val df = Temporal.eventChangepoint(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // allowed exchanges: daily agg to (type, day), re-key to type for the
+    // windows, final orderBy range partitioning — anything beyond that
+    // means a window stopped reusing the type partitioning. Count only the
+    // FINAL plan (AdaptiveSparkPlan.toString appends the initial plan too).
+    val exchanges = "Exchange".r.findAllIn(plan.split("== Initial Plan ==").head).size
+    assert(exchanges <= 3, s"changepoint plan grew exchanges ($exchanges):\n${plan.take(800)}")
+    assert(!plan.contains("Join"), "changepoint should not join")
+  }
+
+  test("plan: source_divergence broadcasts the per-source totals, never shuffles them") {
+    val df = Scoring.sourceDivergence(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"per-source totals join is not broadcast:\n${plan.take(500)}")
+    assert(!plan.contains("CartesianProduct"), "divergence plan degenerated")
+  }
+
   test("msFloorExpr floors negative (pre-1970) ticks like DuckDB epoch_ms, per unit") {
     import spark.implicits._
     val ticks = Seq(-1L, -999999L, -1000000L, -1000001L, 0L, 1L, 999999L,
