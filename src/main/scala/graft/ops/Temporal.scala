@@ -511,6 +511,43 @@ object Temporal {
     * (map-side combinable, single shuffle), then a 4-row unpivot of the
     * global stage counts — no self-joins, no per-stage passes over the log.
     */
+  /** Time-bounded funnel: each stage must occur strictly after the
+    * previous stage's REACHED time and within `windowMs` of it — the
+    * conversion-window semantics product analytics actually reports
+    * ("purchased within 7 days of clicking"), which the unbounded
+    * [[funnelConversion]] chain can't express (and which can legitimately
+    * EXCEED it at a stage: a user whose first view predates signup fails
+    * the unbounded min-chain but converts here via a later in-window
+    * view). Stage times are true stage-relative selections — `t_n` is the
+    * earliest stage-n event inside `(t_{n−1}, t_{n−1}+W]` — not global
+    * mins. Each stage is one user-keyed join + aggregation; all four
+    * reuse the same `user_id` hash partitioning, and each stage frame is
+    * one row per surviving user.
+    */
+  def funnelWindowed(spark: SparkSession, d: String,
+      windowMs: Long = 7L * 86400000L): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .withColumn("ms", Sessions.msFloor(spark, d))
+      .select(col("user_id"), col("event_type"), col("ms"))
+    def nextStage(prev: DataFrame, stage: String): DataFrame =
+      ev.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
+        .filter(col("ms") > col("t_prev") && col("ms") <= col("t_prev") + lit(windowMs))
+        .groupBy(col("user_id")).agg(min(col("ms")).as("t"))
+    val t1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t"))
+    val t2 = nextStage(t1, "view")
+    val t3 = nextStage(t2, "click")
+    val t4 = nextStage(t3, "purchase")
+    Seq(("signup", 1L, t1), ("view", 2L, t2), ("click", 3L, t3), ("purchase", 4L, t4))
+      .map { case (s, i, df) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i).as("stage_idx"), lit(s).as("stage"), col("n_users"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("stage_idx")
+  }
+
   def funnelConversion(spark: SparkSession, d: String): DataFrame = {
     val stages = Seq("signup", "view", "click", "purchase")
     def firstOf(t: String): Column =

@@ -316,6 +316,34 @@ class TemporalSpec extends SparkSuite {
       s"priority sample not weight-biased: $sampleMean <= $corpusMean")
   }
 
+  test("funnelWindowed: stage-relative driver recompute; counts monotone") {
+    val W = 7L * 86400000L
+    val out = Temporal.funnelWindowed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.map(_._2).toSeq == Seq("signup", "view", "click", "purchase"))
+    val ev = Tables.events(spark, sf)
+      .withColumn("ms", Sessions.msFloor(spark, sf))
+      .select("user_id", "event_type", "ms")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    def stageTimes(users: Map[Long, Long], stage: String): Map[Long, Long] =
+      users.flatMap { case (u, tPrev) =>
+        byUser.getOrElse(u, Array.empty[(Long, String, Long)])
+          .collect { case (_, s, ms) if s == stage && ms > tPrev && ms <= tPrev + W => ms }
+          .sorted.headOption.map(u -> _)
+      }
+    val t1 = byUser.flatMap { case (u, rs) =>
+      rs.collect { case (_, "signup", ms) => ms }.sorted.headOption.map(u -> _)
+    }.toMap
+    val t2 = stageTimes(t1, "view")
+    val t3 = stageTimes(t2, "click")
+    val t4 = stageTimes(t3, "purchase")
+    val want = Seq((1L, "signup", t1.size.toLong), (2L, "view", t2.size.toLong),
+      (3L, "click", t3.size.toLong), (4L, "purchase", t4.size.toLong))
+    assert(out.toSeq == want)
+    out.map(_._3).sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
+  }
+
   test("funnelConversion: stage counts are monotonically non-increasing and stage 1 is exact") {
     val out = Temporal.funnelConversion(spark, sf).collect().sortBy(_.getLong(0))
     assert(out.map(_.getString(1)).toSeq == Seq("signup", "view", "click", "purchase"))
