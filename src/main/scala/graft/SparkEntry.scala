@@ -116,6 +116,8 @@ object SparkEntry {
     // incremental rung: persisted per-(type,day) sums merged with the
     // batch slice — hash-matches the full-log CUSUM (shared oracle)
     "incremental_changepoint" -> ((s, d) => Temporal.incrementalChangepoint(s, d)),
+    // exact daily p50/p95 bands: small-by-construction cell rank windows
+    "daily_value_bands" -> ((s, d) => Temporal.dailyValueBands(s, d)),
     // seasonal-naive backtest: the integer-exact forecasting baseline
     "seasonal_forecast" -> ((s, d) => Temporal.seasonalForecast(s, d)),
     // incremental rung: rides the SAME evdaily-v1 artifact as
@@ -1328,6 +1330,21 @@ object SparkEntry {
     "incremental_changepoint" -> eventChangepointSql,
     "cohort_retention" -> cohortRetentionSql,
     "incremental_cohort" -> cohortRetentionSql,
+    "daily_value_bands" ->
+      """WITH v AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, day, v,
+        |    row_number() OVER (PARTITION BY event_type, day ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY event_type, day) AS n
+        |  FROM v
+        |)
+        |SELECT event_type, day, CAST(max(n) AS BIGINT) AS n_rows,
+        |  CAST(max(CASE WHEN rn <= (n + 1) // 2 THEN v END) AS BIGINT) AS p50_c2,
+        |  CAST(max(CASE WHEN rn <= (19 * n + 19) // 20 THEN v END) AS BIGINT) AS p95_c2
+        |FROM r GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
     "seasonal_forecast" -> seasonalForecastSql,
     "incremental_forecast" -> seasonalForecastSql,
     "event_transitions" ->

@@ -511,6 +511,32 @@ object Temporal {
     * (map-side combinable, single shuffle), then a 4-row unpivot of the
     * global stage counts — no self-joins, no per-stage passes over the log.
     */
+  /** Daily per-type value bands: exact discrete p50/p95 cents per
+    * (event_type, day) — the SLO dashboard readout ("daily p95"). Unlike
+    * the big-group percentile ops (which use the
+    * [[DistributedSelect.exactGroupPercentiles]] histogram split to avoid
+    * sorting a whole segment in one task), the day grain makes each
+    * partition SMALL BY CONSTRUCTION (one type's one day), so the plain
+    * per-cell rank window is the scale-right plan — partitions stay
+    * bounded as the log grows; more days just mean more partitions. Ranks
+    * are the repo-standard exact discrete selections (ceil(n/2),
+    * ceil(19n/20)); within-cell ties on `v` are harmless because the
+    * value AT a rank is unique even when row numbers aren't.
+    */
+  def dailyValueBands(spark: SparkSession, d: String): DataFrame = {
+    val byCell = Window.partitionBy(col("event_type"), col("day"))
+    Tables.events(spark, d)
+      .select(col("event_type"), Sessions.dayIdx(spark, d).as("day"),
+        Exact.c2(col("value")).as("v"))
+      .withColumn("rn", row_number().over(byCell.orderBy(col("v"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byCell))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("n")).as("n_rows"),
+        max(when(col("rn") <= expr("(n + 1) div 2"), col("v"))).as("p50_c2"),
+        max(when(col("rn") <= expr("(19 * n + 19) div 20"), col("v"))).as("p95_c2"))
+      .orderBy("event_type", "day")
+  }
+
   /** Time-bounded funnel: each stage must occur strictly after the
     * previous stage's REACHED time and within `windowMs` of it — the
     * conversion-window semantics product analytics actually reports

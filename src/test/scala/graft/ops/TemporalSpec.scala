@@ -316,6 +316,25 @@ class TemporalSpec extends SparkSuite {
       s"priority sample not weight-biased: $sampleMean <= $corpusMean")
   }
 
+  test("dailyValueBands: exact rank selections recompute per cell") {
+    val out = Temporal.dailyValueBands(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val cells = Tables.events(spark, sf)
+      .select(col("event_type"), Sessions.dayIdx(spark, sf).as("day"),
+        Exact.c2(col("value")).as("v"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1)
+    val want = cells.map { case (k, rs) =>
+      val vs = rs.map(_._2).sorted
+      val n = vs.length.toLong
+      def at(num: Long, den: Long): Long = vs(((num * n + den - 1) / den - 1).toInt)
+      (k, (n, at(1, 2), at(19, 20)))
+    }
+    assert(out == want)
+    assert(out.nonEmpty)
+  }
+
   test("funnelWindowed: stage-relative driver recompute; counts monotone") {
     val W = 7L * 86400000L
     val out = Temporal.funnelWindowed(spark, sf).collect()
