@@ -162,6 +162,39 @@ object Sessions {
     cohortOfDau(merged)
   }
 
+  /** The aggregated retention curve ("D1/D7/D30 retention"): for each day
+    * offset o, the share of users retained at o across all cohorts OLD
+    * ENOUGH to be observable at o — the denominator restriction
+    * (`cohort_day + o ≤ max_day`) is what makes the right edge honest
+    * (naively dividing by all users makes recent cohorts drag late
+    * offsets toward zero; the curve must condition on observability).
+    * Everything computes over the triangle and its offset spine —
+    * days²-bounded frames — and shares are integral-`div` ppm. Numerator
+    * cells need no explicit observability filter: a triangle cell at
+    * offset o implies activity at `cohort+o ≤ max_day` by construction.
+    */
+  def retentionCurve(spark: SparkSession, d: String): DataFrame = {
+    val tri = cohortRetention(spark, d)
+    val lims = tri.agg(
+      max(col("cohort_day") + col("day_offset")).as("max_day"),
+      min(col("cohort_day")).as("min_cohort"))
+    val spine = lims.select(
+      explode(sequence(lit(0L), col("max_day") - col("min_cohort"))).as("day_offset"))
+    val sizes = tri.filter(col("day_offset") === 0L)
+      .select(col("cohort_day"), col("n_users").as("cohort_size"))
+    val num = tri.groupBy(col("day_offset"))
+      .agg(Exact.sumLong(col("n_users")).as("n_retained"))
+    val den = spine.crossJoin(broadcast(lims))
+      .join(broadcast(sizes), col("cohort_day") + col("day_offset") <= col("max_day"))
+      .groupBy(col("day_offset"))
+      .agg(Exact.sumLong(col("cohort_size")).as("denom_users"))
+    den.join(num, Seq("day_offset"), "left")
+      .select(col("day_offset"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"), col("denom_users"))
+      .withColumn("retained_ppm", expr("n_retained * 1000000 div denom_users"))
+      .orderBy("day_offset")
+  }
+
   /** First-order Markov transition matrix over each user's event sequence
     * (ordered by `event_id`, the engine's per-user sequence key — same
     * ordering contract as the CDC pairing): counts per (prev_type,

@@ -831,6 +831,26 @@ class OpsSpec extends SparkSuite {
     assert(full.nonEmpty)
   }
 
+  test("retentionCurve: offset-0 is 1e6 ppm; denominators shrink with offset; recompute") {
+    val out = Sessions.retentionCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    val tri = Sessions.cohortRetention(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val maxDay = tri.map { case ((c, o), _) => c + o }.max
+    val sizes = tri.collect { case ((c, 0L), n) => (c, n) }.toMap
+    val minCohort = sizes.keys.min
+    val want = (0L to (maxDay - minCohort)).map { o =>
+      val num = tri.collect { case ((_, `o`), n) => n }.sum
+      val den = sizes.collect { case (c, n) if c + o <= maxDay => n }.sum
+      (o, (num, den, num * 1000000L / den))
+    }
+    assert(out.toSeq == want)
+    // offset 0: every cohort user is active on their cohort day
+    assert(out.head == (0L, (out.head._2._2, out.head._2._2, 1000000L)))
+    // denominators are non-increasing in offset (observability only shrinks)
+    out.map(_._2._2).sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
+  }
+
   test("eventTransitions: counts and floored ppm recompute; row shares sum to ~1e6") {
     val out = Sessions.eventTransitions(spark, sf).collect()
       .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
