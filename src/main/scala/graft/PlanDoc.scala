@@ -262,7 +262,19 @@ object PlanDoc {
     "bigram_logprob" -> ("Conditional-LM scoring: the bigram instances come from one lag window " +
       "partitioned by doc (the same shuffle the per-doc tf aggregation needs), context counts " +
       "DERIVE from bigram counts (no second corpus pass), and the LM side is " +
-      "bigram-vocabulary-bounded."))
+      "bigram-vocabulary-bounded."),
+    "funnel_windowed" -> ("Conversion-window funnel: four stage frames (one row per surviving " +
+      "user) chain through user-keyed joins that all reuse the same hash partitioning; each " +
+      "stage's events filter BEFORE the join, so the join input is one stage's events, not the " +
+      "log."),
+    "daily_value_bands" -> ("Daily p50/p95: per-(type, day) rank windows — cells are small by " +
+      "construction (one type's one day), so data growth adds partitions, never bigger " +
+      "per-task sorts; contrast with the DistributedSelect histogram split used where groups " +
+      "are few and huge."),
+    "retention_curve" -> ("Aggregated retention: everything after the DAU aggregation operates " +
+      "on days^2-bounded triangle/spine frames — the observability join " +
+      "(cohort+o <= max_day) is broadcast on both tiny sides, so the curve costs one log " +
+      "scan regardless of corpus size."))
 
   /** Strip run-nondeterministic tokens (JVM lambda addresses, object
     * hashes, AQE plan/stage ids, expression ids) so a regenerated PLANS.md
