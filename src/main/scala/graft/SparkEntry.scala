@@ -179,6 +179,10 @@ object SparkEntry {
     "retention_curve" -> ((s, d) => Sessions.retentionCurve(s, d)),
     // first-order Markov transition matrix with integer ppm row shares
     "event_transitions" -> ((s, d) => Sessions.eventTransitions(s, d)),
+    // incremental rung under SUFFIX arrival: persisted pair counts + the
+    // per-user last-event boundary state (lag-derived aggregates need a
+    // contiguous cut, not a mod slice) — hash-matches the full log
+    "incremental_transitions" -> ((s, d) => Sessions.incrementalTransitions(s, d)),
     "event_type_stats" -> ((s, d) => Sessions.eventTypeStats(s, d)),
     "daily_counts" -> ((s, d) => Sessions.dailyCounts(s, d)),
     "value_histogram" -> ((s, d) => Sessions.valueHistogram(s, d)),
@@ -676,6 +680,23 @@ object SparkEntry {
         |  CAST(sum(d.day_c2 - p.pred_c2) AS BIGINT) AS bias_sum_c2
         |FROM daily d JOIN p USING (event_type, day)
         |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** The event_transitions oracle SQL, shared verbatim by
+    * incremental_transitions (suffix slices merge exactly via the
+    * boundary-pair correction). */
+  private val eventTransitionsSql: String =
+    """WITH p AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+        |  FROM events
+        |), g AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT prev_type, next_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS ppm
+        |FROM g ORDER BY prev_type, next_type""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "cdc_item_changed" -> (cdcCte +
@@ -1375,19 +1396,8 @@ object SparkEntry {
         |FROM r GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
     "seasonal_forecast" -> seasonalForecastSql,
     "incremental_forecast" -> seasonalForecastSql,
-    "event_transitions" ->
-      """WITH p AS (
-        |  SELECT user_id, event_type,
-        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
-        |  FROM events
-        |), g AS (
-        |  SELECT prev_type, event_type AS next_type, count(*) AS n
-        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
-        |)
-        |SELECT prev_type, next_type, n,
-        |  CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
-        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS ppm
-        |FROM g ORDER BY prev_type, next_type""".stripMargin,
+    "event_transitions" -> eventTransitionsSql,
+    "incremental_transitions" -> eventTransitionsSql,
     "timeseries_gapfill" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS n,

@@ -205,17 +205,82 @@ object Sessions {
     * lag window, one for the (prev,next) aggregation; the row-total window
     * runs over the ≤|types|² aggregated frame, not the raw log.
     */
-  def eventTransitions(spark: SparkSession, d: String): DataFrame = {
+  def eventTransitions(spark: SparkSession, d: String): DataFrame =
+    transitionsOfPairs(pairCounts(
+      Tables.events(spark, d).select(col("user_id"), col("event_id"), col("event_type"))))
+
+  /** Consecutive-pair counts `(prev_type, next_type, n)` from an event
+    * slice (per-user lag on the event_id sequence key).
+    */
+  private def pairCounts(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-    Tables.events(spark, d)
-      .select(col("user_id"), col("event_id"), col("event_type"))
+    ev
       .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
       .where(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Row-normalization tail over already-counted pairs — shared by the
+    * batch and incremental forms.
+    */
+  private[graft] def transitionsOfPairs(pairs: DataFrame): DataFrame =
+    pairs
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(Exact.sumLong(col("n")).as("n"))
       .withColumn("row_total", sum(col("n")).over(Window.partitionBy(col("prev_type"))))
       .withColumn("ppm", expr("n * 1000000 div row_total"))
       .orderBy("prev_type", "next_type")
+
+  /** [[AnnStore]] kinds for the persisted transition summaries. */
+  private[graft] val TransPairsKind = "evtranspairs-v1"
+  private[graft] val TransLastKind = "evtranslast-v1"
+
+  /** Transition matrix under SUFFIX arrival — the incremental pattern for
+    * LAG-DERIVED aggregates, which plain count merging cannot handle: a
+    * consecutive pair can SPAN the old/new boundary. The slices here are
+    * contiguous in the sequence key (old = `event_id ≤ cut`, new = the
+    * arriving suffix — how a CDC log actually grows), so per user exactly
+    * ONE pair crosses the boundary: (last old event → first new event).
+    * The persisted history therefore contributes two summaries — its pair
+    * counts AND its per-user LAST event type (the boundary state, the
+    * same users-sized state a streaming sessionizer keeps) — and the
+    * merged matrix = old pairs ⊕ within-batch pairs ⊕ boundary pairs,
+    * which HASH-MATCHES the full-log [[eventTransitions]] (shared
+    * oracle). Contrast with the mod-sliced incremental ops: an
+    * interleaved slice would break EVERY consecutive pair, leaving
+    * nothing mergeable — the suffix cut is what makes lag-derived state
+    * maintainable, and the scaladoc records that as the pattern's
+    * precondition.
+    */
+  def incrementalTransitions(spark: SparkSession, d: String,
+      tenthsOld: Int = 9): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    // deterministic suffix cut: the last ~10% of the id range arrives
+    val cut = ev.agg(expr(s"(max(event_id) * $tenthsOld) div 10")).head().getLong(0)
+    val oldEv = ev.filter(col("event_id") <= cut)
+    val newEv = ev.filter(col("event_id") > cut)
+    val pairsOld = Memo(spark, s"ev_trans_pairs|$d|$tenthsOld") {
+      AnnStore.loadOrBuild(spark,
+        AnnStore.path(spark, TransPairsKind, d, s"t$tenthsOld", corpusTable = "events")) {
+        pairCounts(oldEv)
+      }.persist()
+    }
+    val lastOld = Memo(spark, s"ev_trans_last|$d|$tenthsOld") {
+      AnnStore.loadOrBuild(spark,
+        AnnStore.path(spark, TransLastKind, d, s"t$tenthsOld", corpusTable = "events")) {
+        oldEv.groupBy(col("user_id"))
+          .agg(expr("max_by(event_type, event_id)").as("last_type"))
+      }.persist()
+    }
+    val firstNew = newEv.groupBy(col("user_id"))
+      .agg(expr("min_by(event_type, event_id)").as("first_type"))
+    val boundary = lastOld.join(firstNew, Seq("user_id"))
+      .groupBy(col("last_type").as("prev_type"), col("first_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    transitionsOfPairs(
+      pairsOld.unionByName(pairCounts(newEv)).unionByName(boundary))
   }
 
   /** Floor(ts / T), raw ticks → epoch-ms for T ticks per ms, exact for

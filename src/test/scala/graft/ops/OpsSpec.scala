@@ -893,6 +893,18 @@ class OpsSpec extends SparkSuite {
     assert(dks.head == totalDocs, "threshold 0 keeps everything")
   }
 
+  test("incrementalTransitions: boundary-corrected merge reproduces the full log exactly") {
+    val full = Sessions.eventTransitions(spark, sf).collect().toSeq
+    val inc = Sessions.incrementalTransitions(spark, sf).collect().toSeq
+    assert(inc == full)
+    assert(full.nonEmpty)
+    // the suffix really is non-empty (the boundary correction is exercised)
+    val ev = Tables.events(spark, sf).select("event_id").collect().map(_.getLong(0))
+    val cut = ev.max * 9 / 10
+    assert(ev.count(_ > cut) > 0, "degenerate cut: no arriving suffix")
+    assert(ev.count(_ <= cut) > 0, "degenerate cut: no history")
+  }
+
   test("qualitySourceMatrix: ppm row laws; marginals reconcile with the sweep") {
     val m = TextOps.qualitySourceMatrix(spark, sf).collect()
       .map(r => ((r.getString(0), r.getLong(1)),
