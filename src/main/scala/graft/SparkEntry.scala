@@ -170,6 +170,9 @@ object SparkEntry {
     "approx_event_stats_check" -> ((s, d) => Sketches.approxEventStatsCheck(s, d)), // sketch err evidence: rows-only
     // --- event-stream windowing ---
     "session_window" -> ((s, d) => Sessions.sessionize(s, d)),
+    // sessionization under suffix arrival: the open-session boundary state
+    // seeds the suffix pass; bridged sessions stats-merge (shared oracle)
+    "incremental_sessions" -> ((s, d) => Sessions.incrementalSessions(s, d)),
     // cohort-by-first-day retention triangle (window min, no self-join)
     "cohort_retention" -> ((s, d) => Sessions.cohortRetention(s, d)),
     // incremental rung: persisted DAU summary merged with the batch slice
@@ -697,6 +700,25 @@ object SparkEntry {
         |  CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
         |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS ppm
         |FROM g ORDER BY prev_type, next_type""".stripMargin
+
+  /** The session_window oracle SQL, shared verbatim by
+    * incremental_sessions (suffix slices merge exactly via the
+    * open-session boundary state). */
+  private val sessionWindowSql: String =
+    """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ms
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session FROM e
+        |), g AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM f
+        |)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  CAST(min(ms) AS BIGINT) AS start_ms, CAST(max(ms) AS BIGINT) AS end_ms,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_c2
+        |FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "cdc_item_changed" -> (cdcCte +
@@ -1692,21 +1714,8 @@ object SparkEntry {
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_c2
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-    "session_window" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
-        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ms
-        |  FROM events
-        |), f AS (
-        |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session FROM e
-        |), g AS (
-        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
-        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM f
-        |)
-        |SELECT user_id, session_idx, count(*) AS n_events,
-        |  CAST(min(ms) AS BIGINT) AS start_ms, CAST(max(ms) AS BIGINT) AS end_ms,
-        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_c2
-        |FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "session_window" -> sessionWindowSql,
+    "incremental_sessions" -> sessionWindowSql,
     "value_histogram" ->
       """WITH c AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c2 FROM events)
         |SELECT c2 - ((c2 % 1000 + 1000) % 1000) AS bucket_c2,

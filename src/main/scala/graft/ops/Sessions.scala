@@ -15,10 +15,24 @@ object Sessions {
     * flag-sum. One shuffle on `user_id`; both window functions reuse the same
     * partitioning, so the second window adds no exchange.
     */
-  def sessionize(spark: SparkSession, d: String, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+  def sessionize(spark: SparkSession, d: String, gapMs: Long = 30 * 60 * 1000L): DataFrame =
+    sessionsOf(preparedEvents(spark, d), gapMs)
+      .orderBy("user_id", "session_idx")
+
+  /** (user_id, event_id, ms, c2) — the prepared frame the session family
+    * shares. */
+  private def preparedEvents(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
       .withColumn("ms", Sessions.msFloor(spark, d))
+      .select(col("user_id"), col("event_id"), col("ms"),
+        Exact.c2(col("value")).as("c2"))
+
+  /** Gap-based sessionization of a prepared slice (unordered output —
+    * callers add their ORDER BY).
+    */
+  private def sessionsOf(ev: DataFrame, gapMs: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    ev
       .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
@@ -29,7 +43,67 @@ object Sessions {
         count(lit(1)).as("n_events"),
         min(col("ms")).as("start_ms"),
         max(col("ms")).as("end_ms"),
-        Exact.sumLong(Exact.c2(col("value"))).as("total_value_c2"))
+        Exact.sumLong(col("c2")).as("total_value_c2"))
+  }
+
+  /** [[AnnStore]] kind for the persisted old-slice session table. */
+  private[graft] val SessionsKind = "evsessions-v1"
+
+  /** Sessionization under SUFFIX arrival — the flagship of the
+    * boundary-state pattern ([[incrementalTransitions]] documents why a
+    * contiguous cut is the precondition for lag-derived state): the
+    * history persists its SESSION TABLE, whose per-user LAST row is
+    * exactly a streaming sessionizer's open-session state (index + end
+    * time). The arriving suffix sessionizes with that state injected as
+    * each user's seed — the first suffix event's gap test runs against
+    * the open session's end, and session numbering continues from the
+    * open index, so a small first gap BRIDGES the boundary session. A
+    * final full-outer stats-merge on (user, session_idx) folds bridged
+    * sessions (counts add, start takes the old min, end the new max) and
+    * passes every other session through — HASH-MATCHING the full-log
+    * [[sessionize]] (shared oracle). Only the suffix is scanned; the
+    * history enters as its session table.
+    */
+  def incrementalSessions(spark: SparkSession, d: String,
+      gapMs: Long = 30 * 60 * 1000L, tenthsOld: Int = 9): DataFrame = {
+    val ev = preparedEvents(spark, d)
+    val cut = ev.agg(expr(s"(max(event_id) * $tenthsOld) div 10")).head().getLong(0)
+    val oldSessions = Memo(spark, s"ev_sessions|$d|$gapMs|$tenthsOld") {
+      AnnStore.loadOrBuild(spark,
+        AnnStore.path(spark, SessionsKind, d, s"g$gapMs-t$tenthsOld",
+          corpusTable = "events")) {
+        sessionsOf(ev.filter(col("event_id") <= cut), gapMs)
+      }.persist()
+    }
+    val lastState = oldSessions
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("session_idx").desc)))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("session_idx").as("last_idx"),
+        col("end_ms").as("last_end_ms"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val newSessions = ev.filter(col("event_id") > cut)
+      .join(lastState, Seq("user_id"), "left")
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("ref_ms", coalesce(col("prev_ms"), col("last_end_ms")))
+      .withColumn("new_session",
+        when(col("ref_ms").isNull || col("ms") - col("ref_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_idx", coalesce(col("last_idx"), lit(0L)) +
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_new"), min(col("ms")).as("start_new"),
+        max(col("ms")).as("end_new"), Exact.sumLong(col("c2")).as("total_new"))
+    oldSessions
+      .select(col("user_id"), col("session_idx"), col("n_events").as("n_old"),
+        col("start_ms").as("start_old"), col("end_ms").as("end_old"),
+        col("total_value_c2").as("total_old"))
+      .join(newSessions, Seq("user_id", "session_idx"), "full_outer")
+      .select(col("user_id"), col("session_idx"),
+        (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L))).as("n_events"),
+        least(col("start_old"), col("start_new")).as("start_ms"),
+        greatest(col("end_old"), col("end_new")).as("end_ms"),
+        (coalesce(col("total_old"), lit(0L)) + coalesce(col("total_new"), lit(0L)))
+          .as("total_value_c2"))
       .orderBy("user_id", "session_idx")
   }
 

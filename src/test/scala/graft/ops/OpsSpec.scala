@@ -905,6 +905,32 @@ class OpsSpec extends SparkSuite {
     assert(ev.count(_ <= cut) > 0, "degenerate cut: no history")
   }
 
+  test("incrementalSessions: boundary-state merge reproduces the full log; a bridge is exercised") {
+    val full = Sessions.sessionize(spark, sf).collect().toSeq
+    val inc = Sessions.incrementalSessions(spark, sf).collect().toSeq
+    assert(inc == full)
+    assert(full.nonEmpty)
+    // exercise the BRIDGE path explicitly: at the default 30-min gap this
+    // corpus has no boundary session spanning the cut, so derive a gap
+    // wide enough that at least one user's first suffix event continues
+    // the open session, and re-check equality there
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), Sessions.msFloor(spark, sf).as("ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cut = ev.map(_._2).max * 9 / 10
+    val boundaryGaps = ev.groupBy(_._1).values.flatMap { rs =>
+      val (old, nw) = rs.sortBy(_._2).partition(_._2 <= cut)
+      if (old.nonEmpty && nw.nonEmpty) Some(nw.head._3 - old.last._3) else None
+    }
+    assert(boundaryGaps.nonEmpty, "degenerate cut: no user spans it")
+    val wideGap = boundaryGaps.min + 1L
+    val fullWide = Sessions.sessionize(spark, sf, wideGap).collect().toSeq
+    val incWide = Sessions.incrementalSessions(spark, sf, wideGap).collect().toSeq
+    assert(incWide == fullWide, "bridged merge diverged from the full log")
+    // and the wide gap really bridges at least one boundary session
+    assert(boundaryGaps.count(_ <= wideGap) > 0)
+  }
+
   test("qualitySourceMatrix: ppm row laws; marginals reconcile with the sweep") {
     val m = TextOps.qualitySourceMatrix(spark, sf).collect()
       .map(r => ((r.getString(0), r.getLong(1)),
