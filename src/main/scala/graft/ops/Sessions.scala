@@ -46,6 +46,14 @@ object Sessions {
         Exact.sumLong(col("c2")).as("total_value_c2"))
   }
 
+  /** The suffix cut: the last ~(10−tenthsOld)/10 of the event_id range is
+    * "arriving". Shared by every boundary-state operator AND their specs
+    * (the dayIdxExpr rule: shared so a change can't silently miss a
+    * hand-inlined copy).
+    */
+  private[graft] def suffixCut(ev: DataFrame, tenthsOld: Int): Long =
+    ev.agg(expr(s"(max(event_id) * $tenthsOld) div 10")).head().getLong(0)
+
   /** [[AnnStore]] kind for the persisted old-slice session table. */
   private[graft] val SessionsKind = "evsessions-v1"
 
@@ -63,11 +71,18 @@ object Sessions {
     * passes every other session through — HASH-MATCHING the full-log
     * [[sessionize]] (shared oracle). Only the suffix is scanned; the
     * history enters as its session table.
+    *
+    * DATA CONTRACT: the open session's gap reference is its `end_ms`
+    * (the session's max ms), which equals the full-log lag reference —
+    * the last old EVENT's ms — only because `ts` is monotone in
+    * `event_id` per user (the same contract [[Temporal.temporalJoin]]
+    * documents; the raw-events monotonicity tripwire in OpsSpec guards a
+    * testdata regeneration breaking it).
     */
   def incrementalSessions(spark: SparkSession, d: String,
       gapMs: Long = 30 * 60 * 1000L, tenthsOld: Int = 9): DataFrame = {
     val ev = preparedEvents(spark, d)
-    val cut = ev.agg(expr(s"(max(event_id) * $tenthsOld) div 10")).head().getLong(0)
+    val cut = suffixCut(ev, tenthsOld)
     val oldSessions = Memo(spark, s"ev_sessions|$d|$gapMs|$tenthsOld") {
       AnnStore.loadOrBuild(spark,
         AnnStore.path(spark, SessionsKind, d, s"g$gapMs-t$tenthsOld",
@@ -331,8 +346,7 @@ object Sessions {
       tenthsOld: Int = 9): DataFrame = {
     val ev = Tables.events(spark, d)
       .select(col("user_id"), col("event_id"), col("event_type"))
-    // deterministic suffix cut: the last ~10% of the id range arrives
-    val cut = ev.agg(expr(s"(max(event_id) * $tenthsOld) div 10")).head().getLong(0)
+    val cut = suffixCut(ev, tenthsOld)
     val oldEv = ev.filter(col("event_id") <= cut)
     val newEv = ev.filter(col("event_id") > cut)
     val pairsOld = Memo(spark, s"ev_trans_pairs|$d|$tenthsOld") {
@@ -351,6 +365,9 @@ object Sessions {
     val firstNew = newEv.groupBy(col("user_id"))
       .agg(expr("min_by(event_type, event_id)").as("first_type"))
     val boundary = lastOld.join(firstNew, Seq("user_id"))
+      // parity with pairCounts/the oracle: a NULL prev (lag's first row in
+      // the full log; a NULL-typed last old event here) produces no pair
+      .where(col("last_type").isNotNull)
       .groupBy(col("last_type").as("prev_type"), col("first_type").as("next_type"))
       .agg(count(lit(1)).as("n"))
     transitionsOfPairs(

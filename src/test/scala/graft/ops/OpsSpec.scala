@@ -899,8 +899,9 @@ class OpsSpec extends SparkSuite {
     assert(inc == full)
     assert(full.nonEmpty)
     // the suffix really is non-empty (the boundary correction is exercised)
-    val ev = Tables.events(spark, sf).select("event_id").collect().map(_.getLong(0))
-    val cut = ev.max * 9 / 10
+    val evFrame = Tables.events(spark, sf).select(col("event_id"))
+    val cut = Sessions.suffixCut(evFrame, 9)
+    val ev = evFrame.collect().map(_.getLong(0))
     assert(ev.count(_ > cut) > 0, "degenerate cut: no arriving suffix")
     assert(ev.count(_ <= cut) > 0, "degenerate cut: no history")
   }
@@ -914,21 +915,46 @@ class OpsSpec extends SparkSuite {
     // corpus has no boundary session spanning the cut, so derive a gap
     // wide enough that at least one user's first suffix event continues
     // the open session, and re-check equality there
-    val ev = Tables.events(spark, sf)
+    val evFrame = Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"), Sessions.msFloor(spark, sf).as("ms"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val cut = ev.map(_._2).max * 9 / 10
-    val boundaryGaps = ev.groupBy(_._1).values.flatMap { rs =>
-      val (old, nw) = rs.sortBy(_._2).partition(_._2 <= cut)
-      if (old.nonEmpty && nw.nonEmpty) Some(nw.head._3 - old.last._3) else None
-    }
-    assert(boundaryGaps.nonEmpty, "degenerate cut: no user spans it")
-    val wideGap = boundaryGaps.min + 1L
+    val ev = evFrame.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cut = Sessions.suffixCut(evFrame, 9)
+    val perUser = ev.groupBy(_._1).view.mapValues { rs =>
+      rs.sortBy(_._2).partition(_._2 <= cut)
+    }.filter { case (_, (old, nw)) => old.nonEmpty && nw.nonEmpty }.toMap
+    assert(perUser.nonEmpty, "degenerate cut: no user spans it")
+    val wideGap = perUser.values.map { case (old, nw) => nw.head._3 - old.last._3 }.min + 1L
     val fullWide = Sessions.sessionize(spark, sf, wideGap).collect().toSeq
     val incWide = Sessions.incrementalSessions(spark, sf, wideGap).collect().toSeq
     assert(incWide == fullWide, "bridged merge diverged from the full log")
-    // and the wide gap really bridges at least one boundary session
-    assert(boundaryGaps.count(_ <= wideGap) > 0)
+    // pin the bridge on the OUTPUT (not the inputs the gap derives from):
+    // some emitted session must span the cut — starting at/before a
+    // bridged user's last old event and ending at/after their first new
+    val bridgedUsers = perUser.collect {
+      case (u, (old, nw)) if nw.head._3 - old.last._3 <= wideGap => (u, old.last._3, nw.head._3)
+    }
+    val incRows = incWide.map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(bridgedUsers.exists { case (u, lastOldMs, firstNewMs) =>
+      incRows.exists { case (ru, start, end) =>
+        ru == u && start <= lastOldMs && end >= firstNewMs
+      }
+    }, "no emitted session spans the cut — the bridge merge went untested")
+  }
+
+  test("raw-events tripwire: ts is monotone in event_id per user (boundary-state precondition)") {
+    // incrementalSessions' open-session gap reference and temporalJoin's
+    // range tiling both rest on this; a silent testdata regeneration that
+    // breaks it must fail HERE, not as an oracle mystery
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), Sessions.msFloor(spark, sf).as("ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    ev.groupBy(_._1).foreach { case (u, rs) =>
+      val ms = rs.sortBy(_._2).map(_._3)
+      ms.sliding(2).foreach {
+        case Array(a, b) => assert(a <= b, s"user $u: ts not monotone in event_id")
+        case _ =>
+      }
+    }
   }
 
   test("qualitySourceMatrix: ppm row laws; marginals reconcile with the sweep") {
