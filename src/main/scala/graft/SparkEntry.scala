@@ -116,6 +116,9 @@ object SparkEntry {
     // incremental rung: persisted per-(type,day) sums merged with the
     // batch slice — hash-matches the full-log CUSUM (shared oracle)
     "incremental_changepoint" -> ((s, d) => Temporal.incrementalChangepoint(s, d)),
+    // watermark-choice diagnostic: segment+carry-in running max; the
+    // oracle is the NAIVE global window — hash-match proves the decomposition
+    "lateness_profile" -> ((s, d) => Temporal.latenessProfile(s, d)),
     // exact daily p50/p95 bands: small-by-construction cell rank windows
     "daily_value_bands" -> ((s, d) => Temporal.dailyValueBands(s, d)),
     // seasonal-naive backtest: the integer-exact forecasting baseline
@@ -1401,6 +1404,26 @@ object SparkEntry {
         |FROM den d LEFT JOIN num n USING (day_offset) ORDER BY day_offset""".stripMargin,
     "cohort_retention" -> cohortRetentionSql,
     "incremental_cohort" -> cohortRetentionSql,
+    "lateness_profile" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_ms(ts) AS ms FROM events
+        |), r AS (
+        |  SELECT event_type, ms,
+        |    max(ms) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+        |  FROM e
+        |), l AS (
+        |  SELECT event_type,
+        |    CASE WHEN run_max > ms THEN run_max - ms ELSE 0 END AS late_ms
+        |  FROM r
+        |)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(max(late_ms) AS BIGINT) AS max_late_ms,
+        |  CAST(sum(late_ms) AS BIGINT) AS late_sum_ms,
+        |  CAST(sum(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) * 1000000
+        |       // count(*) AS BIGINT) AS late_ppm
+        |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
     "daily_value_bands" ->
       """WITH v AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,

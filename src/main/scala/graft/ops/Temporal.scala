@@ -511,6 +511,49 @@ object Temporal {
     * (map-side combinable, single shuffle), then a 4-row unpivot of the
     * global stage counts — no self-joins, no per-stage passes over the log.
     */
+  /** Event-time lateness profile per type: how far `ts` regresses behind
+    * the running event-time maximum in ARRIVAL order (`event_id`) — the
+    * number that chooses a Structured Streaming watermark (`max_late_ms`
+    * bounds `withWatermark`; `late_ppm` says what a tighter bound drops).
+    * The naive formula is one running-max window per type — a whole-type
+    * sort in one task at 100 TB — so the engine computes it as the
+    * segment + carry-in decomposition instead: arrival segments of
+    * `segSize` ids get a within-segment running max, and the cross-
+    * segment prefix max carries in via a segments-sized window, exactly
+    * like the session/transition boundary state. The DuckDB oracle
+    * deliberately uses the NAIVE global-window formula — the hash-match
+    * is the proof that the scalable decomposition computes the same
+    * thing. All lateness is exact integer ms; `late_ppm` integral-div.
+    */
+  def latenessProfile(spark: SparkSession, d: String,
+      segSize: Long = 65536L): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("event_type"), col("event_id"),
+        Sessions.msFloor(spark, d).as("ms"))
+      .withColumn("seg", expr(s"event_id div ${segSize}L"))
+    val segMax = ev.groupBy(col("event_type"), col("seg"))
+      .agg(max(col("ms")).as("seg_max"))
+      .withColumn("prev_segs_max", max(col("seg_max")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("seg"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("event_type"), col("seg"), col("prev_segs_max"))
+    val byCell = Window.partitionBy(col("event_type"), col("seg")).orderBy(col("event_id"))
+    ev.join(segMax, Seq("event_type", "seg"))
+      .withColumn("run_max_cell", max(col("ms")).over(
+        byCell.rowsBetween(Window.unboundedPreceding, -1)))
+      // greatest ignores nulls; null for the very first arrival of a type
+      .withColumn("run_max", greatest(col("run_max_cell"), col("prev_segs_max")))
+      .withColumn("late_ms",
+        when(col("run_max") > col("ms"), col("run_max") - col("ms")).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.sumLong(when(col("late_ms") > 0L, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_ms")).as("max_late_ms"),
+        Exact.sumLong(col("late_ms")).as("late_sum_ms"))
+      .withColumn("late_ppm", expr("n_late * 1000000 div n_events"))
+      .orderBy("event_type")
+  }
+
   /** Daily per-type value bands: exact discrete p50/p95 cents per
     * (event_type, day) — the SLO dashboard readout ("daily p95"). Unlike
     * the big-group percentile ops (which use the

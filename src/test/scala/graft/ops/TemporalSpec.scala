@@ -316,6 +316,31 @@ class TemporalSpec extends SparkSuite {
       s"priority sample not weight-biased: $sampleMean <= $corpusMean")
   }
 
+  test("latenessProfile: naive driver recompute; segment-size invariant") {
+    val out = Temporal.latenessProfile(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), Sessions.msFloor(spark, sf).as("ms"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = ev.groupBy(_._1).map { case (et, rs) =>
+      val ordered = rs.sortBy(_._2).map(_._3)
+      var runMax = Long.MinValue
+      val lates = ordered.map { ms =>
+        val l = if (runMax > ms) runMax - ms else 0L
+        runMax = math.max(runMax, ms)
+        l
+      }
+      (et, (ordered.length.toLong, lates.count(_ > 0).toLong, lates.max,
+        lates.sum, lates.count(_ > 0).toLong * 1000000L / ordered.length))
+    }
+    assert(out == want)
+    // the carry-in decomposition is segment-size invariant (tiny segments
+    // force many cross-segment carries)
+    val tiny = Temporal.latenessProfile(spark, sf, segSize = 4L).collect().toSeq
+    assert(tiny == Temporal.latenessProfile(spark, sf).collect().toSeq)
+  }
+
   test("dailyValueBands: exact rank selections recompute per cell") {
     val out = Temporal.dailyValueBands(spark, sf).collect()
       .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
