@@ -274,7 +274,11 @@ object PlanDoc {
     "retention_curve" -> ("Aggregated retention: everything after the DAU aggregation operates " +
       "on days^2-bounded triangle/spine frames — the observability join " +
       "(cohort+o <= max_day) is broadcast on both tiny sides, so the curve costs one log " +
-      "scan regardless of corpus size."))
+      "scan regardless of corpus size."),
+    "lateness_profile" -> ("Watermark diagnostic: the running max decomposes into " +
+      "within-segment windows (partitioned by (type, event_id div 64k) — bounded per-task " +
+      "sorts) plus a segments-sized carry-in prefix max; the oracle's naive whole-type window " +
+      "hash-matching this plan is the decomposition proof."))
 
   /** Strip run-nondeterministic tokens (JVM lambda addresses, object
     * hashes, AQE plan/stage ids, expression ids) so a regenerated PLANS.md
