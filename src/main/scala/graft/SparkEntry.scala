@@ -651,8 +651,8 @@ object SparkEntry {
         |  FROM st JOIN ns USING (source)
         |)
         |SELECT sc.source,
-        |  CAST(sum(c_st * (lp_s - lp_c)) AS BIGINT) AS kl_sum_e6,
-        |  CAST(sum(-c_st * lp_c) AS BIGINT) AS xent_sum_e6,
+        |  CAST(sum(CAST(c_st AS HUGEINT) * (lp_s - lp_c)) AS BIGINT) AS kl_sum_e6,
+        |  CAST(sum(-CAST(c_st AS HUGEINT) * lp_c) AS BIGINT) AS xent_sum_e6,
         |  CAST(sum(c_st) AS BIGINT) AS n_tokens,
         |  count(*) AS n_terms
         |FROM sc JOIN lm USING (tok) GROUP BY 1 ORDER BY source""".stripMargin

@@ -258,6 +258,13 @@ object Scoring {
       .select(col("tok"),
         floor(log(col("c_t").cast("double") / col("n")) * lit(1000000.0))
           .cast("long").as("lp_c"))
+    // the per-row products are formed in DECIMAL(38,0), not Long: c_st is a
+    // corpus-wide per-(source,token) count, so at 100 TB a stop-word count
+    // (~1e11-1e12) times an e6-scaled rare-token log-prob (~1e7) exceeds
+    // Long.Max and Spark would wrap silently while DuckDB raises (r16
+    // ADVICE; the join_explosion_check overflow precedent). The oracle
+    // mirrors with HUGEINT casts before its multiplies.
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     st.join(broadcast(srcTot), Seq("source"))
       .withColumn("lp_s",
         floor(log(col("c_st").cast("double") / col("n_s")) * lit(1000000.0))
@@ -265,8 +272,10 @@ object Scoring {
       .join(lmC, Seq("tok"))
       .groupBy(col("source"))
       .agg(
-        Exact.sumLong(col("c_st") * (col("lp_s") - col("lp_c"))).as("kl_sum_e6"),
-        Exact.sumLong(-col("c_st") * col("lp_c")).as("xent_sum_e6"),
+        Exact.sumLong(col("c_st").cast(dec38) *
+          (col("lp_s") - col("lp_c")).cast(dec38)).as("kl_sum_e6"),
+        Exact.sumLong(-col("c_st").cast(dec38) * col("lp_c").cast(dec38))
+          .as("xent_sum_e6"),
         Exact.sumLong(col("c_st")).as("n_tokens"),
         count(lit(1)).as("n_terms"))
       .orderBy("source")

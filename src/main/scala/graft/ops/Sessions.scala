@@ -49,10 +49,14 @@ object Sessions {
   /** The suffix cut: the last ~(10−tenthsOld)/10 of the event_id range is
     * "arriving". Shared by every boundary-state operator AND their specs
     * (the dayIdxExpr rule: shared so a change can't silently miss a
-    * hand-inlined copy).
+    * hand-inlined copy). On an EMPTY slice `max(event_id)` is NULL; the
+    * coalesce degrades the cut to 0, i.e. the caller's "history" is empty
+    * and everything routes through its cold-start/suffix path instead of
+    * NPE-ing on the null aggregate (r16 ADVICE).
     */
   private[graft] def suffixCut(ev: DataFrame, tenthsOld: Int): Long =
-    ev.agg(expr(s"(max(event_id) * $tenthsOld) div 10")).head().getLong(0)
+    ev.agg(expr(s"coalesce((max(event_id) * $tenthsOld) div 10, 0)"))
+      .head().getLong(0)
 
   /** [[AnnStore]] kind for the persisted old-slice session table. */
   private[graft] val SessionsKind = "evsessions-v1"

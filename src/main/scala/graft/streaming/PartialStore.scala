@@ -45,11 +45,26 @@ private[graft] object PartialStore {
     ()
   }
 
-  /** Fold partitions `batch_id <= upTo` into one summed `batch_id = upTo`
-    * partition written to `outDir` — probe-transparent because integer
-    * sums reassociate freely. Returns the folded store's row count (the
-    * frame is persisted across the count and the write, so the fold runs
-    * once).
+  /** The partition id folded history lands in: a SENTINEL no real trigger
+    * can own (foreachBatch ids are ≥ 0), so a replay of ANY batch —
+    * including the fold point itself — can neither hide the folded
+    * history from its own-partition-exclusion probe nor destroy it with
+    * its dynamic-partition overwrite (r16 ADVICE: folding into
+    * `batch_id = upTo` made safety rest on the caller never replaying
+    * `upTo`). A later compaction re-folds the sentinel partition
+    * (−1 ≤ upTo always), so repeated compactions compose.
+    */
+  val FoldedBatchId: Long = -1L
+
+  /** Fold partitions `batch_id <= upTo` into one summed
+    * `batch_id = `[[FoldedBatchId]] partition written to `outDir` —
+    * probe-transparent because integer sums reassociate freely and no
+    * probe excludes the sentinel. Returns the folded store's row count
+    * (the frame is persisted across the count and the write, so the fold
+    * runs once). CALLER CONTRACT: fold only COMMITTED batches — the
+    * sentinel makes a fold-point replay non-destructive (it can no longer
+    * hide or overwrite folded history), but an uncommitted batch folded
+    * here would still double-count its own mass when it replays.
     */
   def compactSummed(spark: SparkSession, storeDir: String, outDir: String,
       upTo: Long, empty: DataFrame, keyCols: Seq[String], sumCol: String): Long = {
@@ -57,7 +72,7 @@ private[graft] object PartialStore {
     val folded = all.filter(col("batch_id") <= upTo)
       .groupBy(keyCols.map(col): _*)
       .agg(Exact.sumLong(col(sumCol)).as(sumCol))
-      .withColumn("batch_id", lit(upTo))
+      .withColumn("batch_id", lit(FoldedBatchId))
       .select(empty.columns.toSeq.map(col): _*)
       .unionByName(all.filter(col("batch_id") > upTo))
       .persist()

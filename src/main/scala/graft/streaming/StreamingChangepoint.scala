@@ -78,7 +78,8 @@ object StreamingChangepoint {
   def readDailyStore(spark: SparkSession, storeDir: String): DataFrame =
     PartialStore.read(spark, storeDir, emptyStore(spark))
 
-  /** Fold partitions `batch_id <= upTo` into one summed `batch_id = upTo`
+  /** Fold partitions `batch_id <= upTo` into one summed sentinel
+    * `batch_id = -1` ([[PartialStore.FoldedBatchId]])
     * partition written to a NEW `outDir` ([[PartialStore.compactSummed]] —
     * the repoint convention, probe-transparent by integer reassociation).
     */

@@ -49,8 +49,9 @@ class PartialStoreSpec extends SparkSuite {
       assert(keyedSums(PartialStore.read(spark, store, emptyStore).drop("batch_id"))
         .filter(_._2 != 0L) == expect.filter(_._2 != 0L))
 
-      // compaction at every fold point preserves the keyed sums and keeps
-      // the uncompacted partitions' ids
+      // compaction at every fold point preserves the keyed sums, lands the
+      // fold in the unownable sentinel partition, and keeps the
+      // uncompacted partitions' ids
       (0L to 3L).foreach { upTo =>
         val out = graft.ops.Scratch.dir(s"pstore_prop_${trial}_c$upTo").toString + "/s"
         PartialStore.compactSummed(spark, store, out, upTo, emptyStore,
@@ -60,7 +61,31 @@ class PartialStoreSpec extends SparkSuite {
           expect.filter(_._2 != 0L), s"fold at $upTo lost mass")
         val ids = compacted.select("batch_id").distinct()
           .collect().map(_.getLong(0)).toSet
-        assert(ids.filter(_ < upTo).isEmpty, s"fold at $upTo left stale partitions")
+        assert(ids.filter(b => b >= 0 && b <= upTo).isEmpty,
+          s"fold at $upTo left stale partitions")
+        assert(!ids.contains(upTo) || upTo > 3L,
+          s"fold at $upTo landed in an ownable partition")
+
+        // the r16-ADVICE scenario: batch `upTo` REPLAYS against the
+        // compacted store. Under the old fold-into-`upTo` layout the
+        // replay's own-partition-exclusion probe dropped ALL folded
+        // history and its overwrite then destroyed it; with the sentinel
+        // the probe still sees every folded batch and the overwrite
+        // touches only partition `upTo`. (Exactness of the fold point's
+        // OWN mass stays a caller contract — fold only committed
+        // batches — which is why the probe below equals the full sums,
+        // `upTo`'s first attempt included.)
+        PartialStore.write(batches(upTo.toInt).toDF("k1", "k2", "v"), upTo, out)
+        val probe = PartialStore.read(spark, out, emptyStore)
+          .filter(col("batch_id") =!= upTo).drop("batch_id")
+        assert(keyedSums(probe).filter(_._2 != 0L) == expect.filter(_._2 != 0L),
+          s"replay of fold point $upTo hid folded history from the probe")
+        val sentinelSums = keyedSums(PartialStore.read(spark, out, emptyStore)
+          .filter(col("batch_id") === PartialStore.FoldedBatchId).drop("batch_id"))
+        val foldedExpect = batches.take(upTo.toInt + 1).flatten
+          .groupBy(t => (t._1, t._2)).map { case (k, rs) => (k, rs.map(_._3).sum) }
+        assert(sentinelSums.filter(_._2 != 0L) == foldedExpect.filter(_._2 != 0L),
+          s"replay of fold point $upTo destroyed the sentinel partition")
       }
     }
   }

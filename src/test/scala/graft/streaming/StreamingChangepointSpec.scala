@@ -84,6 +84,6 @@ class StreamingChangepointSpec extends SparkSuite {
     // and the fold really shrank to one partition's worth of rows
     val ids = StreamingChangepoint.readDailyStore(spark, compacted)
       .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
-    assert(ids == Set(2L))
+    assert(ids == Set(PartialStore.FoldedBatchId))
   }
 }

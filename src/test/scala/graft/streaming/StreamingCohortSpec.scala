@@ -78,7 +78,7 @@ class StreamingCohortSpec extends SparkSuite {
       "compacted store probe diverged")
     val ids = StreamingCohort.readDauStore(spark, compacted)
       .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
-    assert(ids == Set(2L))
+    assert(ids == Set(PartialStore.FoldedBatchId))
   }
 
   test("a late batch carrying a user's earliest-ever day moves the cohort") {

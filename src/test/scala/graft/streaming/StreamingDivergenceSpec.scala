@@ -81,6 +81,6 @@ class StreamingDivergenceSpec extends SparkSuite {
       "compacted store probe diverged")
     val ids = StreamingDivergence.readCountStore(spark, compacted)
       .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
-    assert(ids == Set(2L))
+    assert(ids == Set(PartialStore.FoldedBatchId))
   }
 }
