@@ -183,6 +183,9 @@ object SparkEntry {
     "incremental_cohort" -> ((s, d) => Sessions.incrementalCohortRetention(s, d)),
     // aggregated D-n retention with observability-correct denominators
     "retention_curve" -> ((s, d) => Sessions.retentionCurve(s, d)),
+    // incremental rung riding the SAME persisted DAU store as
+    // incremental_cohort — hash-matches the full-log curve
+    "incremental_retention" -> ((s, d) => Sessions.incrementalRetentionCurve(s, d)),
     // first-order Markov transition matrix with integer ppm row shares
     "event_transitions" -> ((s, d) => Sessions.eventTransitions(s, d)),
     // incremental rung under SUFFIX arrival: persisted pair counts + the
@@ -670,6 +673,37 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM ud JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** The retention_curve oracle SQL, shared verbatim by
+    * incremental_retention (the merged DAU summary reproduces the
+    * triangle, hence the curve and its observability-restricted
+    * denominators). */
+  private val retentionCurveSql: String =
+    """WITH ud AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+        |), c AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1
+        |), tri AS (
+        |  SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+        |    CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users
+        |  FROM ud JOIN c USING (user_id) GROUP BY 1, 2
+        |), lims AS (
+        |  SELECT max(cohort_day + day_offset) AS max_day, min(cohort_day) AS min_cohort FROM tri
+        |), spine AS (
+        |  SELECT unnest(range(0, max_day - min_cohort + 1)) AS day_offset FROM lims
+        |), sizes AS (
+        |  SELECT cohort_day, n_users AS cohort_size FROM tri WHERE day_offset = 0
+        |), num AS (
+        |  SELECT day_offset, CAST(sum(n_users) AS BIGINT) AS n_retained FROM tri GROUP BY 1
+        |), den AS (
+        |  SELECT s.day_offset, CAST(sum(z.cohort_size) AS BIGINT) AS denom_users
+        |  FROM spine s CROSS JOIN lims JOIN sizes z ON z.cohort_day + s.day_offset <= lims.max_day
+        |  GROUP BY 1
+        |)
+        |SELECT d.day_offset,
+        |  CAST(coalesce(n.n_retained, 0) AS BIGINT) AS n_retained, d.denom_users,
+        |  CAST(coalesce(n.n_retained, 0) * 1000000 // d.denom_users AS BIGINT) AS retained_ppm
+        |FROM den d LEFT JOIN num n USING (day_offset) ORDER BY day_offset""".stripMargin
 
   /** The seasonal_forecast oracle SQL, shared verbatim by
     * incremental_forecast (daily sums merge exactly). */
@@ -1376,32 +1410,12 @@ object SparkEntry {
     // disjoint integer slices merge exactly: the incremental form is
     // pinned to the SAME full-log SQL (the hash-match IS the claim)
     "incremental_changepoint" -> eventChangepointSql,
-    "retention_curve" ->
-      """WITH ud AS (
-        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
-        |), c AS (
-        |  SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1
-        |), tri AS (
-        |  SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
-        |    CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users
-        |  FROM ud JOIN c USING (user_id) GROUP BY 1, 2
-        |), lims AS (
-        |  SELECT max(cohort_day + day_offset) AS max_day, min(cohort_day) AS min_cohort FROM tri
-        |), spine AS (
-        |  SELECT unnest(range(0, max_day - min_cohort + 1)) AS day_offset FROM lims
-        |), sizes AS (
-        |  SELECT cohort_day, n_users AS cohort_size FROM tri WHERE day_offset = 0
-        |), num AS (
-        |  SELECT day_offset, CAST(sum(n_users) AS BIGINT) AS n_retained FROM tri GROUP BY 1
-        |), den AS (
-        |  SELECT s.day_offset, CAST(sum(z.cohort_size) AS BIGINT) AS denom_users
-        |  FROM spine s CROSS JOIN lims JOIN sizes z ON z.cohort_day + s.day_offset <= lims.max_day
-        |  GROUP BY 1
-        |)
-        |SELECT d.day_offset,
-        |  CAST(coalesce(n.n_retained, 0) AS BIGINT) AS n_retained, d.denom_users,
-        |  CAST(coalesce(n.n_retained, 0) * 1000000 // d.denom_users AS BIGINT) AS retained_ppm
-        |FROM den d LEFT JOIN num n USING (day_offset) ORDER BY day_offset""".stripMargin,
+    "retention_curve" -> retentionCurveSql,
+    // the incremental form rides the SAME persisted DAU summary as
+    // incremental_cohort and is pinned to the SAME full-log SQL (the
+    // hash-match IS the claim: merged DAU ⇒ identical curve, including
+    // the observability-restricted denominators)
+    "incremental_retention" -> retentionCurveSql,
     "cohort_retention" -> cohortRetentionSql,
     "incremental_cohort" -> cohortRetentionSql,
     "lateness_profile" ->

@@ -236,7 +236,16 @@ object Sessions {
     * merged DAU rows, so no per-user firsts column can go stale.
     */
   def incrementalCohortRetention(spark: SparkSession, d: String,
-      batchMod: Int = 10): DataFrame = {
+      batchMod: Int = 10): DataFrame =
+    cohortOfDau(incrementalDauMerged(spark, d, batchMod))
+
+  /** The merged DAU frame `(user_id, day, n)` = persisted history summary
+    * ⊕ arriving batch — the ONE store the incremental retention family
+    * ([[incrementalCohortRetention]], [[incrementalRetentionCurve]])
+    * shares.
+    */
+  private def incrementalDauMerged(spark: SparkSession, d: String,
+      batchMod: Int): DataFrame = {
     val ev = Tables.events(spark, d)
       .select(col("event_id"), col("user_id"), Sessions.dayIdx(spark, d).as("day"))
     val isNew = pmod(col("event_id"), lit(batchMod)) === 0
@@ -249,10 +258,9 @@ object Sessions {
     }
     val dauNew = ev.filter(isNew).groupBy(col("user_id"), col("day"))
       .agg(count(lit(1)).as("n_new"))
-    val merged = dauOld.join(dauNew, Seq("user_id", "day"), "full_outer")
+    dauOld.join(dauNew, Seq("user_id", "day"), "full_outer")
       .select(col("user_id"), col("day"),
         (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L))).as("n"))
-    cohortOfDau(merged)
   }
 
   /** The aggregated retention curve ("D1/D7/D30 retention"): for each day
@@ -266,8 +274,27 @@ object Sessions {
     * cells need no explicit observability filter: a triangle cell at
     * offset o implies activity at `cohort+o ≤ max_day` by construction.
     */
-  def retentionCurve(spark: SparkSession, d: String): DataFrame = {
-    val tri = cohortRetention(spark, d)
+  def retentionCurve(spark: SparkSession, d: String): DataFrame =
+    retentionCurveOfTriangle(cohortRetention(spark, d))
+
+  /** Retention curve under log growth — the incremental rung: rides the
+    * SAME persisted DAU summary as [[incrementalCohortRetention]] (one
+    * store serves the whole retention family), derives the triangle from
+    * the merged DAU rows, and aggregates the curve from the triangle. The
+    * oracle pins it to the full-log [[retentionCurve]] SQL verbatim —
+    * hash-match ⇒ incremental ≡ full recompute, including the
+    * observability-restricted denominators (they re-derive from the
+    * merged triangle's edge, so a batch that EXTENDS max_day
+    * automatically re-restricts every offset's denominator).
+    */
+  def incrementalRetentionCurve(spark: SparkSession, d: String,
+      batchMod: Int = 10): DataFrame =
+    retentionCurveOfTriangle(cohortOfDau(incrementalDauMerged(spark, d, batchMod)))
+
+  /** The curve tail over an already-built retention triangle — shared by
+    * the batch and incremental forms.
+    */
+  private[graft] def retentionCurveOfTriangle(tri: DataFrame): DataFrame = {
     val lims = tri.agg(
       max(col("cohort_day") + col("day_offset")).as("max_day"),
       min(col("cohort_day")).as("min_cohort"))

@@ -851,6 +851,25 @@ class OpsSpec extends SparkSuite {
     out.map(_._2._2).sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
   }
 
+  test("incrementalRetentionCurve: DAU-store merge reproduces the full-log curve; " +
+      "denominators re-derive") {
+    val full = Sessions.retentionCurve(spark, sf).collect().toSeq
+    val inc = Sessions.incrementalRetentionCurve(spark, sf).collect().toSeq
+    assert(inc == full)
+    assert(full.nonEmpty)
+    // the observability restriction re-derives from the incremental
+    // triangle's own edge: denom(o) = Σ cohort sizes with cohort + o ≤ max
+    val tri = Sessions.incrementalCohortRetention(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val maxDay = tri.map { case ((c, o), _) => c + o }.max
+    val sizes = tri.collect { case ((c, 0L), n) => (c, n) }.toMap
+    inc.foreach { r =>
+      val o = r.getLong(0)
+      val den = sizes.collect { case (c, n) if c + o <= maxDay => n }.sum
+      assert(r.getLong(2) == den, s"denominator at offset $o")
+    }
+  }
+
   test("eventTransitions: counts and floored ppm recompute; row shares sum to ~1e6") {
     val out = Sessions.eventTransitions(spark, sf).collect()
       .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
