@@ -28,9 +28,10 @@ object Sessions {
         Exact.c2(col("value")).as("c2"))
 
   /** Gap-based sessionization of a prepared slice (unordered output —
-    * callers add their ORDER BY).
+    * callers add their ORDER BY). private[graft]: the streaming monitor's
+    * spec uses it to derive prefix expectations.
     */
-  private def sessionsOf(ev: DataFrame, gapMs: Long): DataFrame = {
+  private[graft] def sessionsOf(ev: DataFrame, gapMs: Long): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     ev
       .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))

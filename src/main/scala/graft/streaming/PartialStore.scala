@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 
 import graft.ops.Exact
@@ -67,11 +67,25 @@ private[graft] object PartialStore {
     * here would still double-count its own mass when it replays.
     */
   def compactSummed(spark: SparkSession, storeDir: String, outDir: String,
-      upTo: Long, empty: DataFrame, keyCols: Seq[String], sumCol: String): Long = {
+      upTo: Long, empty: DataFrame, keyCols: Seq[String], sumCol: String): Long =
+    compactFolded(spark, storeDir, outDir, upTo, empty, keyCols,
+      Seq(Exact.sumLong(col(sumCol)).as(sumCol)))
+
+  /** [[compactSummed]] generalized to ANY associative-commutative per-key
+    * fold (e.g. the session fold: sum counts, min start, max end, sum
+    * totals) — `aggs` must name their outputs after the payload columns
+    * they fold so the empty frame's column order re-selects cleanly.
+    * Probe transparency needs exactly the algebraic properties
+    * compactSummed's integer sums have: the fold must reassociate across
+    * the partition regrouping, which every (sum, min, max) combination
+    * does.
+    */
+  def compactFolded(spark: SparkSession, storeDir: String, outDir: String,
+      upTo: Long, empty: DataFrame, keyCols: Seq[String], aggs: Seq[Column]): Long = {
     val all = read(spark, storeDir, empty)
     val folded = all.filter(col("batch_id") <= upTo)
       .groupBy(keyCols.map(col): _*)
-      .agg(Exact.sumLong(col(sumCol)).as(sumCol))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("batch_id", lit(FoldedBatchId))
       .select(empty.columns.toSeq.map(col): _*)
       .unionByName(all.filter(col("batch_id") > upTo))

@@ -300,6 +300,18 @@ class StreamingSpec extends SparkSuite {
       s"steady-state stats not populated: $st")
   }
 
+  test("StreamingBench sessionization stats populate (the streaming_sessions section)") {
+    val st = graft.obs.StreamingBench.sessionsE2e(spark, sf, nFiles = 4,
+      maxFilesPerTrigger = 1)
+    assert(st.inputRows > 0, "no events written")
+    // the final report is the full session table: >0 and <= one session
+    // per event; equality to the batch table is StreamingSessionsSpec's job
+    assert(st.busRows > 0 && st.busRows <= st.inputRows, st.toString)
+    assert(st.batches >= 4, s"bounded admission not honored: $st")
+    assert(st.steadyAvgBatchMs > 0 && st.steadyRowsPerSec > 0,
+      s"steady-state stats not populated: $st")
+  }
+
   test("StreamingDedup: per-micro-batch probe equals the batch operator across 2 triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
