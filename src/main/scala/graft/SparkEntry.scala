@@ -106,6 +106,9 @@ object SparkEntry {
     "funnel_conversion" -> ((s, d) => Temporal.funnelConversion(s, d)),
     // conversion-window funnel: stage-relative in-window selections
     "funnel_windowed" -> ((s, d) => Temporal.funnelWindowed(s, d)),
+    // incremental rung: persisted per-user stage-times boundary state;
+    // the suffix advances each user's ladder — hash-matches the full log
+    "incremental_funnel" -> ((s, d) => Temporal.incrementalFunnelWindowed(s, d)),
     "snapshot_diff" -> ((s, d) => Temporal.snapshotDiff(s, d)),
     "temporal_join" -> ((s, d) => Temporal.temporalJoin(s, d)),
     "event_anomalies" -> ((s, d) => Temporal.eventAnomalies(s, d)),
@@ -741,6 +744,27 @@ object SparkEntry {
   /** The session_window oracle SQL, shared verbatim by
     * incremental_sessions (suffix slices merge exactly via the
     * open-session boundary state). */
+  /** Shared by `funnel_windowed` and its incremental rung
+    * `incremental_funnel` — the hash-match pins incremental ≡ full
+    * recompute (the incremental-ladder oracle convention).
+    */
+  private val funnelWindowedSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |t1 AS (SELECT user_id, min(ms) AS t FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(ms) AS t FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'view' AND ms > t1.t AND ms <= t1.t + 604800000 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(ms) AS t FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'click' AND ms > t2.t AND ms <= t2.t + 604800000 GROUP BY 1),
+        |t4 AS (SELECT e.user_id, min(ms) AS t FROM e JOIN t3 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ms > t3.t AND ms <= t3.t + 604800000 GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+        |         (SELECT count(*) FROM t1) AS n_users
+        |  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM t2)
+        |  UNION ALL SELECT 3, 'click', (SELECT count(*) FROM t3)
+        |  UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM t4)
+        |) ORDER BY stage_idx""".stripMargin
+
   private val sessionWindowSql: String =
     """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
@@ -1501,22 +1525,10 @@ object SparkEntry {
         |UNION ALL SELECT CAST(3 AS BIGINT), 'click', n2 FROM f
         |UNION ALL SELECT CAST(4 AS BIGINT), 'purchase', n3 FROM f
         |ORDER BY stage_idx""".stripMargin,
-    "funnel_windowed" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
-        |t1 AS (SELECT user_id, min(ms) AS t FROM e WHERE event_type = 'signup' GROUP BY 1),
-        |t2 AS (SELECT e.user_id, min(ms) AS t FROM e JOIN t1 USING (user_id)
-        |       WHERE event_type = 'view' AND ms > t1.t AND ms <= t1.t + 604800000 GROUP BY 1),
-        |t3 AS (SELECT e.user_id, min(ms) AS t FROM e JOIN t2 USING (user_id)
-        |       WHERE event_type = 'click' AND ms > t2.t AND ms <= t2.t + 604800000 GROUP BY 1),
-        |t4 AS (SELECT e.user_id, min(ms) AS t FROM e JOIN t3 USING (user_id)
-        |       WHERE event_type = 'purchase' AND ms > t3.t AND ms <= t3.t + 604800000 GROUP BY 1)
-        |SELECT * FROM (
-        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
-        |         (SELECT count(*) FROM t1) AS n_users
-        |  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM t2)
-        |  UNION ALL SELECT 3, 'click', (SELECT count(*) FROM t3)
-        |  UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM t4)
-        |) ORDER BY stage_idx""".stripMargin,
+    "funnel_windowed" -> funnelWindowedSql,
+    // incremental rung: persisted per-user stage-times boundary state,
+    // suffix advances the ladder — hash-matches the full-log funnel
+    "incremental_funnel" -> funnelWindowedSql,
     "snapshot_diff" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events

@@ -594,27 +594,117 @@ object Temporal {
     * one row per surviving user.
     */
   def funnelWindowed(spark: SparkSession, d: String,
-      windowMs: Long = 7L * 86400000L): DataFrame = {
+      windowMs: Long = 7L * 86400000L): DataFrame =
+    funnelCountsOf(stageTimes(
+      Tables.events(spark, d)
+        .withColumn("ms", Sessions.msFloor(spark, d))
+        .select(col("user_id"), col("event_type"), col("ms")), windowMs))
+
+  /** The funnel's stage ladder, in conversion order. */
+  private val funnelStages = Seq("signup", "view", "click", "purchase")
+
+  /** Per-user stage-reached times under the conversion-window recurrence:
+    * one row per user who reached stage 1, columns `t1..t4` (nullable) —
+    * the funnel's per-user state, shared by the batch count and persisted
+    * as the incremental rung's boundary state. Each stage is one
+    * user-keyed join + aggregation reusing the same hash partitioning.
+    */
+  private[graft] def stageTimes(ev: DataFrame, windowMs: Long): DataFrame = {
+    def next(prev: DataFrame, prevCol: String, stage: String, out: String): DataFrame = {
+      val nxt = ev.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col(prevCol).as("t_prev"))
+          .where(col(prevCol).isNotNull), Seq("user_id"))
+        .filter(col("ms") > col("t_prev") && col("ms") <= col("t_prev") + lit(windowMs))
+        .groupBy(col("user_id")).agg(min(col("ms")).as(out))
+      prev.join(nxt, Seq("user_id"), "left")
+    }
+    val t1 = ev.filter(col("event_type") === funnelStages.head)
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t1"))
+    next(next(next(t1, "t1", funnelStages(1), "t2"),
+      "t2", funnelStages(2), "t3"), "t3", funnelStages(3), "t4")
+  }
+
+  /** Stage counts over a per-user stage-times frame, unpivoted to the
+    * 4-row funnel readout — shared by the batch and incremental forms.
+    */
+  private def funnelCountsOf(st: DataFrame): DataFrame = {
+    val counts = st.agg(
+      count(col("t1")).as("n_1"), count(col("t2")).as("n_2"),
+      count(col("t3")).as("n_3"), count(col("t4")).as("n_4"))
+    val stageRows = funnelStages.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1L).as("stage_idx"), lit(s).as("stage"),
+        col(s"n_${i + 1}").as("n_users"))
+    }
+    counts
+      .select(explode(array(stageRows: _*)).as("r"))
+      .select(col("r.stage_idx"), col("r.stage"), col("r.n_users"))
+      .orderBy("stage_idx")
+  }
+
+  /** [[AnnStore]] kind for the persisted per-user funnel stage-times. */
+  private[graft] val FunnelStateKind = "evfunnelstate-v1"
+
+  /** Windowed funnel under SUFFIX arrival — the boundary-state rung the
+    * r16 verdict asked for: the history persists its per-user stage-times
+    * vector `(t1..t4)` (the [[stageTimes]] state — users-sized, exactly
+    * what a streaming funnel keeps), and the suffix advances each user's
+    * ladder stage by stage: merged `t_n` = the history's `t_n` if reached,
+    * else the earliest suffix stage-n event inside the merged
+    * `(t_{n−1}, t_{n−1}+W]` window. The recurrence is exact under the
+    * per-user ts-monotonicity contract ([[temporalJoin]]'s, tripwired in
+    * OpsSpec): suffix events are never earlier than history events for
+    * the same user, so a reached history stage can't be beaten by a
+    * suffix event (min keeps the history time) and an unreached one has
+    * no valid history event to miss. A cross-boundary conversion —
+    * signup in history, in-window view in the suffix — therefore counts
+    * exactly as the full recompute does (spec-forced); the oracle pins
+    * the whole readout to the batch [[funnelWindowed]] SQL verbatim.
+    */
+  def incrementalFunnelWindowed(spark: SparkSession, d: String,
+      windowMs: Long = 7L * 86400000L, tenthsOld: Int = 9): DataFrame = {
     val ev = Tables.events(spark, d)
       .withColumn("ms", Sessions.msFloor(spark, d))
-      .select(col("user_id"), col("event_type"), col("ms"))
-    def nextStage(prev: DataFrame, stage: String): DataFrame =
-      ev.filter(col("event_type") === stage)
-        .join(prev.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ms"))
+    val cut = Sessions.suffixCut(ev, tenthsOld)
+    val oldState = Memo(spark, s"ev_funnel_state|$d|$windowMs|$tenthsOld") {
+      AnnStore.loadOrBuild(spark,
+        AnnStore.path(spark, FunnelStateKind, d, s"w$windowMs-t$tenthsOld",
+          corpusTable = "events")) {
+        stageTimes(ev.filter(col("event_id") <= cut)
+          .select(col("user_id"), col("event_type"), col("ms")), windowMs)
+      }.persist()
+    }
+    funnelCountsOf(mergeStageTimes(oldState,
+      ev.filter(col("event_id") > cut)
+        .select(col("user_id"), col("event_type"), col("ms")), windowMs))
+  }
+
+  /** The merged per-user stage-times: history state ⊕ arriving suffix
+    * (exposed for the spec's forced cross-boundary conversion).
+    */
+  private[graft] def mergeStageTimes(state: DataFrame, suffix: DataFrame,
+      windowMs: Long): DataFrame = {
+    val s1 = suffix.filter(col("event_type") === funnelStages.head)
+      .groupBy(col("user_id")).agg(min(col("ms")).as("m1"))
+    val st1 = state
+      .select(col("user_id"), col("t1").as("o1"), col("t2").as("o2"),
+        col("t3").as("o3"), col("t4").as("o4"))
+      .join(s1, Seq("user_id"), "full_outer")
+      .select(col("user_id"), coalesce(col("o1"), col("m1")).as("t1"),
+        col("o2"), col("o3"), col("o4"))
+    def merge(prev: DataFrame, prevCol: String, oldCol: String,
+        stage: String, out: String): DataFrame = {
+      val cand = suffix.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col(prevCol).as("t_prev"))
+          .where(col(prevCol).isNotNull), Seq("user_id"))
         .filter(col("ms") > col("t_prev") && col("ms") <= col("t_prev") + lit(windowMs))
-        .groupBy(col("user_id")).agg(min(col("ms")).as("t"))
-    val t1 = ev.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ms")).as("t"))
-    val t2 = nextStage(t1, "view")
-    val t3 = nextStage(t2, "click")
-    val t4 = nextStage(t3, "purchase")
-    Seq(("signup", 1L, t1), ("view", 2L, t2), ("click", 3L, t3), ("purchase", 4L, t4))
-      .map { case (s, i, df) =>
-        df.agg(count(lit(1)).as("n_users"))
-          .select(lit(i).as("stage_idx"), lit(s).as("stage"), col("n_users"))
-      }
-      .reduce(_ unionByName _)
-      .orderBy("stage_idx")
+        .groupBy(col("user_id")).agg(min(col("ms")).as("m"))
+      prev.join(cand, Seq("user_id"), "left")
+        .withColumn(out, coalesce(col(oldCol), col("m")))
+        .drop(oldCol, "m")
+    }
+    merge(merge(merge(st1, "t1", "o2", funnelStages(1), "t2"),
+      "t2", "o3", funnelStages(2), "t3"), "t3", "o4", funnelStages(3), "t4")
   }
 
   def funnelConversion(spark: SparkSession, d: String): DataFrame = {

@@ -388,6 +388,41 @@ class TemporalSpec extends SparkSuite {
     out.map(_._3).sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
   }
 
+  test("incrementalFunnelWindowed equals the batch funnel on the full log") {
+    assert(Temporal.incrementalFunnelWindowed(spark, sf).collect().toSeq ==
+      Temporal.funnelWindowed(spark, sf).collect().toSeq)
+  }
+
+  test("mergeStageTimes: a cross-boundary conversion advances the ladder") {
+    import spark.implicits._
+    val W = 7L * 86400000L
+    // history: user 1 signed up at ms 0 and nothing else; user 2 reached
+    // view; user 3 exists only in the suffix
+    val hist = Seq(
+      (1L, "signup", 0L),
+      (2L, "signup", 0L), (2L, "view", 10L)).toDF("user_id", "event_type", "ms")
+    val state = Temporal.stageTimes(hist, W)
+    val suffix = Seq(
+      (1L, "view", 100L),              // in-window: stage 2 crosses the boundary
+      (1L, "click", 200L),             // chains on the suffix-set t2
+      (1L, "purchase", W + 201L),      // OUT of window relative to t3=200
+      (2L, "view", 20L),               // later than history's t2 — must not win
+      (2L, "click", 30L),
+      (3L, "signup", 50L), (3L, "view", 60L)).toDF("user_id", "event_type", "ms")
+    // merge drops/re-adds stage columns, so read them BY NAME
+    val byName = Temporal.mergeStageTimes(state, suffix, W)
+      .select("user_id", "t1", "t2", "t3", "t4")
+      .collect().map(r => r.getLong(0) -> ((1 to 4).map(i =>
+        if (r.isNullAt(i)) None else Some(r.getLong(i))))).toMap
+    assert(byName(1L) == Seq(Some(0L), Some(100L), Some(200L), None),
+      "cross-boundary conversion did not advance user 1's ladder")
+    assert(byName(2L) == Seq(Some(0L), Some(10L), Some(30L), None),
+      "suffix event beat the history's earlier stage time")
+    assert(byName(3L) == Seq(Some(50L), Some(60L), None, None),
+      "suffix-only user did not enter the funnel")
+    assert(byName.keySet == Set(1L, 2L, 3L))
+  }
+
   test("funnelConversion: stage counts are monotonically non-increasing and stage 1 is exact") {
     val out = Temporal.funnelConversion(spark, sf).collect().sortBy(_.getLong(0))
     assert(out.map(_.getString(1)).toSeq == Seq("signup", "view", "click", "purchase"))
