@@ -122,6 +122,9 @@ object SparkEntry {
     // watermark-choice diagnostic: segment+carry-in running max; the
     // oracle is the NAIVE global window — hash-match proves the decomposition
     "lateness_profile" -> ((s, d) => Temporal.latenessProfile(s, d)),
+    // the loop that CONSUMES the profile: exact p99 lateness per type =
+    // the smallest watermark delay admitting >=99% of arrivals
+    "watermark_recommendation" -> ((s, d) => Temporal.watermarkRecommendation(s, d)),
     // exact daily p50/p95 bands: small-by-construction cell rank windows
     "daily_value_bands" -> ((s, d) => Temporal.dailyValueBands(s, d)),
     // seasonal-naive backtest: the integer-exact forecasting baseline
@@ -1462,6 +1465,37 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) * 1000000
         |       // count(*) AS BIGINT) AS late_ppm
         |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "watermark_recommendation" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_ms(ts) AS ms FROM events
+        |), x AS (
+        |  SELECT event_type, event_id, ms,
+        |    max(ms) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+        |  FROM e
+        |), l AS (
+        |  SELECT event_type, event_id,
+        |    CASE WHEN run_max > ms THEN run_max - ms ELSE 0 END AS late_ms
+        |  FROM x
+        |), r AS (
+        |  SELECT event_type, late_ms,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY late_ms, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM l
+        |), p AS (
+        |  SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+        |    CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN late_ms END) AS BIGINT)
+        |      AS rec_delay_ms
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT event_type, p.n_events, p.rec_delay_ms,
+        |  CAST(SUM(CASE WHEN l.late_ms <= p.rec_delay_ms THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS admitted,
+        |  CAST(SUM(CASE WHEN l.late_ms <= p.rec_delay_ms THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // p.n_events AS admitted_ppm
+        |FROM l JOIN p USING (event_type)
+        |GROUP BY 1, 2, 3
+        |ORDER BY event_type""".stripMargin,
     "daily_value_bands" ->
       """WITH v AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,

@@ -341,6 +341,32 @@ class TemporalSpec extends SparkSuite {
     assert(tiny == Temporal.latenessProfile(spark, sf).collect().toSeq)
   }
 
+  test("watermarkRecommendation: naive driver recompute; admits >=99% by construction") {
+    val got = Temporal.watermarkRecommendation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), Sessions.msFloor(spark, sf).as("ms"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = ev.groupBy(_._1).map { case (tpe, rows) =>
+      val ordered = rows.sortBy(_._2)
+      var runMax = Long.MinValue
+      val late = ordered.map { case (_, _, ms) =>
+        val l = if (runMax > ms) runMax - ms else 0L
+        runMax = math.max(runMax, ms)
+        l
+      }
+      val n = late.length.toLong
+      val rec = late.sorted.apply(((99L * n + 99L) / 100L - 1L).toInt)
+      val admitted = late.count(_ <= rec).toLong
+      (tpe, n, rec, admitted, admitted * 1000000L / n)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want)
+    got.foreach { case (tpe, _, _, _, ppm) =>
+      assert(ppm >= 990000L, s"recommendation for $tpe admits < 99%")
+    }
+  }
+
   test("dailyValueBands: exact rank selections recompute per cell") {
     val out = Temporal.dailyValueBands(spark, sf).collect()
       .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))

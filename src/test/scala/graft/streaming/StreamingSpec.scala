@@ -163,6 +163,71 @@ class StreamingSpec extends SparkSuite {
     assert(!rows.exists { case (w, tpe, _, tot) => tpe == "click" && tot > 3.0 })
   }
 
+  test("watermark_recommendation delay admits >=99% of arrivals on a live tumbling stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val F = org.apache.spark.sql.functions
+    // The shipped testdata arrives perfectly ordered (zero lateness), so
+    // the demonstration synthesizes a deterministic late tail: ~1.5% of
+    // arrivals regress ~8 inter-event gaps (inside the p99 recommendation)
+    // and ~0.5% regress most of the time span (beyond it — these are the
+    // rows the watermark is ALLOWED to drop).
+    val smallMs = 100000000L   // ~1.2 days; avg per-type gap is ~3.6 h
+    val bigMs = 2000000000L    // ~23 days of a ~30-day span
+    val perturbed = graft.ops.Tables.events(spark, sf)
+      .select(F.col("event_type"), F.col("event_id"),
+        graft.ops.Sessions.msFloor(spark, sf).as("ms0"))
+      .withColumn("ms", F.col("ms0") -
+        F.when(F.col("event_id") % 211 === 0, bigMs)
+          .when(F.col("event_id") % 67 === 0, smallMs).otherwise(0L))
+      .select("event_type", "event_id", "ms")
+    val late = graft.ops.Temporal.lateFrameOf(perturbed, 65536L).persist()
+    val recs = graft.ops.Temporal.watermarkRecommendationOf(late).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(recs.nonEmpty)
+    recs.foreach { case (tpe, _, _, ppm) =>
+      assert(ppm >= 990000L, s"$tpe recommendation admits < 99% by its own account") }
+    // not vacuous: some type has arrivals later than its recommendation
+    val maxLate = late.groupBy(F.col("event_type"))
+      .agg(F.max(F.col("late_ms")).as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(recs.exists { case (tpe, _, d, _) => maxLate(tpe) > d },
+      "every type's max lateness is within its recommendation — nothing to drop")
+    val arrivals = perturbed.collect().sortBy(_.getLong(1))
+      .map(r => (r.getString(0), r.getLong(2)))
+    var droppedSomewhere = false
+    recs.foreach { case (tpe, n, delayMs, _) =>
+      // per-type stream (the recommendation is per type; a shared stream's
+      // global watermark would charge one type's lateness to another)
+      val mine = arrivals.collect { case (t, ms) if t == tpe =>
+        WindowedAgg.Event(new Timestamp(ms), t, 0.0) }
+      val mem = MemoryStream[WindowedAgg.Event]
+      val agg = WindowedAgg.tumbling(mem.toDS(), window = "1 day",
+        watermark = s"$delayMs milliseconds")
+      val name = s"wm_rec_out_$tpe"
+      val q = agg.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName(name).start()
+      // replay in ARRIVAL order in chunks: the watermark advances between
+      // batches, so arrivals later than the delay are genuinely dropped
+      mine.grouped(math.max(1, mine.length / 16)).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      // update mode emits a window's running count each time it changes;
+      // the final count per window is the max emitted
+      val admitted = spark.table(name).groupBy(F.col("win_start"))
+        .agg(F.max(F.col("n")).as("n")).agg(F.sum(F.col("n")))
+        .collect().head.getLong(0)
+      q.stop()
+      assert(admitted * 1000000L >= 990000L * n,
+        s"$tpe: recommended ${delayMs}ms admitted only $admitted of $n")
+      assert(admitted <= n)
+      if (admitted < n) droppedSomewhere = true
+    }
+    late.unpersist()
+    assert(droppedSomewhere,
+      "no stream dropped anything — the late tail never exercised the watermark")
+  }
+
   test("StreamJoin: on-time match; out-of-bound + late rows never match; watermark evicts state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
