@@ -680,9 +680,10 @@ object Temporal {
   }
 
   /** Stage counts over a per-user stage-times frame, unpivoted to the
-    * 4-row funnel readout — shared by the batch and incremental forms.
+    * 4-row funnel readout — shared by the batch, incremental, and
+    * streaming forms.
     */
-  private def funnelCountsOf(st: DataFrame): DataFrame = {
+  private[graft] def funnelCountsOf(st: DataFrame): DataFrame = {
     val counts = st.agg(
       count(col("t1")).as("n_1"), count(col("t2")).as("n_2"),
       count(col("t3")).as("n_3"), count(col("t4")).as("n_4"))

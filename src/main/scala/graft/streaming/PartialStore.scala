@@ -83,9 +83,36 @@ private[graft] object PartialStore {
   def compactFolded(spark: SparkSession, storeDir: String, outDir: String,
       upTo: Long, empty: DataFrame, keyCols: Seq[String], aggs: Seq[Column]): Long = {
     val all = read(spark, storeDir, empty)
-    val folded = all.filter(col("batch_id") <= upTo)
+    writeCompacted(all.filter(col("batch_id") <= upTo)
       .groupBy(keyCols.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(aggs.head, aggs.tail: _*),
+      all, upTo, empty, outDir)
+  }
+
+  /** Compaction for LAST-WRITER-WINS stores (per-key state rows where the
+    * highest `batch_id` is current, not summable partials): fold keeps
+    * each key's latest row ≤ upTo. Probe-transparent for the same reason
+    * replay is: "latest" reassociates — max over (max of a prefix, the
+    * rest) is max over all. Ties are impossible: a trigger writes at most
+    * one row per key into its own partition.
+    */
+  def compactLatest(spark: SparkSession, storeDir: String, outDir: String,
+      upTo: Long, empty: DataFrame, keyCols: Seq[String]): Long = {
+    val all = read(spark, storeDir, empty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("batch_id").desc)
+    writeCompacted(all.filter(col("batch_id") <= upTo)
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("rk") === 1).drop("rk", "batch_id"),
+      all, upTo, empty, outDir)
+  }
+
+  /** Shared compaction tail: sentinel-tag the folded rows, carry the
+    * uncompacted partitions, write to the NEW dir, return the row count.
+    */
+  private def writeCompacted(foldedRows: DataFrame, all: DataFrame, upTo: Long,
+      empty: DataFrame, outDir: String): Long = {
+    val folded = foldedRows
       .withColumn("batch_id", lit(FoldedBatchId))
       .select(empty.columns.toSeq.map(col): _*)
       .unionByName(all.filter(col("batch_id") > upTo))
