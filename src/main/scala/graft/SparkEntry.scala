@@ -125,6 +125,17 @@ object SparkEntry {
     // the loop that CONSUMES the profile: exact p99 lateness per type =
     // the smallest watermark delay admitting >=99% of arrivals
     "watermark_recommendation" -> ((s, d) => Temporal.watermarkRecommendation(s, d)),
+    // per-type inter-arrival cadence: exact p50/p95/max gaps between a
+    // user's consecutive same-type events (histogram-split selection)
+    "interarrival_stats" -> ((s, d) => Temporal.interarrivalStats(s, d)),
+    // Fano factor of zero-filled daily counts: burstiness per type
+    "daily_burstiness" -> ((s, d) => Temporal.dailyBurstiness(s, d)),
+    // lag-1 AR slope of the zero-filled daily series: momentum per type
+    "daily_autoregression" -> ((s, d) => Temporal.dailyAutoregression(s, d)),
+    // within-session type-pair association lift (exact integer ppm-of-e6)
+    "session_colift" -> ((s, d) => Sessions.sessionColift(s, d)),
+    // per-cohort churn share under observability conditioning
+    "cohort_churn" -> ((s, d) => Sessions.cohortChurn(s, d)),
     // exact daily p50/p95 bands: small-by-construction cell rank windows
     "daily_value_bands" -> ((s, d) => Temporal.dailyValueBands(s, d)),
     // seasonal-naive backtest: the integer-exact forecasting baseline
@@ -1496,6 +1507,116 @@ object SparkEntry {
         |FROM l JOIN p USING (event_type)
         |GROUP BY 1, 2, 3
         |ORDER BY event_type""".stripMargin,
+    "interarrival_stats" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, event_id, epoch_ms(ts) AS ms FROM events
+        |), g AS (
+        |  SELECT event_type,
+        |    ms - lag(ms) OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS gap_ms
+        |  FROM e
+        |), h AS (
+        |  SELECT event_type, gap_ms FROM g WHERE gap_ms IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, gap_ms,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY gap_ms) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM h
+        |)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap_ms END) AS BIGINT) AS p50_gap_ms,
+        |  CAST(max(CASE WHEN rn = (19 * n + 19) // 20 THEN gap_ms END) AS BIGINT) AS p95_gap_ms,
+        |  CAST(max(gap_ms) AS BIGINT) AS max_gap_ms
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "daily_burstiness" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day FROM events
+        |), c AS (
+        |  SELECT event_type, day, count(*) AS x FROM e GROUP BY 1, 2
+        |), l AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        |s AS (SELECT unnest(generate_series(lo, hi)) AS day FROM l),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |z AS (
+        |  SELECT t.event_type, s.day, coalesce(c.x, 0) AS x
+        |  FROM t CROSS JOIN s LEFT JOIN c ON c.event_type = t.event_type AND c.day = s.day
+        |), a AS (
+        |  SELECT event_type, count(*) AS n_days, SUM(x) AS sum_x,
+        |         SUM(CAST(x AS HUGEINT) * x) AS q
+        |  FROM z GROUP BY 1
+        |)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(sum_x AS BIGINT) AS sum_x,
+        |  CAST((CAST(n_days AS HUGEINT) * q - CAST(sum_x AS HUGEINT) * sum_x)
+        |       * 1000000 // (CAST(n_days AS HUGEINT) * sum_x) AS BIGINT) AS fano_e6
+        |FROM a ORDER BY event_type""".stripMargin,
+    "daily_autoregression" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day FROM events
+        |), c AS (
+        |  SELECT event_type, day, count(*) AS x FROM e GROUP BY 1, 2
+        |), l AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        |s AS (SELECT unnest(generate_series(lo, hi)) AS day FROM l),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |z AS (
+        |  SELECT t.event_type, s.day, coalesce(c.x, 0) AS x
+        |  FROM t CROSS JOIN s LEFT JOIN c ON c.event_type = t.event_type AND c.day = s.day
+        |), p AS (
+        |  SELECT event_type, x,
+        |    lag(x) OVER (PARTITION BY event_type ORDER BY day) AS xp
+        |  FROM z
+        |), a AS (
+        |  SELECT event_type, count(*) AS n_pairs,
+        |    SUM(CAST(xp AS HUGEINT)) AS sx, SUM(CAST(x AS HUGEINT)) AS sy,
+        |    SUM(CAST(xp AS HUGEINT) * x) AS sxy, SUM(CAST(xp AS HUGEINT) * xp) AS sxx
+        |  FROM p WHERE xp IS NOT NULL GROUP BY 1
+        |)
+        |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST((CAST(n_pairs AS HUGEINT) * sxy - sx * sy) * 1000000
+        |       // nullif(CAST(n_pairs AS HUGEINT) * sxx - sx * sx, 0) AS BIGINT) AS beta_e6
+        |FROM a ORDER BY event_type""".stripMargin,
+    "session_colift" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ms
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session FROM e
+        |), g AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+        |       ROWS UNBOUNDED PRECEDING) AS session_idx FROM f
+        |), st AS (
+        |  SELECT DISTINCT user_id, session_idx, event_type FROM g
+        |), tot AS (
+        |  SELECT count(*) AS n_sessions FROM (SELECT DISTINCT user_id, session_idx FROM st)
+        |), tc AS (
+        |  SELECT event_type, count(*) AS cnt FROM st GROUP BY 1
+        |), p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+        |  FROM st a JOIN st b ON a.user_id = b.user_id
+        |    AND a.session_idx = b.session_idx AND a.event_type < b.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT type_a, type_b, CAST(n_both AS BIGINT) AS n_both,
+        |  CAST(ta.cnt AS BIGINT) AS n_a, CAST(tb.cnt AS BIGINT) AS n_b,
+        |  CAST(n_sessions AS BIGINT) AS n_sessions,
+        |  CAST(CAST(n_both AS HUGEINT) * n_sessions * 1000000
+        |       // (CAST(ta.cnt AS HUGEINT) * tb.cnt) AS BIGINT) AS lift_e6
+        |FROM p JOIN tc ta ON ta.event_type = p.type_a
+        |       JOIN tc tb ON tb.event_type = p.type_b CROSS JOIN tot
+        |ORDER BY type_a, type_b""".stripMargin,
+    "cohort_churn" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+        |), u AS (
+        |  SELECT user_id, min(day) AS first_day, max(day) AS last_day FROM e GROUP BY 1
+        |), m AS (SELECT max(last_day) AS max_day FROM u),
+        |a AS (
+        |  SELECT first_day AS cohort_day, count(*) AS n_eligible,
+        |    CAST(SUM(CASE WHEN last_day < max_day - 7 THEN 1 ELSE 0 END) AS BIGINT) AS churned
+        |  FROM u CROSS JOIN m WHERE first_day + 7 <= max_day GROUP BY 1
+        |)
+        |SELECT cohort_day, n_eligible, churned,
+        |  churned * 1000000 // n_eligible AS churned_ppm
+        |FROM a ORDER BY cohort_day""".stripMargin,
     "daily_value_bands" ->
       """WITH v AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,

@@ -31,7 +31,20 @@ object Sessions {
     * callers add their ORDER BY). private[graft]: the streaming monitor's
     * spec uses it to derive prefix expectations.
     */
-  private[graft] def sessionsOf(ev: DataFrame, gapMs: Long): DataFrame = {
+  private[graft] def sessionsOf(ev: DataFrame, gapMs: Long): DataFrame =
+    sessionIndexed(ev, gapMs)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ms")).as("start_ms"),
+        max(col("ms")).as("end_ms"),
+        Exact.sumLong(col("c2")).as("total_value_c2"))
+
+  /** The per-event session assignment (lag + cumulative flag-sum) — the
+    * pre-aggregation core [[sessionsOf]] and [[sessionColift]] share.
+    * Requires (user_id, event_id, ms); extra columns pass through.
+    */
+  private def sessionIndexed(ev: DataFrame, gapMs: Long): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     ev
       .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
@@ -39,12 +52,6 @@ object Sessions {
         when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
       .withColumn("session_idx",
         sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("user_id"), col("session_idx"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        min(col("ms")).as("start_ms"),
-        max(col("ms")).as("end_ms"),
-        Exact.sumLong(col("c2")).as("total_value_c2"))
   }
 
   /** The suffix cut: the last ~(10−tenthsOld)/10 of the event_id range is
@@ -314,6 +321,79 @@ object Sessions {
         coalesce(col("n_retained"), lit(0L)).as("n_retained"), col("denom_users"))
       .withColumn("retained_ppm", expr("n_retained * 1000000 div denom_users"))
       .orderBy("day_offset")
+  }
+
+  /** Within-session event-type association ("market basket over sessions"):
+    * for each unordered type pair, how many sessions contain BOTH, and the
+    * association LIFT in exact ppm-of-e6 form — `lift_e6 =
+    * n_both·n_sessions·10⁶ div (n_a·n_b)`, >1e6 ⇔ the types co-occur more
+    * than independence predicts. Lift (a pure count ratio) is chosen over
+    * PMI deliberately: no logarithm crosses the engine/oracle boundary, so
+    * the whole statistic stays in exact integer arithmetic (the
+    * join_explosion_check rule: DECIMAL(38,0) factors BEFORE multiplying —
+    * session counts square past BIGINT at 100 TB). Plan shape: one
+    * session-assignment pass, then everything runs on the DISTINCT
+    * (user, session, type) frame — the self-join is keyed on the session
+    * and each session contributes ≤ |types|² pairs, so candidate
+    * generation is session-bounded, never all-pairs; type totals and the
+    * session count enter as broadcast vocabulary-/one-row-sized frames.
+    */
+  def sessionColift(spark: SparkSession, d: String,
+      gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .withColumn("ms", msFloor(spark, d))
+      .select(col("user_id"), col("event_id"), col("ms"), col("event_type"))
+    val st = Memo(spark, s"ev_sess_types|$d|$gapMs") {
+      sessionIndexed(ev, gapMs)
+        .select(col("user_id"), col("session_idx"), col("event_type"))
+        .distinct()
+        .persist()
+    }
+    val totals = st.select(col("user_id"), col("session_idx")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val typeCounts = st.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    val pairs = st.as("a").join(st.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_idx") === col("b.session_idx") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(typeCounts.select(col("event_type").as("type_a"),
+        col("cnt").as("n_a"))), Seq("type_a"))
+      .join(broadcast(typeCounts.select(col("event_type").as("type_b"),
+        col("cnt").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        col("n_a"), col("n_b"), col("n_sessions"),
+        expr("(CAST(n_both AS DECIMAL(38,0)) * n_sessions * 1000000)" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * n_b)").as("lift_e6"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Cohort churn: per first-active day, how many users' last activity is
+    * more than `horizonDays` behind the log's right edge. The same
+    * observability conditioning as [[retentionCurve]]: only users whose
+    * cohort is at least a horizon old are ELIGIBLE (a user who joined
+    * yesterday cannot have churned on a 7-day definition — counting them
+    * would drag recent cohorts to zero). One users-sized aggregation; the
+    * edge enters as a broadcast one-row frame; output is days-bounded.
+    */
+  def cohortChurn(spark: SparkSession, d: String,
+      horizonDays: Long = 7L): DataFrame = {
+    val ud = Tables.events(spark, d)
+      .select(col("user_id"), dayIdx(spark, d).as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+    val mx = ud.agg(max(col("last_day")).as("max_day"))
+    ud.crossJoin(broadcast(mx))
+      .filter(col("first_day") + horizonDays <= col("max_day"))
+      .groupBy(col("first_day").as("cohort_day"))
+      .agg(count(lit(1)).as("n_eligible"),
+        Exact.sumLong(when(col("last_day") < col("max_day") - horizonDays, 1L)
+          .otherwise(0L)).as("churned"))
+      .withColumn("churned_ppm", expr("churned * 1000000 div n_eligible"))
+      .orderBy("cohort_day")
   }
 
   /** First-order Markov transition matrix over each user's event sequence

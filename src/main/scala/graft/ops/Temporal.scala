@@ -609,6 +609,105 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** Per-type inter-arrival gap distribution: for each event type, exact
+    * p50/p95/max of the gaps between a user's consecutive events OF THAT
+    * type — the cadence profile that sizes retention horizons and session
+    * gaps from data instead of folklore. Gaps derive from one lag window
+    * per (user, type); the per-type selections run through
+    * [[DistributedSelect.exactGroupPercentiles]] (histogram split — no
+    * whole-type sort task; gaps per type ≈ the full log's rows at 100 TB),
+    * over a memoized gap frame consumed by the split's three actions plus
+    * the max pass. Gaps are non-negative by the per-user ts-monotonicity
+    * contract. The DuckDB oracle replays the naive whole-type rank-window
+    * selection — the hash-match proves the split selects the same values.
+    */
+  def interarrivalStats(spark: SparkSession, d: String): DataFrame = {
+    val gaps = Memo(spark, s"ev_gaps|$d") {
+      val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+      Tables.events(spark, d)
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          Sessions.msFloor(spark, d).as("ms"))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(byUserType))
+        .where(col("prev_ms").isNotNull)
+        .select(col("event_type"), (col("ms") - col("prev_ms")).as("gap_ms"))
+        .persist()
+    }
+    val sel = DistributedSelect.exactGroupPercentiles(gaps, "event_type",
+      "gap_ms", Seq(("p50_gap_ms", 1L, 2L), ("p95_gap_ms", 19L, 20L)))
+    val mx = gaps.groupBy(col("event_type")).agg(max(col("gap_ms")).as("max_gap_ms"))
+    sel.join(mx, Seq("event_type"))
+      .select(col("event_type"), col("n_rows").as("n_gaps"),
+        col("p50_gap_ms"), col("p95_gap_ms"), col("max_gap_ms"))
+      .orderBy("event_type")
+  }
+
+  /** The zero-filled per-type daily count series over the log's full
+    * [min_day, max_day] span — shared by [[dailyBurstiness]] and
+    * [[dailyAutoregression]] (both are meaningless without the zero days:
+    * a type that fires once a week looks perfectly steady if silent days
+    * vanish). types × days rows — bounded, corpus-size-independent; the
+    * spine and type list enter as broadcast frames.
+    */
+  private[graft] def dailySeries(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("event_type"), Sessions.dayIdx(spark, d).as("day"))
+    val counts = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+    val lims = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = lims.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    ev.select("event_type").distinct()
+      .crossJoin(broadcast(spine))
+      .join(counts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("x"), lit(0L)).as("x"))
+  }
+
+  /** Burstiness per type: the Fano factor (variance/mean of daily counts,
+    * e6-scaled) over the zero-filled series — ≈1e6 for Poisson-steady
+    * arrival, ≫1e6 for bursty types. Entirely exact integer arithmetic:
+    * `fano_e6 = (n·Σx² − (Σx)²)·10⁶ div (n·Σx)` with every factor cast to
+    * DECIMAL(38,0) BEFORE multiplying (Σx² itself stays an internal
+    * decimal — daily counts square past BIGINT at 100 TB, so it is never
+    * exported). One aggregation over the days-bounded series.
+    */
+  def dailyBurstiness(spark: SparkSession, d: String): DataFrame =
+    dailySeries(spark, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), Exact.sumLong(col("x")).as("sum_x"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("q"))
+      .select(col("event_type"), col("n_days"), col("sum_x"),
+        expr("(CAST(n_days AS DECIMAL(38,0)) * q - CAST(sum_x AS DECIMAL(38,0)) * sum_x)" +
+          " * 1000000 div (CAST(n_days AS DECIMAL(38,0)) * sum_x)").as("fano_e6"))
+      .orderBy("event_type")
+
+  /** Lag-1 autoregression slope per type over the zero-filled daily
+    * series (`beta_e6 = (n·Σxy − Σx·Σy)·10⁶ div (n·Σx² − (Σx)²)`, x =
+    * yesterday, y = today): >0 means momentum (busy days cluster), <0
+    * mean-reversion. The slope is chosen over the Pearson correlation
+    * deliberately — no square root crosses the engine/oracle boundary,
+    * so the statistic stays exact-integral (DECIMAL(38,0) factors, the
+    * overflow rule). The lag window partitions by type over the
+    * days-bounded series — cells are small by construction, the
+    * daily_value_bands rationale; `nullif` guards the constant-series
+    * zero denominator identically on both engines.
+    */
+  def dailyAutoregression(spark: SparkSession, d: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    dailySeries(spark, d)
+      .withColumn("xp", lag(col("x"), 1).over(byType))
+      .where(col("xp").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(xp AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(xp AS DECIMAL(38,0)) * x")).as("sxy"),
+        sum(expr("CAST(xp AS DECIMAL(38,0)) * xp")).as("sxx"))
+      .select(col("event_type"), col("n_pairs"),
+        expr("(CAST(n_pairs AS DECIMAL(38,0)) * sxy - sx * sy) * 1000000" +
+          " div nullif(CAST(n_pairs AS DECIMAL(38,0)) * sxx - sx * sx, 0)")
+          .as("beta_e6"))
+      .orderBy("event_type")
+  }
+
   /** Daily per-type value bands: exact discrete p50/p95 cents per
     * (event_type, day) — the SLO dashboard readout ("daily p95"). Unlike
     * the big-group percentile ops (which use the

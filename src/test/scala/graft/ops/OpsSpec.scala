@@ -824,6 +824,65 @@ class OpsSpec extends SparkSuite {
     assert(out.keys.forall(_._2 >= 0L))
   }
 
+  test("sessionColift: driver recompute; independence baseline; symmetric-pair hygiene") {
+    val out = Sessions.sessionColift(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+    assert(out.nonEmpty)
+    // driver recompute: sessionize, distinct types per session, pair counts
+    val gap = 30 * 60 * 1000L
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        Sessions.msFloor(spark, sf).as("ms"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+      var idx = 0L; var prev = Long.MinValue
+      rs.sortBy(_._2).toSeq.map { case (_, _, ms, tpe) =>
+        if (prev == Long.MinValue || ms - prev > gap) idx += 1
+        prev = ms
+        ((u, idx), tpe)
+      }
+    }
+    val perSession = sessions.groupBy(_._1).map { case (k, rs) => (k, rs.map(_._2).toSet) }
+    val nSessions = perSession.size.toLong
+    val typeCount = perSession.values.toSeq.flatten.groupBy(identity)
+      .map { case (t, xs) => (t, xs.size.toLong) }
+    val want = perSession.values.toSeq
+      .flatMap(ts => ts.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case ((a, b), xs) =>
+        val (na, nb, nBoth) = (typeCount(a), typeCount(b), xs.size.toLong)
+        ((a, b), (nBoth, na, nb, nSessions,
+          (BigInt(nBoth) * nSessions * 1000000 / (BigInt(na) * nb)).toLong))
+      }
+    assert(out.toMap == want)
+    // unordered pairs appear once, in lexical order
+    assert(out.forall { case ((a, b), _) => a < b })
+  }
+
+  test("cohortChurn: driver recompute; recent cohorts excluded; ppm bounded") {
+    val horizon = 7L
+    val out = Sessions.cohortChurn(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), Sessions.dayIdx(spark, sf).as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val spans = ud.groupBy(_._1).map { case (u, rs) =>
+      (u, (rs.map(_._2).min, rs.map(_._2).max)) }
+    val maxDay = spans.values.map(_._2).max
+    val want = spans.values.toSeq
+      .filter { case (first, _) => first + horizon <= maxDay }
+      .groupBy(_._1).map { case (cohort, rs) =>
+        val n = rs.size.toLong
+        val churned = rs.count { case (_, last) => last < maxDay - horizon }.toLong
+        (cohort, (n, churned, churned * 1000000L / n))
+      }
+    assert(out == want)
+    assert(out.nonEmpty)
+    // no cohort younger than the horizon is judged
+    assert(out.keys.forall(_ + horizon <= maxDay))
+    assert(out.values.forall { case (n, c, ppm) => c <= n && ppm <= 1000000L })
+  }
+
   test("incrementalCohortRetention: merged DAU reproduces the full-log triangle exactly") {
     val full = Sessions.cohortRetention(spark, sf).collect().toSeq
     val inc = Sessions.incrementalCohortRetention(spark, sf).collect().toSeq

@@ -367,6 +367,62 @@ class TemporalSpec extends SparkSuite {
     }
   }
 
+  test("interarrivalStats: naive driver recompute of the exact selections") {
+    val out = Temporal.interarrivalStats(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        Sessions.msFloor(spark, sf).as("ms"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = ev.groupBy(x => (x._2, x._1)).toSeq
+      .flatMap { case ((_, tpe), rs) =>
+        rs.sortBy(_._3).map(_._4).toSeq.sliding(2).collect {
+          case Seq(a, b) => (tpe, b - a) }
+      }
+      .groupBy(_._1).map { case (tpe, gs) =>
+        val sorted = gs.map(_._2).sorted
+        val n = sorted.length.toLong
+        def at(num: Long, den: Long) = sorted(((num * n + den - 1) / den - 1).toInt)
+        (tpe, (n, at(1, 2), at(19, 20), sorted.last))
+      }
+    assert(out == want)
+    out.values.foreach { case (_, p50, p95, mx) =>
+      assert(p50 >= 0L && p50 <= p95 && p95 <= mx) }
+  }
+
+  test("dailyBurstiness + dailyAutoregression: driver recompute over the zero-filled series") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), Sessions.dayIdx(spark, sf).as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (lo, hi) = (ev.map(_._2).min, ev.map(_._2).max)
+    val series = ev.map(_._1).distinct.sorted.map { tpe =>
+      val byDay = ev.filter(_._1 == tpe).groupBy(_._2).map { case (d, xs) => (d, xs.size.toLong) }
+      (tpe, (lo to hi).map(d => byDay.getOrElse(d, 0L)))
+    }
+
+    val fano = Temporal.dailyBurstiness(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val wantFano = series.map { case (tpe, xs) =>
+      val n = BigInt(xs.length); val s = BigInt(xs.sum)
+      val q = xs.map(x => BigInt(x) * x).sum
+      (tpe, (xs.length.toLong, xs.sum, ((n * q - s * s) * 1000000 / (n * s)).toLong))
+    }.toMap
+    assert(fano == wantFano)
+
+    val beta = Temporal.dailyAutoregression(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val wantBeta = series.map { case (tpe, xs) =>
+      val pairs = xs.sliding(2).collect { case Seq(a, b) => (BigInt(a), BigInt(b)) }.toSeq
+      val n = BigInt(pairs.length)
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum; val sxx = pairs.map(p => p._1 * p._1).sum
+      (tpe, (pairs.length.toLong, ((n * sxy - sx * sy) * 1000000 / (n * sxx - sx * sx)).toLong))
+    }.toMap
+    assert(beta == wantBeta)
+  }
+
   test("dailyValueBands: exact rank selections recompute per cell") {
     val out = Temporal.dailyValueBands(spark, sf).collect()
       .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
