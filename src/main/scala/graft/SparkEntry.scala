@@ -130,12 +130,18 @@ object SparkEntry {
     "interarrival_stats" -> ((s, d) => Temporal.interarrivalStats(s, d)),
     // Fano factor of zero-filled daily counts: burstiness per type
     "daily_burstiness" -> ((s, d) => Temporal.dailyBurstiness(s, d)),
+    // incremental rung riding the shared evdaily artifact (counts column)
+    "incremental_burstiness" -> ((s, d) => Temporal.incrementalBurstiness(s, d)),
     // lag-1 AR slope of the zero-filled daily series: momentum per type
     "daily_autoregression" -> ((s, d) => Temporal.dailyAutoregression(s, d)),
+    // incremental rung on the same daily artifact
+    "incremental_autoregression" -> ((s, d) => Temporal.incrementalAutoregression(s, d)),
     // within-session type-pair association lift (exact integer ppm-of-e6)
     "session_colift" -> ((s, d) => Sessions.sessionColift(s, d)),
     // per-cohort churn share under observability conditioning
     "cohort_churn" -> ((s, d) => Sessions.cohortChurn(s, d)),
+    // incremental rung: per-user spans as min/max merges of the DAU store
+    "incremental_churn" -> ((s, d) => Sessions.incrementalChurn(s, d)),
     // exact daily p50/p95 bands: small-by-construction cell rank windows
     "daily_value_bands" -> ((s, d) => Temporal.dailyValueBands(s, d)),
     // seasonal-naive backtest: the integer-exact forecasting baseline
@@ -758,6 +764,76 @@ object SparkEntry {
   /** The session_window oracle SQL, shared verbatim by
     * incremental_sessions (suffix slices merge exactly via the
     * open-session boundary state). */
+  /** Shared by the batch daily stats and their incremental rungs (the
+    * evdaily-artifact ladder): hash-match pins incremental = full
+    * recompute.
+    */
+  private val dailyBurstinessSql: String =
+    """WITH e AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day FROM events
+        |), c AS (
+        |  SELECT event_type, day, count(*) AS x FROM e GROUP BY 1, 2
+        |), l AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        |s AS (SELECT unnest(generate_series(lo, hi)) AS day FROM l),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |z AS (
+        |  SELECT t.event_type, s.day, coalesce(c.x, 0) AS x
+        |  FROM t CROSS JOIN s LEFT JOIN c ON c.event_type = t.event_type AND c.day = s.day
+        |), a AS (
+        |  SELECT event_type, count(*) AS n_days, SUM(x) AS sum_x,
+        |         SUM(CAST(x AS HUGEINT) * x) AS q
+        |  FROM z GROUP BY 1
+        |)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(sum_x AS BIGINT) AS sum_x,
+        |  CAST((CAST(n_days AS HUGEINT) * q - CAST(sum_x AS HUGEINT) * sum_x)
+        |       * 1000000 // (CAST(n_days AS HUGEINT) * sum_x) AS BIGINT) AS fano_e6
+        |FROM a ORDER BY event_type""".stripMargin
+
+  private val dailyAutoregressionSql: String =
+    """WITH e AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day FROM events
+        |), c AS (
+        |  SELECT event_type, day, count(*) AS x FROM e GROUP BY 1, 2
+        |), l AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        |s AS (SELECT unnest(generate_series(lo, hi)) AS day FROM l),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |z AS (
+        |  SELECT t.event_type, s.day, coalesce(c.x, 0) AS x
+        |  FROM t CROSS JOIN s LEFT JOIN c ON c.event_type = t.event_type AND c.day = s.day
+        |), p AS (
+        |  SELECT event_type, x,
+        |    lag(x) OVER (PARTITION BY event_type ORDER BY day) AS xp
+        |  FROM z
+        |), a AS (
+        |  SELECT event_type, count(*) AS n_pairs,
+        |    SUM(CAST(xp AS HUGEINT)) AS sx, SUM(CAST(x AS HUGEINT)) AS sy,
+        |    SUM(CAST(xp AS HUGEINT) * x) AS sxy, SUM(CAST(xp AS HUGEINT) * xp) AS sxx
+        |  FROM p WHERE xp IS NOT NULL GROUP BY 1
+        |)
+        |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST((CAST(n_pairs AS HUGEINT) * sxy - sx * sy) * 1000000
+        |       // nullif(CAST(n_pairs AS HUGEINT) * sxx - sx * sx, 0) AS BIGINT) AS beta_e6
+        |FROM a ORDER BY event_type""".stripMargin
+
+  /** Shared by `cohort_churn` and `incremental_churn` (the DAU-store
+    * ladder).
+    */
+  private val cohortChurnSql: String =
+    """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+        |), u AS (
+        |  SELECT user_id, min(day) AS first_day, max(day) AS last_day FROM e GROUP BY 1
+        |), m AS (SELECT max(last_day) AS max_day FROM u),
+        |a AS (
+        |  SELECT first_day AS cohort_day, count(*) AS n_eligible,
+        |    CAST(SUM(CASE WHEN last_day < max_day - 7 THEN 1 ELSE 0 END) AS BIGINT) AS churned
+        |  FROM u CROSS JOIN m WHERE first_day + 7 <= max_day GROUP BY 1
+        |)
+        |SELECT cohort_day, n_eligible, churned,
+        |  churned * 1000000 // n_eligible AS churned_ppm
+        |FROM a ORDER BY cohort_day""".stripMargin
+
   /** Shared by `funnel_windowed` and its incremental rung
     * `incremental_funnel` — the hash-match pins incremental ≡ full
     * recompute (the incremental-ladder oracle convention).
@@ -1527,52 +1603,10 @@ object SparkEntry {
         |  CAST(max(CASE WHEN rn = (19 * n + 19) // 20 THEN gap_ms END) AS BIGINT) AS p95_gap_ms,
         |  CAST(max(gap_ms) AS BIGINT) AS max_gap_ms
         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
-    "daily_burstiness" ->
-      """WITH e AS (
-        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day FROM events
-        |), c AS (
-        |  SELECT event_type, day, count(*) AS x FROM e GROUP BY 1, 2
-        |), l AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
-        |s AS (SELECT unnest(generate_series(lo, hi)) AS day FROM l),
-        |t AS (SELECT DISTINCT event_type FROM e),
-        |z AS (
-        |  SELECT t.event_type, s.day, coalesce(c.x, 0) AS x
-        |  FROM t CROSS JOIN s LEFT JOIN c ON c.event_type = t.event_type AND c.day = s.day
-        |), a AS (
-        |  SELECT event_type, count(*) AS n_days, SUM(x) AS sum_x,
-        |         SUM(CAST(x AS HUGEINT) * x) AS q
-        |  FROM z GROUP BY 1
-        |)
-        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
-        |  CAST(sum_x AS BIGINT) AS sum_x,
-        |  CAST((CAST(n_days AS HUGEINT) * q - CAST(sum_x AS HUGEINT) * sum_x)
-        |       * 1000000 // (CAST(n_days AS HUGEINT) * sum_x) AS BIGINT) AS fano_e6
-        |FROM a ORDER BY event_type""".stripMargin,
-    "daily_autoregression" ->
-      """WITH e AS (
-        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day FROM events
-        |), c AS (
-        |  SELECT event_type, day, count(*) AS x FROM e GROUP BY 1, 2
-        |), l AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
-        |s AS (SELECT unnest(generate_series(lo, hi)) AS day FROM l),
-        |t AS (SELECT DISTINCT event_type FROM e),
-        |z AS (
-        |  SELECT t.event_type, s.day, coalesce(c.x, 0) AS x
-        |  FROM t CROSS JOIN s LEFT JOIN c ON c.event_type = t.event_type AND c.day = s.day
-        |), p AS (
-        |  SELECT event_type, x,
-        |    lag(x) OVER (PARTITION BY event_type ORDER BY day) AS xp
-        |  FROM z
-        |), a AS (
-        |  SELECT event_type, count(*) AS n_pairs,
-        |    SUM(CAST(xp AS HUGEINT)) AS sx, SUM(CAST(x AS HUGEINT)) AS sy,
-        |    SUM(CAST(xp AS HUGEINT) * x) AS sxy, SUM(CAST(xp AS HUGEINT) * xp) AS sxx
-        |  FROM p WHERE xp IS NOT NULL GROUP BY 1
-        |)
-        |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
-        |  CAST((CAST(n_pairs AS HUGEINT) * sxy - sx * sy) * 1000000
-        |       // nullif(CAST(n_pairs AS HUGEINT) * sxx - sx * sx, 0) AS BIGINT) AS beta_e6
-        |FROM a ORDER BY event_type""".stripMargin,
+    "daily_burstiness" -> dailyBurstinessSql,
+    "incremental_burstiness" -> dailyBurstinessSql,
+    "daily_autoregression" -> dailyAutoregressionSql,
+    "incremental_autoregression" -> dailyAutoregressionSql,
     "session_colift" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
@@ -1603,20 +1637,8 @@ object SparkEntry {
         |FROM p JOIN tc ta ON ta.event_type = p.type_a
         |       JOIN tc tb ON tb.event_type = p.type_b CROSS JOIN tot
         |ORDER BY type_a, type_b""".stripMargin,
-    "cohort_churn" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
-        |), u AS (
-        |  SELECT user_id, min(day) AS first_day, max(day) AS last_day FROM e GROUP BY 1
-        |), m AS (SELECT max(last_day) AS max_day FROM u),
-        |a AS (
-        |  SELECT first_day AS cohort_day, count(*) AS n_eligible,
-        |    CAST(SUM(CASE WHEN last_day < max_day - 7 THEN 1 ELSE 0 END) AS BIGINT) AS churned
-        |  FROM u CROSS JOIN m WHERE first_day + 7 <= max_day GROUP BY 1
-        |)
-        |SELECT cohort_day, n_eligible, churned,
-        |  churned * 1000000 // n_eligible AS churned_ppm
-        |FROM a ORDER BY cohort_day""".stripMargin,
+    "cohort_churn" -> cohortChurnSql,
+    "incremental_churn" -> cohortChurnSql,
     "daily_value_bands" ->
       """WITH v AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,

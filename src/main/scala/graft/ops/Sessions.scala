@@ -380,11 +380,32 @@ object Sessions {
     * edge enters as a broadcast one-row frame; output is days-bounded.
     */
   def cohortChurn(spark: SparkSession, d: String,
-      horizonDays: Long = 7L): DataFrame = {
-    val ud = Tables.events(spark, d)
+      horizonDays: Long = 7L): DataFrame =
+    churnOfSpans(Tables.events(spark, d)
       .select(col("user_id"), dayIdx(spark, d).as("day"))
       .groupBy(col("user_id"))
-      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day")),
+      horizonDays)
+
+  /** Churn under log growth — the incremental rung: per-user first/last
+    * days are min/max aggregates of the SAME persisted DAU summary the
+    * retention family rides ([[DauKind]] — one store, four consumers),
+    * and min/max merge exactly; the log edge re-derives from the merged
+    * spans, so a batch that extends it automatically re-qualifies every
+    * cohort's eligibility. Oracle pins it to the batch [[cohortChurn]]
+    * SQL verbatim.
+    */
+  def incrementalChurn(spark: SparkSession, d: String,
+      horizonDays: Long = 7L, batchMod: Int = 10): DataFrame =
+    churnOfSpans(incrementalDauMerged(spark, d, batchMod)
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day")),
+      horizonDays)
+
+  /** The churn readout over per-user `(first_day, last_day)` spans —
+    * shared by the batch and incremental forms.
+    */
+  private def churnOfSpans(ud: DataFrame, horizonDays: Long): DataFrame = {
     val mx = ud.agg(max(col("last_day")).as("max_day"))
     ud.crossJoin(broadcast(mx))
       .filter(col("first_day") + horizonDays <= col("max_day"))

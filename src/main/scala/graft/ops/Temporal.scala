@@ -227,8 +227,13 @@ object Temporal {
       .orderBy("event_id")
   }
 
-  /** [[AnnStore]] kind for the persisted per-(type, day) daily sums. */
-  private[graft] val DailyKind = "evdaily-v1"
+  /** [[AnnStore]] kind for the persisted per-(type, day) daily sums.
+    * v2 adds the per-cell event COUNT alongside the cents sum — one daily
+    * artifact serves the changepoint/forecast (sums) AND the
+    * burstiness/autoregression (counts) rungs; an ingest pipeline
+    * maintains a single daily rollup.
+    */
+  private[graft] val DailyKind = "evdaily-v2"
 
   /** Change-point detection under corpus growth — the incremental rung of
     * the CUSUM family, same contract as [[incrementalAnomalies]]: the
@@ -258,17 +263,20 @@ object Temporal {
       AnnStore.loadOrBuild(spark,
         AnnStore.path(spark, DailyKind, d, s"x$batchMod", corpusTable = "events")) {
         ev.filter(!isNew).groupBy(col("event_type"), col("day"))
-          .agg(Exact.sumLong(col("c2")).as("c2_old"))
+          .agg(Exact.sumLong(col("c2")).as("c2_old"),
+            count(lit(1)).as("n_old"))
       }.persist()
     }
     val dailyNew = ev.filter(isNew).groupBy(col("event_type"), col("day"))
-      .agg(Exact.sumLong(col("c2")).as("c2_new"))
+      .agg(Exact.sumLong(col("c2")).as("c2_new"), count(lit(1)).as("n_new"))
     // full outer: a (type, day) cell seen by only one slice still carries
     // its exact merged total (coalesce 0 on the absent side)
     dailyOld.join(dailyNew, Seq("event_type", "day"), "full_outer")
       .select(col("event_type"), col("day"),
         (coalesce(col("c2_old"), lit(0L)) + coalesce(col("c2_new"), lit(0L)))
-          .as("day_c2"))
+          .as("day_c2"),
+        (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+          .as("day_n"))
   }
 
   /** Forecast backtest under log growth: the SAME merged daily summary the
@@ -649,17 +657,33 @@ object Temporal {
     * vanish). types × days rows — bounded, corpus-size-independent; the
     * spine and type list enter as broadcast frames.
     */
-  private[graft] def dailySeries(spark: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(spark, d)
+  private[graft] def dailySeries(spark: SparkSession, d: String): DataFrame =
+    seriesOfCounts(Tables.events(spark, d)
       .select(col("event_type"), Sessions.dayIdx(spark, d).as("day"))
-    val counts = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
-    val lims = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x")))
+
+  /** Zero-fill over an already-aggregated `(event_type, day, x)` count
+    * frame — shared by the batch and incremental forms (the span and type
+    * list re-derive from the counts, so a batch that extends the right
+    * edge automatically extends every type's series).
+    */
+  private def seriesOfCounts(counts: DataFrame): DataFrame = {
+    val lims = counts.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
     val spine = lims.select(explode(sequence(col("lo"), col("hi"))).as("day"))
-    ev.select("event_type").distinct()
+    counts.select("event_type").distinct()
       .crossJoin(broadcast(spine))
       .join(counts, Seq("event_type", "day"), "left")
       .select(col("event_type"), col("day"), coalesce(col("x"), lit(0L)).as("x"))
   }
+
+  /** The merged daily COUNT frame `(event_type, day, x)` from the shared
+    * [[DailyKind]] artifact — the incremental burstiness/autoregression
+    * input.
+    */
+  private def mergedDailyCounts(spark: SparkSession, d: String,
+      batchMod: Int): DataFrame =
+    mergedDaily(spark, d, batchMod)
+      .select(col("event_type"), col("day"), col("day_n").as("x"))
 
   /** Burstiness per type: the Fano factor (variance/mean of daily counts,
     * e6-scaled) over the zero-filled series — ≈1e6 for Poisson-steady
@@ -670,7 +694,20 @@ object Temporal {
     * exported). One aggregation over the days-bounded series.
     */
   def dailyBurstiness(spark: SparkSession, d: String): DataFrame =
-    dailySeries(spark, d)
+    burstinessOfSeries(dailySeries(spark, d))
+
+  /** Burstiness under log growth — the incremental rung: rides the SAME
+    * persisted daily artifact as the changepoint/forecast rungs
+    * ([[DailyKind]], now carrying counts alongside cents); the merged
+    * counts zero-fill and aggregate exactly as the full log does, so the
+    * oracle pins it to the batch [[dailyBurstiness]] SQL verbatim.
+    */
+  def incrementalBurstiness(spark: SparkSession, d: String,
+      batchMod: Int = 10): DataFrame =
+    burstinessOfSeries(seriesOfCounts(mergedDailyCounts(spark, d, batchMod)))
+
+  private def burstinessOfSeries(series: DataFrame): DataFrame =
+    series
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"), Exact.sumLong(col("x")).as("sum_x"),
         sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("q"))
@@ -690,9 +727,19 @@ object Temporal {
     * daily_value_bands rationale; `nullif` guards the constant-series
     * zero denominator identically on both engines.
     */
-  def dailyAutoregression(spark: SparkSession, d: String): DataFrame = {
+  def dailyAutoregression(spark: SparkSession, d: String): DataFrame =
+    autoregressionOfSeries(dailySeries(spark, d))
+
+  /** Lag-1 AR slope under log growth — same contract as
+    * [[incrementalBurstiness]] (one daily artifact, batch-oracle pinned).
+    */
+  def incrementalAutoregression(spark: SparkSession, d: String,
+      batchMod: Int = 10): DataFrame =
+    autoregressionOfSeries(seriesOfCounts(mergedDailyCounts(spark, d, batchMod)))
+
+  private def autoregressionOfSeries(series: DataFrame): DataFrame = {
     val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    dailySeries(spark, d)
+    series
       .withColumn("xp", lag(col("x"), 1).over(byType))
       .where(col("xp").isNotNull)
       .groupBy(col("event_type"))

@@ -883,6 +883,12 @@ class OpsSpec extends SparkSuite {
     assert(out.values.forall { case (n, c, ppm) => c <= n && ppm <= 1000000L })
   }
 
+  test("incrementalChurn: DAU-store min/max spans reproduce the full-log churn") {
+    val full = Sessions.cohortChurn(spark, sf).collect().toSeq
+    assert(Sessions.incrementalChurn(spark, sf).collect().toSeq == full)
+    assert(full.nonEmpty)
+  }
+
   test("incrementalCohortRetention: merged DAU reproduces the full-log triangle exactly") {
     val full = Sessions.cohortRetention(spark, sf).collect().toSeq
     val inc = Sessions.incrementalCohortRetention(spark, sf).collect().toSeq

@@ -423,6 +423,13 @@ class TemporalSpec extends SparkSuite {
     assert(beta == wantBeta)
   }
 
+  test("incremental daily stats reproduce the full-log burstiness and autoregression") {
+    assert(Temporal.incrementalBurstiness(spark, sf).collect().toSeq ==
+      Temporal.dailyBurstiness(spark, sf).collect().toSeq)
+    assert(Temporal.incrementalAutoregression(spark, sf).collect().toSeq ==
+      Temporal.dailyAutoregression(spark, sf).collect().toSeq)
+  }
+
   test("dailyValueBands: exact rank selections recompute per cell") {
     val out = Temporal.dailyValueBands(spark, sf).collect()
       .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
