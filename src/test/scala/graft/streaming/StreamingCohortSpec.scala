@@ -81,6 +81,18 @@ class StreamingCohortSpec extends SparkSuite {
     assert(ids == Set(PartialStore.FoldedBatchId))
   }
 
+  test("the retention curve rides the streaming triangle unchanged") {
+    // the monitor emits the triangle; the curve is a days²-bounded
+    // composition over it — one trigger's report feeds the SAME curve
+    // tail the batch operator uses, reproducing retention_curve exactly
+    val store = graft.ops.Scratch.dir("cohort_stream_curve").toString + "/dau"
+    var tri: DataFrame = null
+    StreamingCohort.admissionBatch(userDayEvents, 0L, emptyDau, store,
+      (df, _) => tri = df)
+    assert(rows(Sessions.retentionCurveOfTriangle(tri)) ==
+      rows(Sessions.retentionCurve(spark, sf)))
+  }
+
   test("a late batch carrying a user's earliest-ever day moves the cohort") {
     import spark.implicits._
     val store = graft.ops.Scratch.dir("cohort_stream_move").toString + "/dau"
