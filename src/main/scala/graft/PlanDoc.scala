@@ -278,7 +278,27 @@ object PlanDoc {
     "lateness_profile" -> ("Watermark diagnostic: the running max decomposes into " +
       "within-segment windows (partitioned by (type, event_id div 64k) — bounded per-task " +
       "sorts) plus a segments-sized carry-in prefix max; the oracle's naive whole-type window " +
-      "hash-matching this plan is the decomposition proof."))
+      "hash-matching this plan is the decomposition proof."),
+    "watermark_recommendation" -> ("The profile's consumer: per-type p99 lateness selected " +
+      "through the DistributedSelect histogram split (min/max pass, (type, bucket) histogram, " +
+      "in-bucket rank only inside candidate buckets — no whole-type sort task), then the 5-row " +
+      "recommendation broadcasts back over the memoized late frame for the admitted count."),
+    "interarrival_stats" -> ("Cadence profile: gaps from one (user, type)-partitioned lag " +
+      "window; the per-type p50/p95 selections run the same histogram split as the robust " +
+      "anomalies (gaps per type ~ the full log at 100 TB — the split is what keeps selection " +
+      "off a single task), with the max riding a plain partial-aggregated pass."),
+    "session_colift" -> ("Market basket over sessions: one session-assignment window, then " +
+      "everything operates on the DISTINCT (user, session, type) frame; the self-join is " +
+      "keyed on the session so each session contributes <= types^2 pairs — never an " +
+      "all-pairs product; type totals and the session count enter broadcast."),
+    "daily_burstiness" -> ("Fano factor: the zero-filled series is types x days (broadcast " +
+      "spine cross join + left join on the aggregated counts), so the variance/mean " +
+      "aggregation runs over a bounded frame; DECIMAL(38,0) factors before multiplying keep " +
+      "Σx² exact and internal."),
+    "cohort_churn" -> ("Churn: one users-sized min/max aggregation, the log edge broadcast as " +
+      "a one-row frame, then a days-bounded group-by — no join against the raw log; " +
+      "eligibility filters BEFORE the cohort aggregation, so unjudgeable cohorts never " +
+      "shuffle."))
 
   /** Strip run-nondeterministic tokens (JVM lambda addresses, object
     * hashes, AQE plan/stage ids, expression ids) so a regenerated PLANS.md
