@@ -215,6 +215,13 @@ object SparkEntry {
     // per-user last-event boundary state (lag-derived aggregates need a
     // contiguous cut, not a mod slice) — hash-matches the full log
     "incremental_transitions" -> ((s, d) => Sessions.incrementalTransitions(s, d)),
+    // order-2 sequence mining: per-user consecutive type triples + ppm
+    "event_trigrams" -> ((s, d) => Sessions.eventTrigrams(s, d)),
+    // boundary state generalized to order-2: last TWO types per user;
+    // two boundary triple families — hash-matches the full log
+    "incremental_trigrams" -> ((s, d) => Sessions.incrementalTrigrams(s, d)),
+    // RFM segmentation: exact quintile boundaries, <=125-cell matrix
+    "rfm_segments" -> ((s, d) => Analytics.rfmSegments(s, d)),
     "event_type_stats" -> ((s, d) => Sessions.eventTypeStats(s, d)),
     "daily_counts" -> ((s, d) => Sessions.dailyCounts(s, d)),
     "value_histogram" -> ((s, d) => Sessions.valueHistogram(s, d)),
@@ -833,6 +840,75 @@ object SparkEntry {
         |SELECT cohort_day, n_eligible, churned,
         |  churned * 1000000 // n_eligible AS churned_ppm
         |FROM a ORDER BY cohort_day""".stripMargin
+
+  /** Shared by `event_trigrams` and its incremental rung
+    * `incremental_trigrams` (the order-2 boundary-state ladder).
+    */
+  private val eventTrigramsSql: String =
+    """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS p1,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS p2
+        |  FROM events
+        |), t AS (
+        |  SELECT p2 AS t1, p1 AS t2, event_type AS t3, count(*) AS n
+        |  FROM e WHERE p2 IS NOT NULL GROUP BY 1, 2, 3
+        |), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM t)
+        |SELECT t1, t2, t3, CAST(n AS BIGINT) AS n, n * 1000000 // total AS ppm
+        |FROM t CROSS JOIN tot ORDER BY t1, t2, t3""".stripMargin
+
+  private val rfmSegmentsSql: String =
+    """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c2
+        |  FROM events
+        |), u AS (
+        |  SELECT user_id, max(day) AS last_day, count(*) AS freq,
+        |    CAST(SUM(c2) AS BIGINT) AS mon_c2
+        |  FROM e GROUP BY 1
+        |), m AS (SELECT max(last_day) AS max_day FROM u),
+        |v AS (SELECT user_id, max_day - last_day AS rec_days, freq, mon_c2
+        |      FROM u CROSS JOIN m),
+        |r AS (
+        |  SELECT v.*, row_number() OVER (ORDER BY rec_days) AS rr,
+        |    row_number() OVER (ORDER BY freq) AS rf,
+        |    row_number() OVER (ORDER BY mon_c2) AS rm,
+        |    count(*) OVER () AS n
+        |  FROM v
+        |), q AS (
+        |  SELECT
+        |    max(CASE WHEN rr = (1*n + 4) // 5 THEN rec_days END) AS rec_days_q1,
+        |    max(CASE WHEN rr = (2*n + 4) // 5 THEN rec_days END) AS rec_days_q2,
+        |    max(CASE WHEN rr = (3*n + 4) // 5 THEN rec_days END) AS rec_days_q3,
+        |    max(CASE WHEN rr = (4*n + 4) // 5 THEN rec_days END) AS rec_days_q4,
+        |    max(CASE WHEN rf = (1*n + 4) // 5 THEN freq END) AS freq_q1,
+        |    max(CASE WHEN rf = (2*n + 4) // 5 THEN freq END) AS freq_q2,
+        |    max(CASE WHEN rf = (3*n + 4) // 5 THEN freq END) AS freq_q3,
+        |    max(CASE WHEN rf = (4*n + 4) // 5 THEN freq END) AS freq_q4,
+        |    max(CASE WHEN rm = (1*n + 4) // 5 THEN mon_c2 END) AS mon_c2_q1,
+        |    max(CASE WHEN rm = (2*n + 4) // 5 THEN mon_c2 END) AS mon_c2_q2,
+        |    max(CASE WHEN rm = (3*n + 4) // 5 THEN mon_c2 END) AS mon_c2_q3,
+        |    max(CASE WHEN rm = (4*n + 4) // 5 THEN mon_c2 END) AS mon_c2_q4
+        |  FROM r
+        |), b AS (
+        |  SELECT mon_c2,
+        |    CAST(1 + (CASE WHEN rec_days > rec_days_q1 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN rec_days > rec_days_q2 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN rec_days > rec_days_q3 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN rec_days > rec_days_q4 THEN 1 ELSE 0 END) AS BIGINT) AS r_bucket,
+        |    CAST(1 + (CASE WHEN freq > freq_q1 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN freq > freq_q2 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN freq > freq_q3 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN freq > freq_q4 THEN 1 ELSE 0 END) AS BIGINT) AS f_bucket,
+        |    CAST(1 + (CASE WHEN mon_c2 > mon_c2_q1 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN mon_c2 > mon_c2_q2 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN mon_c2 > mon_c2_q3 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN mon_c2 > mon_c2_q4 THEN 1 ELSE 0 END) AS BIGINT) AS m_bucket
+        |  FROM v CROSS JOIN q
+        |)
+        |SELECT r_bucket, f_bucket, m_bucket, count(*) AS n_users,
+        |  CAST(SUM(mon_c2) AS BIGINT) AS total_value_c2
+        |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   /** Shared by `funnel_windowed` and its incremental rung
     * `incremental_funnel` — the hash-match pins incremental ≡ full
@@ -1658,6 +1734,9 @@ object SparkEntry {
     "incremental_forecast" -> seasonalForecastSql,
     "event_transitions" -> eventTransitionsSql,
     "incremental_transitions" -> eventTransitionsSql,
+    "event_trigrams" -> eventTrigramsSql,
+    "incremental_trigrams" -> eventTrigramsSql,
+    "rfm_segments" -> rfmSegmentsSql,
     "timeseries_gapfill" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS n,

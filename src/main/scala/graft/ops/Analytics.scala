@@ -686,6 +686,53 @@ object Analytics {
     * top-k window over |keys| rows — the diagnostic never runs the join
     * it predicts.
     */
+  /** RFM segmentation: every user scored 1..5 on Recency (days behind the
+    * log edge), Frequency (event count), and Monetary (exact cents), with
+    * quintile boundaries as EXACT discrete value-at-rank selections and
+    * the output the ≤125-cell segment matrix (counts + exact cents totals)
+    * — the classic warehouse behavioral segmentation. Each metric's four
+    * boundaries come from one [[DistributedSelect.exactGroupPercentiles]]
+    * pass over the memoized users frame (histogram split — users are one
+    * huge group, precisely the case the split exists for); bucket
+    * assignment is `1 + Σ (value > q_k)` — pure integer comparisons
+    * against the broadcast 1-row boundary frame, deterministic under ties
+    * because the value AT a rank is tie-order-independent. The oracle
+    * replays the naive whole-frame rank windows.
+    */
+  def rfmSegments(spark: SparkSession, d: String): DataFrame = {
+    val users = Memo(spark, s"rfm_users|$d") {
+      val ev = Tables.events(spark, d)
+        .select(col("user_id"), Sessions.dayIdx(spark, d).as("day"),
+          Exact.c2(col("value")).as("c2"))
+      ev.groupBy(col("user_id"))
+        .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+          Exact.sumLong(col("c2")).as("mon_c2"))
+        .crossJoin(broadcast(ev.agg(max(col("day")).as("max_day"))))
+        .select(col("user_id"), (col("max_day") - col("last_day")).as("rec_days"),
+          col("freq"), col("mon_c2"))
+        .withColumn("g", lit("all"))
+        .persist()
+    }
+    def quints(metric: String): DataFrame =
+      DistributedSelect.exactGroupPercentiles(users, "g", metric,
+        (1 to 4).map(k => (s"${metric}_q$k", k.toLong, 5L)))
+        .drop("g", "n_rows")
+    val bounds = broadcast(
+      quints("rec_days").crossJoin(quints("freq")).crossJoin(quints("mon_c2")))
+    def bucket(metric: String): Column =
+      (1 to 4).foldLeft(lit(1L)) { (acc, k) =>
+        acc + when(col(metric) > col(s"${metric}_q$k"), 1L).otherwise(0L)
+      }
+    users.crossJoin(bounds)
+      .select(col("user_id"), col("mon_c2"),
+        bucket("rec_days").as("r_bucket"), bucket("freq").as("f_bucket"),
+        bucket("mon_c2").as("m_bucket"))
+      .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        Exact.sumLong(col("mon_c2")).as("total_value_c2"))
+      .orderBy("r_bucket", "f_bucket", "m_bucket")
+  }
+
   def joinExplosionCheck(spark: SparkSession, d: String, k: Int = 10): DataFrame = {
     val dec = DecimalType(38, 0)
     val cnt = Tables.events(spark, d)

@@ -507,6 +507,103 @@ object Sessions {
       pairsOld.unionByName(pairCounts(newEv)).unionByName(boundary))
   }
 
+  /** Order-2 sequence mining: counts and global ppm shares of each user's
+    * consecutive event-type TRIPLES (the natural extension of
+    * [[eventTransitions]] to trigram patterns — "view→click→purchase" as
+    * a first-class count). Two lag windows over the same per-user
+    * partitioning (one shuffle); the aggregated frame is ≤ |types|³ rows
+    * and the global total enters as a broadcast one-row frame (the
+    * scalar-subquery shape), so the ppm math never re-shuffles the log.
+    */
+  def eventTrigrams(spark: SparkSession, d: String): DataFrame =
+    trigramsOfTriples(tripleCounts(
+      Tables.events(spark, d).select(col("user_id"), col("event_id"), col("event_type"))))
+
+  /** Consecutive-triple counts `(t1, t2, t3, n)` from an event slice. */
+  private def tripleCounts(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    ev
+      .withColumn("p2", lag(col("event_type"), 2).over(byUser))
+      .withColumn("p1", lag(col("event_type"), 1).over(byUser))
+      .where(col("p2").isNotNull)
+      .groupBy(col("p2").as("t1"), col("p1").as("t2"), col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Share tail over already-counted triples — shared by the batch and
+    * incremental forms.
+    */
+  private[graft] def trigramsOfTriples(triples: DataFrame): DataFrame = {
+    val summed = triples
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(Exact.sumLong(col("n")).as("n"))
+    summed
+      .crossJoin(broadcast(summed.agg(Exact.sumLong(col("n")).as("total"))))
+      .withColumn("ppm", expr("n * 1000000 div total"))
+      .select(col("t1"), col("t2"), col("t3"), col("n"), col("ppm"))
+      .orderBy("t1", "t2", "t3")
+  }
+
+  /** [[AnnStore]] kinds for the persisted trigram summaries. */
+  private[graft] val TrigramsKind = "evtrigrams-v1"
+  private[graft] val TrigramLastKind = "evtrigramlast-v1"
+
+  /** Trigram matrix under SUFFIX arrival — the boundary-state pattern
+    * GENERALIZED to order-2 lags, the proof the
+    * [[incrementalTransitions]] recipe scales in window order: with a
+    * contiguous cut, per user exactly TWO triples span the boundary —
+    * (last old−1, last old, first new) and (last old, first new, second
+    * new) — so the persisted boundary state is each user's LAST TWO event
+    * types (order-k lags need the last k, still users-sized), and the
+    * merged matrix = old triples ⊕ within-suffix triples ⊕ the two
+    * boundary families, HASH-MATCHING the full-log [[eventTrigrams]]
+    * (shared oracle). A user with fewer than 2 old or new events simply
+    * contributes the boundary families its nulls admit — the `isNotNull`
+    * guards mirror the full log's lag semantics exactly.
+    */
+  def incrementalTrigrams(spark: SparkSession, d: String,
+      tenthsOld: Int = 9): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val cut = suffixCut(ev, tenthsOld)
+    val oldEv = ev.filter(col("event_id") <= cut)
+    val newEv = ev.filter(col("event_id") > cut)
+    val triplesOld = Memo(spark, s"ev_trigrams|$d|$tenthsOld") {
+      AnnStore.loadOrBuild(spark,
+        AnnStore.path(spark, TrigramsKind, d, s"t$tenthsOld", corpusTable = "events")) {
+        tripleCounts(oldEv)
+      }.persist()
+    }
+    val lastOld = Memo(spark, s"ev_trigram_last|$d|$tenthsOld") {
+      AnnStore.loadOrBuild(spark,
+        AnnStore.path(spark, TrigramLastKind, d, s"t$tenthsOld", corpusTable = "events")) {
+        oldEv
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)))
+          .where(col("rk") <= 2)
+          .groupBy(col("user_id"))
+          .agg(max(when(col("rk") === 1, col("event_type"))).as("last1"),
+            max(when(col("rk") === 2, col("event_type"))).as("last2"))
+      }.persist()
+    }
+    val firstNew = newEv
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("event_id"))))
+      .where(col("rk") <= 2)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("rk") === 1, col("event_type"))).as("f1"),
+        max(when(col("rk") === 2, col("event_type"))).as("f2"))
+    val joined = lastOld.join(firstNew, Seq("user_id"))
+    val b1 = joined.where(col("last2").isNotNull && col("f1").isNotNull)
+      .groupBy(col("last2").as("t1"), col("last1").as("t2"), col("f1").as("t3"))
+      .agg(count(lit(1)).as("n"))
+    val b2 = joined.where(col("last1").isNotNull && col("f2").isNotNull)
+      .groupBy(col("last1").as("t1"), col("f1").as("t2"), col("f2").as("t3"))
+      .agg(count(lit(1)).as("n"))
+    trigramsOfTriples(
+      triplesOld.unionByName(tripleCounts(newEv)).unionByName(b1).unionByName(b2))
+  }
+
   /** Floor(ts / T), raw ticks → epoch-ms for T ticks per ms, exact for
     * NEGATIVE (pre-1970) timestamps too: `pmod` is non-negative, so
     * `ts - pmod(ts, T)` is the largest multiple of T ≤ ts, and the remaining

@@ -883,6 +883,57 @@ class OpsSpec extends SparkSuite {
     assert(out.values.forall { case (n, c, ppm) => c <= n && ppm <= 1000000L })
   }
 
+  test("eventTrigrams: driver recompute; shares bounded; incremental matches the full log") {
+    val out = Sessions.eventTrigrams(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val triples = ev.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      rs.sortBy(_._2).map(_._3).toSeq.sliding(3).collect {
+        case Seq(a, b, c) => (a, b, c) }
+    }
+    val total = triples.size.toLong
+    val want = triples.groupBy(identity).map { case (k, xs) =>
+      (k, (xs.size.toLong, xs.size.toLong * 1000000L / total)) }
+    assert(out == want)
+    assert(out.values.map(_._1).sum == total)
+    // the order-2 boundary state reproduces the full log exactly
+    assert(Sessions.incrementalTrigrams(spark, sf).collect().toSeq ==
+      Sessions.eventTrigrams(spark, sf).collect().toSeq)
+  }
+
+  test("rfmSegments: driver recompute of quintile boundaries and the segment matrix") {
+    val out = Analytics.rfmSegments(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), (r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), Sessions.dayIdx(spark, sf).as("day"),
+        graft.ops.Exact.c2(col("value")).as("c2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val maxDay = ev.map(_._2).max
+    val users = ev.groupBy(_._1).map { case (u, rs) =>
+      (u, maxDay - rs.map(_._2).max, rs.length.toLong, rs.map(_._3).sum) }.toSeq
+    val n = users.length.toLong
+    def quints(vals: Seq[Long]): Seq[Long] = {
+      val sorted = vals.sorted
+      (1 to 4).map(k => sorted(((k * n + 4) / 5 - 1).toInt))
+    }
+    val (rq, fq, mq) = (quints(users.map(_._2)), quints(users.map(_._3)), quints(users.map(_._4)))
+    def bucket(v: Long, qs: Seq[Long]): Long = 1L + qs.count(v > _)
+    val want = users.groupBy { case (_, r, f, m) =>
+      (bucket(r, rq), bucket(f, fq), bucket(m, mq)) }
+      .map { case (k, rs) => (k, (rs.size.toLong, rs.map(_._4).sum)) }
+    assert(out == want)
+    // every user lands in exactly one cell; buckets are in 1..5
+    assert(out.values.map(_._1).sum == n)
+    assert(out.keys.forall { case (a, b, c) =>
+      Seq(a, b, c).forall(x => x >= 1L && x <= 5L) })
+  }
+
   test("incrementalChurn: DAU-store min/max spans reproduce the full-log churn") {
     val full = Sessions.cohortChurn(spark, sf).collect().toSeq
     assert(Sessions.incrementalChurn(spark, sf).collect().toSeq == full)
