@@ -222,6 +222,12 @@ object SparkEntry {
     "incremental_trigrams" -> ((s, d) => Sessions.incrementalTrigrams(s, d)),
     // RFM segmentation: exact quintile boundaries, <=125-cell matrix
     "rfm_segments" -> ((s, d) => Analytics.rfmSegments(s, d)),
+    // day-over-day value-distribution drift (total variation x 1e6)
+    "daily_drift" -> ((s, d) => Temporal.dailyDrift(s, d)),
+    // DAU / trailing-30d MAU engagement ratio over the DAU summary
+    "user_stickiness" -> ((s, d) => Sessions.userStickiness(s, d)),
+    // share of events from users above exact p90/p99 activity thresholds
+    "user_concentration" -> ((s, d) => Analytics.userConcentration(s, d)),
     "event_type_stats" -> ((s, d) => Sessions.eventTypeStats(s, d)),
     "daily_counts" -> ((s, d) => Sessions.dailyCounts(s, d)),
     "value_histogram" -> ((s, d) => Sessions.valueHistogram(s, d)),
@@ -840,6 +846,72 @@ object SparkEntry {
         |SELECT cohort_day, n_eligible, churned,
         |  churned * 1000000 // n_eligible AS churned_ppm
         |FROM a ORDER BY cohort_day""".stripMargin
+
+  private val dailyDriftSql: String =
+    """WITH e AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c2
+        |  FROM events
+        |), h AS (
+        |  SELECT event_type, day, c2 - ((c2 % 1000 + 1000) % 1000) AS bucket_c2,
+        |    count(*) AS n
+        |  FROM e GROUP BY 1, 2, 3
+        |), t AS (
+        |  SELECT event_type, day, CAST(SUM(n) AS BIGINT) AS total FROM h GROUP BY 1, 2
+        |), j AS (
+        |  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+        |         coalesce(a.day, b.day + 1) AS day,
+        |         coalesce(a.n, 0) AS n, coalesce(b.n, 0) AS n_prev
+        |  FROM h a FULL OUTER JOIN h b
+        |    ON a.event_type = b.event_type AND a.day = b.day + 1
+        |       AND a.bucket_c2 = b.bucket_c2
+        |)
+        |SELECT j.event_type, j.day, max(tc.total) AS n_cur, max(tp.total) AS n_prev_day,
+        |  CAST(SUM(abs(j.n * 1000000 // tc.total - j.n_prev * 1000000 // tp.total))
+        |       AS BIGINT) AS drift_ppm
+        |FROM j JOIN t tc ON tc.event_type = j.event_type AND tc.day = j.day
+        |       JOIN t tp ON tp.event_type = j.event_type AND tp.day = j.day - 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val userStickinessSql: String =
+    """WITH dau AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+        |), daily AS (
+        |  SELECT day, count(*) AS dau_users FROM dau GROUP BY 1
+        |), w AS (
+        |  SELECT DISTINCT user_id, day + o AS day
+        |  FROM dau CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS o)
+        |), mau AS (
+        |  SELECT day, count(*) AS mau_users FROM w GROUP BY 1
+        |)
+        |SELECT day, dau_users, mau_users,
+        |  dau_users * 1000000 // mau_users AS stickiness_ppm
+        |FROM daily JOIN mau USING (day) ORDER BY day""".stripMargin
+
+  private val userConcentrationSql: String =
+    """WITH u AS (
+        |  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT n_events, row_number() OVER (ORDER BY n_events) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM u
+        |), q AS (
+        |  SELECT max(CASE WHEN rn = (9*n + 9) // 10 THEN n_events END) AS q90,
+        |         max(CASE WHEN rn = (99*n + 99) // 100 THEN n_events END) AS q99
+        |  FROM r
+        |), a AS (
+        |  SELECT CAST(SUM(n_events) AS BIGINT) AS total_events,
+        |    CAST(SUM(CASE WHEN n_events > q90 THEN 1 ELSE 0 END) AS BIGINT) AS u90,
+        |    CAST(SUM(CASE WHEN n_events > q90 THEN n_events ELSE 0 END) AS BIGINT) AS e90,
+        |    CAST(SUM(CASE WHEN n_events > q99 THEN 1 ELSE 0 END) AS BIGINT) AS u99,
+        |    CAST(SUM(CASE WHEN n_events > q99 THEN n_events ELSE 0 END) AS BIGINT) AS e99,
+        |    CAST(max(q90) AS BIGINT) AS t90, CAST(max(q99) AS BIGINT) AS t99
+        |  FROM u CROSS JOIN q
+        |)
+        |SELECT 'p90' AS pct, t90 AS threshold_events, u90 AS users_above,
+        |  e90 AS events_above, e90 * 1000000 // total_events AS share_ppm FROM a
+        |UNION ALL SELECT 'p99', t99, u99, e99, e99 * 1000000 // total_events FROM a
+        |ORDER BY pct""".stripMargin
 
   /** Shared by `event_trigrams` and its incremental rung
     * `incremental_trigrams` (the order-2 boundary-state ladder).
@@ -1737,6 +1809,9 @@ object SparkEntry {
     "event_trigrams" -> eventTrigramsSql,
     "incremental_trigrams" -> eventTrigramsSql,
     "rfm_segments" -> rfmSegmentsSql,
+    "daily_drift" -> dailyDriftSql,
+    "user_stickiness" -> userStickinessSql,
+    "user_concentration" -> userConcentrationSql,
     "timeseries_gapfill" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS n,

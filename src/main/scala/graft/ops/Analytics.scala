@@ -733,6 +733,47 @@ object Analytics {
       .orderBy("r_bucket", "f_bucket", "m_bucket")
   }
 
+  /** Activity concentration: what share of all events comes from users
+    * above the p90 / p99 per-user activity thresholds — the "how heavy is
+    * the head" readout that decides skew mitigation (and, for a training
+    * corpus, source-domination caps) WITHOUT a global user sort. The
+    * thresholds are exact value-at-rank selections over the per-user
+    * counts ([[DistributedSelect.exactGroupPercentiles]] — one huge
+    * group, the histogram split's home case; a Gini coefficient would
+    * need a global rank of every user, i.e. a single-task sort at 100 TB,
+    * and is deliberately NOT offered); the conditional sums are one more
+    * pass with the 1-row thresholds broadcast. Strict `>` keeps ties
+    * deterministic on both engines.
+    */
+  def userConcentration(spark: SparkSession, d: String): DataFrame = {
+    val counts = Memo(spark, s"conc_users|$d") {
+      Tables.events(spark, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        .withColumn("g", lit("all"))
+        .persist()
+    }
+    val qs = DistributedSelect.exactGroupPercentiles(counts, "g", "n_events",
+      Seq(("q90", 9L, 10L), ("q99", 99L, 100L)))
+      .select(col("q90"), col("q99"))
+    val agg = counts.crossJoin(broadcast(qs))
+      .agg(
+        count(lit(1)).as("n_users"),
+        Exact.sumLong(col("n_events")).as("total_events"),
+        Exact.sumLong(when(col("n_events") > col("q90"), 1L).otherwise(0L)).as("u90"),
+        Exact.sumLong(when(col("n_events") > col("q90"), col("n_events")).otherwise(0L)).as("e90"),
+        Exact.sumLong(when(col("n_events") > col("q99"), 1L).otherwise(0L)).as("u99"),
+        Exact.sumLong(when(col("n_events") > col("q99"), col("n_events")).otherwise(0L)).as("e99"),
+        max(col("q90")).as("t90"), max(col("q99")).as("t99"))
+    Seq(("p90", "t90", "u90", "e90"), ("p99", "t99", "u99", "e99"))
+      .map { case (label, t, u, e) =>
+        agg.select(lit(label).as("pct"), col(t).as("threshold_events"),
+          col(u).as("users_above"), col(e).as("events_above"),
+          expr(s"$e * 1000000 div total_events").as("share_ppm"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("pct")
+  }
+
   def joinExplosionCheck(spark: SparkSession, d: String, k: Int = 10): DataFrame = {
     val dec = DecimalType(38, 0)
     val cnt = Tables.events(spark, d)

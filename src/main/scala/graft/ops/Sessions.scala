@@ -507,6 +507,37 @@ object Sessions {
       pairsOld.unionByName(pairCounts(newEv)).unionByName(boundary))
   }
 
+  /** Stickiness (DAU/MAU): per observed day, the share of the trailing
+    * 30-day active-user base that was active TODAY — the engagement
+    * ratio every product dashboard tracks. Computed entirely over the
+    * DAU summary (users×days — never the raw log): each active user-day
+    * contributes to its own day's DAU and, via a 30-element exploded
+    * window spine, to the 30 forward window positions of the MAU
+    * distinct count (a 30× blow-up of an already-bounded frame). Early
+    * days use the naturally truncated trailing window (documented: a
+    * 10-day-old log has a 10-day MAU). Integral-div ppm export.
+    */
+  def userStickiness(spark: SparkSession, d: String,
+      windowDays: Int = 30): DataFrame = {
+    val dau = Memo(spark, s"ev_dau_days|$d") {
+      Tables.events(spark, d)
+        .select(col("user_id"), dayIdx(spark, d).as("day"))
+        .distinct()
+        .persist()
+    }
+    val daily = dau.groupBy(col("day")).agg(count(lit(1)).as("dau_users"))
+    val mau = dau
+      .withColumn("wd", explode(sequence(col("day"),
+        col("day") + lit(windowDays.toLong - 1L))))
+      .select(col("user_id"), col("wd"))
+      .distinct()
+      .groupBy(col("wd").as("day"))
+      .agg(count(lit(1)).as("mau_users"))
+    daily.join(mau, Seq("day"))
+      .withColumn("stickiness_ppm", expr("dau_users * 1000000 div mau_users"))
+      .orderBy("day")
+  }
+
   /** Order-2 sequence mining: counts and global ppm shares of each user's
     * consecutive event-type TRIPLES (the natural extension of
     * [[eventTransitions]] to trigram patterns — "view→click→purchase" as

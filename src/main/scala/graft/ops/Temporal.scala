@@ -755,6 +755,46 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** Day-over-day value-distribution drift per type: the total-variation
+    * distance (×10⁶) between consecutive days' value-bucket histograms —
+    * the ingest-health readout that catches a payload-mix shift the mean
+    * hides. Buckets are the [[Sessions.valueHistogram]] exact integer
+    * floor (1000-cent width); each day's histogram is normalized to ppm
+    * with integral `div`, and the drift is the L1 distance of the two ppm
+    * vectors (no division by bucket counts, so no chi-square zero-cell
+    * trap, and nothing but integer arithmetic crosses the oracle
+    * boundary). Everything after the one histogram aggregation runs on
+    * types × days × buckets frames; the previous day aligns via a day+1
+    * self-join, never a window over the raw log.
+    */
+  def dailyDrift(spark: SparkSession, d: String,
+      bucketCents: Long = 1000L): DataFrame = {
+    val h = Memo(spark, s"ev_dayhist|$d|$bucketCents") {
+      Tables.events(spark, d)
+        .select(col("event_type"), Sessions.dayIdx(spark, d).as("day"),
+          Exact.c2(col("value")).as("c2"))
+        .withColumn("bucket_c2", col("c2") - pmod(col("c2"), lit(bucketCents)))
+        .groupBy(col("event_type"), col("day"), col("bucket_c2"))
+        .agg(count(lit(1)).as("n"))
+        .persist()
+    }
+    val totals = h.groupBy(col("event_type"), col("day"))
+      .agg(Exact.sumLong(col("n")).as("total"))
+    val cur = h.select(col("event_type"), col("day"), col("bucket_c2"), col("n"))
+    val prev = h.select(col("event_type"), (col("day") + 1L).as("day"),
+      col("bucket_c2"), col("n").as("n_prev"))
+    cur.join(prev, Seq("event_type", "day", "bucket_c2"), "full_outer")
+      .join(totals, Seq("event_type", "day"))
+      .join(totals.select(col("event_type"), (col("day") + 1L).as("day"),
+        col("total").as("total_prev")), Seq("event_type", "day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("total")).as("n_cur"), max(col("total_prev")).as("n_prev_day"),
+        Exact.sumLong(abs(
+          expr("coalesce(n, 0) * 1000000 div total") -
+            expr("coalesce(n_prev, 0) * 1000000 div total_prev"))).as("drift_ppm"))
+      .orderBy("event_type", "day")
+  }
+
   /** Daily per-type value bands: exact discrete p50/p95 cents per
     * (event_type, day) — the SLO dashboard readout ("daily p95"). Unlike
     * the big-group percentile ops (which use the

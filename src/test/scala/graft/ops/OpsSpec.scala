@@ -934,6 +934,44 @@ class OpsSpec extends SparkSuite {
       Seq(a, b, c).forall(x => x >= 1L && x <= 5L) })
   }
 
+  test("userStickiness: driver recompute; day-0 ratio is 1e6; ratios bounded") {
+    val out = Sessions.userStickiness(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.nonEmpty)
+    val dau = Tables.events(spark, sf)
+      .select(col("user_id"), Sessions.dayIdx(spark, sf).as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val minDay = dau.map(_._2).min
+    val want = dau.map(_._2).distinct.map { d =>
+      val dauN = dau.count(_._2 == d).toLong
+      val mauN = dau.filter { case (_, x) => x <= d && x > d - 30 }
+        .map(_._1).distinct.length.toLong
+      (d, (dauN, mauN, dauN * 1000000L / mauN))
+    }.toMap
+    assert(out == want)
+    // the first observed day's trailing window is just itself
+    assert(out(minDay)._3 == 1000000L)
+    assert(out.values.forall { case (a, m, ppm) => a <= m && ppm <= 1000000L })
+  }
+
+  test("userConcentration: driver recompute; p99 head is a subset of the p90 head") {
+    val out = Analytics.userConcentration(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val counts = Tables.events(spark, sf).select("user_id")
+      .collect().map(_.getLong(0)).groupBy(identity).map(_._2.length.toLong).toSeq
+    val n = counts.length.toLong
+    val sorted = counts.sorted
+    def q(num: Long, den: Long) = sorted(((num * n + den - 1) / den - 1).toInt)
+    val total = counts.sum
+    def head(t: Long) = {
+      val above = counts.filter(_ > t)
+      (t, above.length.toLong, above.sum, above.sum * 1000000L / total)
+    }
+    assert(out == Map("p90" -> head(q(9, 10)), "p99" -> head(q(99, 100))))
+    assert(out("p99")._2 <= out("p90")._2 && out("p99")._3 <= out("p90")._3)
+  }
+
   test("incrementalChurn: DAU-store min/max spans reproduce the full-log churn") {
     val full = Sessions.cohortChurn(spark, sf).collect().toSeq
     assert(Sessions.incrementalChurn(spark, sf).collect().toSeq == full)

@@ -430,6 +430,34 @@ class TemporalSpec extends SparkSuite {
       Temporal.dailyAutoregression(spark, sf).collect().toSeq)
   }
 
+  test("dailyDrift: driver recompute of the total-variation distance; bounded by 2e6") {
+    val out = Temporal.dailyDrift(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), Sessions.dayIdx(spark, sf).as("day"),
+        graft.ops.Exact.c2(col("value")).as("c2"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def floorB(v: Long) = v - (((v % 1000) + 1000) % 1000)
+    val hist = ev.groupBy(x => (x._1, x._2))
+      .map { case (k, rs) => (k, rs.groupBy(x => floorB(x._3))
+        .map { case (b, xs) => (b, xs.size.toLong) }) }
+    val want = hist.keys.toSeq.flatMap { case (tpe, day) =>
+      hist.get((tpe, day - 1)).map { prev =>
+        val cur = hist((tpe, day))
+        val (nc, np) = (cur.values.sum, prev.values.sum)
+        val drift = (cur.keySet ++ prev.keySet).toSeq.map { b =>
+          math.abs(cur.getOrElse(b, 0L) * 1000000L / nc -
+            prev.getOrElse(b, 0L) * 1000000L / np)
+        }.sum
+        ((tpe, day), (nc, np, drift))
+      }
+    }.toMap
+    assert(out == want)
+    assert(out.values.forall(_._3 <= 2000000L))
+  }
+
   test("dailyValueBands: exact rank selections recompute per cell") {
     val out = Temporal.dailyValueBands(spark, sf).collect()
       .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
