@@ -224,10 +224,18 @@ object SparkEntry {
     "rfm_segments" -> ((s, d) => Analytics.rfmSegments(s, d)),
     // day-over-day value-distribution drift (total variation x 1e6)
     "daily_drift" -> ((s, d) => Temporal.dailyDrift(s, d)),
+    // incremental rung: persisted (type, day, bucket) histogram merges
+    "incremental_drift" -> ((s, d) => Temporal.incrementalDrift(s, d)),
     // DAU / trailing-30d MAU engagement ratio over the DAU summary
     "user_stickiness" -> ((s, d) => Sessions.userStickiness(s, d)),
+    // incremental rung: the DAU store's fifth consumer
+    "incremental_stickiness" -> ((s, d) => Sessions.incrementalStickiness(s, d)),
     // share of events from users above exact p90/p99 activity thresholds
     "user_concentration" -> ((s, d) => Analytics.userConcentration(s, d)),
+    // incremental rung on the shared per-user activity store
+    "incremental_concentration" -> ((s, d) => Analytics.incrementalConcentration(s, d)),
+    // incremental RFM on the same per-user activity store
+    "incremental_rfm" -> ((s, d) => Analytics.incrementalRfmSegments(s, d)),
     "event_type_stats" -> ((s, d) => Sessions.eventTypeStats(s, d)),
     "daily_counts" -> ((s, d) => Sessions.dailyCounts(s, d)),
     "value_histogram" -> ((s, d) => Sessions.valueHistogram(s, d)),
@@ -1809,9 +1817,13 @@ object SparkEntry {
     "event_trigrams" -> eventTrigramsSql,
     "incremental_trigrams" -> eventTrigramsSql,
     "rfm_segments" -> rfmSegmentsSql,
+    "incremental_rfm" -> rfmSegmentsSql,
     "daily_drift" -> dailyDriftSql,
+    "incremental_drift" -> dailyDriftSql,
     "user_stickiness" -> userStickinessSql,
+    "incremental_stickiness" -> userStickinessSql,
     "user_concentration" -> userConcentrationSql,
+    "incremental_concentration" -> userConcentrationSql,
     "timeseries_gapfill" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS n,

@@ -699,20 +699,85 @@ object Analytics {
     * because the value AT a rank is tie-order-independent. The oracle
     * replays the naive whole-frame rank windows.
     */
-  def rfmSegments(spark: SparkSession, d: String): DataFrame = {
-    val users = Memo(spark, s"rfm_users|$d") {
-      val ev = Tables.events(spark, d)
+  def rfmSegments(spark: SparkSession, d: String): DataFrame =
+    rfmOfUsers(Memo(spark, s"rfm_users|$d") {
+      withRecency(Tables.events(spark, d)
         .select(col("user_id"), Sessions.dayIdx(spark, d).as("day"),
           Exact.c2(col("value")).as("c2"))
-      ev.groupBy(col("user_id"))
+        .groupBy(col("user_id"))
         .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
-          Exact.sumLong(col("c2")).as("mon_c2"))
-        .crossJoin(broadcast(ev.agg(max(col("day")).as("max_day"))))
-        .select(col("user_id"), (col("max_day") - col("last_day")).as("rec_days"),
-          col("freq"), col("mon_c2"))
+          Exact.sumLong(col("c2")).as("mon_c2"))).persist()
+    })
+
+  /** Recency against the frame's own right edge (broadcast one-row max),
+    * plus the single-group tag the percentile split needs.
+    */
+  private def withRecency(spans: DataFrame): DataFrame =
+    spans
+      .crossJoin(broadcast(spans.agg(max(col("last_day")).as("max_day"))))
+      .select(col("user_id"), (col("max_day") - col("last_day")).as("rec_days"),
+        col("freq"), col("mon_c2"))
+      .withColumn("g", lit("all"))
+
+  /** [[AnnStore]] kind for the persisted per-user activity summary
+    * `(user_id, last_day, freq, mon_c2)` — the behavioral-segmentation
+    * ladder's shared artifact ([[incrementalRfmSegments]] and
+    * [[incrementalConcentration]] both ride it).
+    */
+  private[graft] val UserActKind = "evuseract-v1"
+
+  /** The merged per-user activity summary: persisted history ⊕ arriving
+    * batch, merged by (max, +, +) — all exactly mergeable, and the log
+    * edge (hence every recency) re-derives from the merged spans.
+    */
+  private def mergedUserActivity(spark: SparkSession, d: String,
+      batchMod: Int): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"),
+        Sessions.dayIdx(spark, d).as("day"), Exact.c2(col("value")).as("c2"))
+    val isNew = pmod(col("event_id"), lit(batchMod)) === 0
+    val oldAct = Memo(spark, s"ev_useract_old|$d|$batchMod") {
+      AnnStore.loadOrBuild(spark,
+        AnnStore.path(spark, UserActKind, d, s"x$batchMod", corpusTable = "events")) {
+        ev.filter(!isNew).groupBy(col("user_id"))
+          .agg(max(col("day")).as("ld_old"), count(lit(1)).as("f_old"),
+            Exact.sumLong(col("c2")).as("m_old"))
+      }.persist()
+    }
+    val newAct = ev.filter(isNew).groupBy(col("user_id"))
+      .agg(max(col("day")).as("ld_new"), count(lit(1)).as("f_new"),
+        Exact.sumLong(col("c2")).as("m_new"))
+    oldAct.join(newAct, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        greatest(col("ld_old"), col("ld_new")).as("last_day"),
+        (coalesce(col("f_old"), lit(0L)) + coalesce(col("f_new"), lit(0L))).as("freq"),
+        (coalesce(col("m_old"), lit(0L)) + coalesce(col("m_new"), lit(0L))).as("mon_c2"))
+  }
+
+  /** RFM under log growth — the incremental rung on the shared per-user
+    * activity store; pinned to the batch [[rfmSegments]] oracle verbatim
+    * (quintile boundaries re-derive from the merged users frame).
+    */
+  def incrementalRfmSegments(spark: SparkSession, d: String,
+      batchMod: Int = 10): DataFrame =
+    rfmOfUsers(Memo(spark, s"rfm_users_inc|$d|$batchMod") {
+      withRecency(mergedUserActivity(spark, d, batchMod)).persist()
+    })
+
+  /** Concentration under log growth — same store, counts column only. */
+  def incrementalConcentration(spark: SparkSession, d: String,
+      batchMod: Int = 10): DataFrame =
+    concentrationOfCounts(Memo(spark, s"conc_users_inc|$d|$batchMod") {
+      mergedUserActivity(spark, d, batchMod)
+        .select(col("user_id"), col("freq").as("n_events"))
         .withColumn("g", lit("all"))
         .persist()
-    }
+    })
+
+  /** The segmentation tail over a persisted `(user_id, rec_days, freq,
+    * mon_c2, g)` users frame — shared by the batch and incremental forms.
+    */
+  private def rfmOfUsers(users: DataFrame): DataFrame = {
     def quints(metric: String): DataFrame =
       DistributedSelect.exactGroupPercentiles(users, "g", metric,
         (1 to 4).map(k => (s"${metric}_q$k", k.toLong, 5L)))
@@ -745,13 +810,18 @@ object Analytics {
     * pass with the 1-row thresholds broadcast. Strict `>` keeps ties
     * deterministic on both engines.
     */
-  def userConcentration(spark: SparkSession, d: String): DataFrame = {
-    val counts = Memo(spark, s"conc_users|$d") {
+  def userConcentration(spark: SparkSession, d: String): DataFrame =
+    concentrationOfCounts(Memo(spark, s"conc_users|$d") {
       Tables.events(spark, d)
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
         .withColumn("g", lit("all"))
         .persist()
-    }
+    })
+
+  /** The concentration tail over a persisted `(user_id, n_events, g)`
+    * counts frame — shared by the batch and incremental forms.
+    */
+  private def concentrationOfCounts(counts: DataFrame): DataFrame = {
     val qs = DistributedSelect.exactGroupPercentiles(counts, "g", "n_events",
       Seq(("q90", 9L, 10L), ("q99", 99L, 100L)))
       .select(col("q90"), col("q99"))

@@ -518,13 +518,30 @@ object Sessions {
     * 10-day-old log has a 10-day MAU). Integral-div ppm export.
     */
   def userStickiness(spark: SparkSession, d: String,
-      windowDays: Int = 30): DataFrame = {
-    val dau = Memo(spark, s"ev_dau_days|$d") {
+      windowDays: Int = 30): DataFrame =
+    stickinessOfDau(Memo(spark, s"ev_dau_days|$d") {
       Tables.events(spark, d)
         .select(col("user_id"), dayIdx(spark, d).as("day"))
         .distinct()
         .persist()
-    }
+    }, windowDays)
+
+  /** Stickiness under log growth — the DAU store's FIFTH consumer
+    * (retention triangle, curve, churn, and now the engagement ratio all
+    * ride [[DauKind]]): the merged active user-days feed the same
+    * explode-spine MAU distinct count, pinned to the batch
+    * [[userStickiness]] oracle verbatim.
+    */
+  def incrementalStickiness(spark: SparkSession, d: String,
+      windowDays: Int = 30, batchMod: Int = 10): DataFrame =
+    stickinessOfDau(
+      incrementalDauMerged(spark, d, batchMod).select(col("user_id"), col("day")),
+      windowDays)
+
+  /** The DAU/MAU tail over a `(user_id, day)` active-user-day frame —
+    * shared by the batch and incremental forms.
+    */
+  private def stickinessOfDau(dau: DataFrame, windowDays: Int): DataFrame = {
     val daily = dau.groupBy(col("day")).agg(count(lit(1)).as("dau_users"))
     val mau = dau
       .withColumn("wd", explode(sequence(col("day"),

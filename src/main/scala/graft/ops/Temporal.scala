@@ -768,16 +768,57 @@ object Temporal {
     * self-join, never a window over the raw log.
     */
   def dailyDrift(spark: SparkSession, d: String,
-      bucketCents: Long = 1000L): DataFrame = {
-    val h = Memo(spark, s"ev_dayhist|$d|$bucketCents") {
-      Tables.events(spark, d)
-        .select(col("event_type"), Sessions.dayIdx(spark, d).as("day"),
-          Exact.c2(col("value")).as("c2"))
-        .withColumn("bucket_c2", col("c2") - pmod(col("c2"), lit(bucketCents)))
+      bucketCents: Long = 1000L): DataFrame =
+    driftOfHist(Memo(spark, s"ev_dayhist|$d|$bucketCents") {
+      bucketedEvents(spark, d, bucketCents)
         .groupBy(col("event_type"), col("day"), col("bucket_c2"))
         .agg(count(lit(1)).as("n"))
         .persist()
+    })
+
+  private def bucketedEvents(spark: SparkSession, d: String,
+      bucketCents: Long): DataFrame =
+    Tables.events(spark, d)
+      .select(col("event_id"), col("event_type"),
+        Sessions.dayIdx(spark, d).as("day"), Exact.c2(col("value")).as("c2"))
+      .withColumn("bucket_c2", col("c2") - pmod(col("c2"), lit(bucketCents)))
+
+  /** [[AnnStore]] kind for the persisted per-(type, day, bucket) value
+    * histogram.
+    */
+  private[graft] val DayHistKind = "evdayhist-v1"
+
+  /** Drift under log growth — the incremental rung: the history persists
+    * its per-(type, day, value-bucket) counts (types × days × buckets —
+    * exactly mergeable by integer addition), the arriving batch
+    * aggregates its own slice, and the merged histogram feeds the same
+    * drift tail — pinned to the batch [[dailyDrift]] oracle verbatim.
+    */
+  def incrementalDrift(spark: SparkSession, d: String,
+      bucketCents: Long = 1000L, batchMod: Int = 10): DataFrame = {
+    val ev = bucketedEvents(spark, d, bucketCents)
+    val isNew = pmod(col("event_id"), lit(batchMod)) === 0
+    val histOld = Memo(spark, s"ev_dayhist_old|$d|$bucketCents|$batchMod") {
+      AnnStore.loadOrBuild(spark,
+        AnnStore.path(spark, DayHistKind, d, s"b$bucketCents-x$batchMod",
+          corpusTable = "events")) {
+        ev.filter(!isNew).groupBy(col("event_type"), col("day"), col("bucket_c2"))
+          .agg(count(lit(1)).as("n_old"))
+      }.persist()
     }
+    val histNew = ev.filter(isNew)
+      .groupBy(col("event_type"), col("day"), col("bucket_c2"))
+      .agg(count(lit(1)).as("n_new"))
+    driftOfHist(histOld
+      .join(histNew, Seq("event_type", "day", "bucket_c2"), "full_outer")
+      .select(col("event_type"), col("day"), col("bucket_c2"),
+        (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L))).as("n")))
+  }
+
+  /** The drift tail over a per-(type, day, bucket) histogram — shared by
+    * the batch and incremental forms.
+    */
+  private def driftOfHist(h: DataFrame): DataFrame = {
     val totals = h.groupBy(col("event_type"), col("day"))
       .agg(Exact.sumLong(col("n")).as("total"))
     val cur = h.select(col("event_type"), col("day"), col("bucket_c2"), col("n"))

@@ -972,6 +972,17 @@ class OpsSpec extends SparkSuite {
     assert(out("p99")._2 <= out("p90")._2 && out("p99")._3 <= out("p90")._3)
   }
 
+  test("the four new incremental rungs reproduce their full-log twins") {
+    assert(Temporal.incrementalDrift(spark, sf).collect().toSeq ==
+      Temporal.dailyDrift(spark, sf).collect().toSeq)
+    assert(Sessions.incrementalStickiness(spark, sf).collect().toSeq ==
+      Sessions.userStickiness(spark, sf).collect().toSeq)
+    assert(Analytics.incrementalConcentration(spark, sf).collect().toSeq ==
+      Analytics.userConcentration(spark, sf).collect().toSeq)
+    assert(Analytics.incrementalRfmSegments(spark, sf).collect().toSeq ==
+      Analytics.rfmSegments(spark, sf).collect().toSeq)
+  }
+
   test("incrementalChurn: DAU-store min/max spans reproduce the full-log churn") {
     val full = Sessions.cohortChurn(spark, sf).collect().toSeq
     assert(Sessions.incrementalChurn(spark, sf).collect().toSeq == full)
