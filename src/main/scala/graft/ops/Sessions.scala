@@ -434,7 +434,7 @@ object Sessions {
   /** Consecutive-pair counts `(prev_type, next_type, n)` from an event
     * slice (per-user lag on the event_id sequence key).
     */
-  private def pairCounts(ev: DataFrame): DataFrame = {
+  private[graft] def pairCounts(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     ev
       .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
