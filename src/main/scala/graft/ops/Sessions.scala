@@ -405,7 +405,7 @@ object Sessions {
   /** The churn readout over per-user `(first_day, last_day)` spans —
     * shared by the batch and incremental forms.
     */
-  private def churnOfSpans(ud: DataFrame, horizonDays: Long): DataFrame = {
+  private[graft] def churnOfSpans(ud: DataFrame, horizonDays: Long): DataFrame = {
     val mx = ud.agg(max(col("last_day")).as("max_day"))
     ud.crossJoin(broadcast(mx))
       .filter(col("first_day") + horizonDays <= col("max_day"))
@@ -541,7 +541,7 @@ object Sessions {
   /** The DAU/MAU tail over a `(user_id, day)` active-user-day frame —
     * shared by the batch and incremental forms.
     */
-  private def stickinessOfDau(dau: DataFrame, windowDays: Int): DataFrame = {
+  private[graft] def stickinessOfDau(dau: DataFrame, windowDays: Int): DataFrame = {
     val daily = dau.groupBy(col("day")).agg(count(lit(1)).as("dau_users"))
     val mau = dau
       .withColumn("wd", explode(sequence(col("day"),

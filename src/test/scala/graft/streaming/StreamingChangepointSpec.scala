@@ -37,6 +37,20 @@ class StreamingChangepointSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("the forecast backtest rides the streaming daily store unchanged") {
+    // the monitor's store IS the evdaily summary: folding it and feeding
+    // the forecast tail reproduces the batch backtest — one daily store,
+    // streaming, serves the changepoint AND forecast families
+    val store = graft.ops.Scratch.dir("cp_stream_forecast").toString + "/daily"
+    StreamingChangepoint.admissionBatch(dayEvents, 0L, emptyDailies, store,
+      (_, _) => ())
+    val daily = StreamingChangepoint.readDailyStore(spark, store)
+      .groupBy(col("event_type"), col("day"))
+      .agg(Exact.sumLong(col("c2")).as("day_c2"))
+    assert(rows(Temporal.forecastOfDaily(daily)) ==
+      rows(Temporal.seasonalForecast(spark, sf)))
+  }
+
   test("multi-trigger run converges to the full-log report; replay invisible; compaction transparent") {
     import spark.implicits._
     val store = graft.ops.Scratch.dir("cp_stream_multi").toString + "/daily"

@@ -93,6 +93,23 @@ class StreamingCohortSpec extends SparkSuite {
       rows(Sessions.retentionCurve(spark, sf)))
   }
 
+  test("churn and stickiness ride the streaming DAU store unchanged") {
+    // one DAU store, streaming, serves four families: the triangle (the
+    // monitor's own report), the curve (test above), and — folded at
+    // trigger time — the churn spans and the DAU/MAU engagement ratio
+    val store = graft.ops.Scratch.dir("cohort_stream_ride").toString + "/dau"
+    StreamingCohort.admissionBatch(userDayEvents, 0L, emptyDau, store,
+      (_, _) => ())
+    val userDays = StreamingCohort.readDauStore(spark, store)
+      .select(col("user_id"), col("day")).distinct()
+    val spans = userDays.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+    assert(rows(Sessions.churnOfSpans(spans, horizonDays = 7L)) ==
+      rows(Sessions.cohortChurn(spark, sf)))
+    assert(rows(Sessions.stickinessOfDau(userDays, windowDays = 30)) ==
+      rows(Sessions.userStickiness(spark, sf)))
+  }
+
   test("a late batch carrying a user's earliest-ever day moves the cohort") {
     import spark.implicits._
     val store = graft.ops.Scratch.dir("cohort_stream_move").toString + "/dau"
