@@ -236,6 +236,8 @@ object SparkEntry {
     "incremental_concentration" -> ((s, d) => Analytics.incrementalConcentration(s, d)),
     // incremental RFM on the same per-user activity store
     "incremental_rfm" -> ((s, d) => Analytics.incrementalRfmSegments(s, d)),
+    // linear multi-touch attribution with exact integral credit mass
+    "touch_attribution" -> ((s, d) => Temporal.touchAttribution(s, d)),
     "event_type_stats" -> ((s, d) => Sessions.eventTypeStats(s, d)),
     "daily_counts" -> ((s, d) => Sessions.dailyCounts(s, d)),
     "value_histogram" -> ((s, d) => Sessions.valueHistogram(s, d)),
@@ -1824,6 +1826,24 @@ object SparkEntry {
     "incremental_stickiness" -> userStickinessSql,
     "user_concentration" -> userConcentrationSql,
     "incremental_concentration" -> userConcentrationSql,
+    "touch_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
+        |), p AS (
+        |  SELECT user_id, event_id AS p_id, ms AS t_p FROM e WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id, event_type AS touch_type, ms AS t_t FROM e
+        |  WHERE event_type IN ('signup', 'view', 'click')
+        |), j AS (
+        |  SELECT p.p_id, t.touch_type FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.t_t >= p.t_p - 604800000 AND t.t_t < p.t_p
+        |), k AS (
+        |  SELECT *, count(*) OVER (PARTITION BY p_id) AS k FROM j
+        |)
+        |SELECT touch_type, count(*) AS n_touches,
+        |  CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(1000000 // k) AS BIGINT) AS credit_ppm_sum
+        |FROM k GROUP BY 1 ORDER BY touch_type""".stripMargin,
     "timeseries_gapfill" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS n,

@@ -990,6 +990,37 @@ object Temporal {
       "t2", "o3", funnelStages(2), "t3"), "t3", "o4", funnelStages(3), "t4")
   }
 
+  /** Linear multi-touch attribution: every purchase distributes its
+    * conversion credit equally across the user's signup/view/click
+    * touches in the trailing window (`[t_p − W, t_p)` — strictly before,
+    * so a same-instant event never credits itself), and the readout is
+    * per touch type: credited touch instances, purchases reached, and
+    * the exact integral credit mass (`Σ 10⁶ div k` per credited touch —
+    * per-purchase remainders are deliberately NOT redistributed; the
+    * integral-div convention beats a float share crossing the oracle).
+    * One user-keyed join with a range residual (the funnel/AS-OF shape),
+    * then a purchase-keyed count window whose partitions are bounded by
+    * touches-per-window — never a whole-type sort.
+    */
+  def touchAttribution(spark: SparkSession, d: String,
+      windowMs: Long = 7L * 86400000L): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .withColumn("ms", Sessions.msFloor(spark, d))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ms").as("t_p"))
+    val touches = ev.filter(col("event_type").isin("signup", "view", "click"))
+      .select(col("user_id"), col("event_type").as("touch_type"), col("ms").as("t_t"))
+    purchases.join(touches, Seq("user_id"))
+      .filter(col("t_t") >= col("t_p") - lit(windowMs) && col("t_t") < col("t_p"))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy(col("p_id"))))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        Exact.sumLong(expr("1000000 div k")).as("credit_ppm_sum"))
+      .orderBy("touch_type")
+  }
+
   def funnelConversion(spark: SparkSession, d: String): DataFrame = {
     val stages = Seq("signup", "view", "click", "purchase")
     def firstOf(t: String): Column =

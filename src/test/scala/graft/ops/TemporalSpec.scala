@@ -540,6 +540,31 @@ class TemporalSpec extends SparkSuite {
     assert(byName.keySet == Set(1L, 2L, 3L))
   }
 
+  test("touchAttribution: driver recompute; credit mass bounded by purchases") {
+    val W = 7L * 86400000L
+    val out = Temporal.touchAttribution(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Sessions.msFloor(spark, sf).as("ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    val touchTypes = Set("signup", "view", "click")
+    val credited = ev.filter(_._3 == "purchase").flatMap { case (u, pid, _, tp) =>
+      val ts = byUser(u).filter(x => touchTypes(x._3) && x._4 >= tp - W && x._4 < tp)
+      ts.map(x => (x._3, pid, ts.length.toLong))
+    }
+    val want = credited.groupBy(_._1).map { case (tpe, rs) =>
+      (tpe, (rs.length.toLong, rs.map(_._2).distinct.length.toLong,
+        rs.map(r => 1000000L / r._3).sum))
+    }
+    assert(out == want)
+    // total credit mass cannot exceed 1e6 per credited purchase
+    val nCredited = credited.map(_._2).distinct.length.toLong
+    assert(out.values.map(_._3).sum <= 1000000L * nCredited)
+  }
+
   test("funnelConversion: stage counts are monotonically non-increasing and stage 1 is exact") {
     val out = Temporal.funnelConversion(spark, sf).collect().sortBy(_.getLong(0))
     assert(out.map(_.getString(1)).toSeq == Seq("signup", "view", "click", "purchase"))
