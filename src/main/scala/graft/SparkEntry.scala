@@ -238,6 +238,9 @@ object SparkEntry {
     "incremental_rfm" -> ((s, d) => Analytics.incrementalRfmSegments(s, d)),
     // linear multi-touch attribution with exact integral credit mass
     "touch_attribution" -> ((s, d) => Temporal.touchAttribution(s, d)),
+    // incremental rung: finalized history credits + per-user W-tail of
+    // touches (the window-tail store shape) — hash-matches the full log
+    "incremental_attribution" -> ((s, d) => Temporal.incrementalAttribution(s, d)),
     "event_type_stats" -> ((s, d) => Sessions.eventTypeStats(s, d)),
     "daily_counts" -> ((s, d) => Sessions.dailyCounts(s, d)),
     "value_histogram" -> ((s, d) => Sessions.valueHistogram(s, d)),
@@ -922,6 +925,28 @@ object SparkEntry {
         |  e90 AS events_above, e90 * 1000000 // total_events AS share_ppm FROM a
         |UNION ALL SELECT 'p99', t99, u99, e99, e99 * 1000000 // total_events FROM a
         |ORDER BY pct""".stripMargin
+
+  /** Shared by `touch_attribution` and its incremental rung (the
+    * window-tail ladder).
+    */
+  private val touchAttributionSql: String =
+    """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
+        |), p AS (
+        |  SELECT user_id, event_id AS p_id, ms AS t_p FROM e WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id, event_type AS touch_type, ms AS t_t FROM e
+        |  WHERE event_type IN ('signup', 'view', 'click')
+        |), j AS (
+        |  SELECT p.p_id, t.touch_type FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.t_t >= p.t_p - 604800000 AND t.t_t < p.t_p
+        |), k AS (
+        |  SELECT *, count(*) OVER (PARTITION BY p_id) AS k FROM j
+        |)
+        |SELECT touch_type, count(*) AS n_touches,
+        |  CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(1000000 // k) AS BIGINT) AS credit_ppm_sum
+        |FROM k GROUP BY 1 ORDER BY touch_type""".stripMargin
 
   /** Shared by `event_trigrams` and its incremental rung
     * `incremental_trigrams` (the order-2 boundary-state ladder).
@@ -1826,24 +1851,8 @@ object SparkEntry {
     "incremental_stickiness" -> userStickinessSql,
     "user_concentration" -> userConcentrationSql,
     "incremental_concentration" -> userConcentrationSql,
-    "touch_attribution" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
-        |), p AS (
-        |  SELECT user_id, event_id AS p_id, ms AS t_p FROM e WHERE event_type = 'purchase'
-        |), t AS (
-        |  SELECT user_id, event_type AS touch_type, ms AS t_t FROM e
-        |  WHERE event_type IN ('signup', 'view', 'click')
-        |), j AS (
-        |  SELECT p.p_id, t.touch_type FROM p JOIN t ON p.user_id = t.user_id
-        |    AND t.t_t >= p.t_p - 604800000 AND t.t_t < p.t_p
-        |), k AS (
-        |  SELECT *, count(*) OVER (PARTITION BY p_id) AS k FROM j
-        |)
-        |SELECT touch_type, count(*) AS n_touches,
-        |  CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
-        |  CAST(SUM(1000000 // k) AS BIGINT) AS credit_ppm_sum
-        |FROM k GROUP BY 1 ORDER BY touch_type""".stripMargin,
+    "touch_attribution" -> touchAttributionSql,
+    "incremental_attribution" -> touchAttributionSql,
     "timeseries_gapfill" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS n,

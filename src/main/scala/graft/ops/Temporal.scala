@@ -1021,6 +1021,76 @@ object Temporal {
       .orderBy("touch_type")
   }
 
+  /** [[AnnStore]] kinds for the persisted attribution summaries. */
+  private[graft] val AttrAggKind = "evattragg-v1"
+  private[graft] val AttrTailKind = "evattrtail-v1"
+
+  /** Attribution under SUFFIX arrival — the incremental rung, and the
+    * pattern's third store shape: a WINDOW-TAIL. History purchases'
+    * credits are FINAL under the contiguous cut (a suffix touch is never
+    * earlier than a history purchase for the same user, and the window
+    * is strictly-before), so the history contributes (a) its finished
+    * per-type attribution aggregate — counts and credit mass, exactly
+    * mergeable because the purchase sets are disjoint, so even the
+    * DISTINCT purchase counts add — and (b) each user's trailing-W touch
+    * tail (`t_t ≥ userLastOldMs − W`): sufficient because any suffix
+    * purchase has `t_p ≥ userLastOldMs` (ts-monotonicity), hence its
+    * window floor `t_p − W ≥ userLastOldMs − W`. Suffix purchases
+    * attribute against tail ∪ suffix touches; merged = old agg ⊕ suffix
+    * agg, pinned to the batch [[touchAttribution]] oracle verbatim. The
+    * tail is the production "recent-activity" store — per-user
+    * window-bounded, NOT the raw history.
+    */
+  def incrementalAttribution(spark: SparkSession, d: String,
+      windowMs: Long = 7L * 86400000L, tenthsOld: Int = 9): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .withColumn("ms", Sessions.msFloor(spark, d))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ms"))
+    val cut = Sessions.suffixCut(ev, tenthsOld)
+    val oldEv = ev.filter(col("event_id") <= cut)
+    val newEv = ev.filter(col("event_id") > cut)
+    def touchesOf(e: DataFrame): DataFrame =
+      e.filter(col("event_type").isin("signup", "view", "click"))
+        .select(col("user_id"), col("event_type").as("touch_type"), col("ms").as("t_t"))
+    def attributed(purchases: DataFrame, touches: DataFrame): DataFrame =
+      purchases.join(touches, Seq("user_id"))
+        .filter(col("t_t") >= col("t_p") - lit(windowMs) && col("t_t") < col("t_p"))
+        .withColumn("k", count(lit(1)).over(Window.partitionBy(col("p_id"))))
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("p_id")).as("n_purchases"),
+          Exact.sumLong(expr("1000000 div k")).as("credit_ppm_sum"))
+    def purchasesOf(e: DataFrame): DataFrame =
+      e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ms").as("t_p"))
+    val oldAgg = Memo(spark, s"ev_attr_agg|$d|$windowMs|$tenthsOld") {
+      AnnStore.loadOrBuild(spark,
+        AnnStore.path(spark, AttrAggKind, d, s"w$windowMs-t$tenthsOld",
+          corpusTable = "events")) {
+        attributed(purchasesOf(oldEv), touchesOf(oldEv))
+      }.persist()
+    }
+    val tail = Memo(spark, s"ev_attr_tail|$d|$windowMs|$tenthsOld") {
+      AnnStore.loadOrBuild(spark,
+        AnnStore.path(spark, AttrTailKind, d, s"w$windowMs-t$tenthsOld",
+          corpusTable = "events")) {
+        touchesOf(oldEv)
+          .withColumn("user_max", max(col("t_t")).over(
+            Window.partitionBy(col("user_id"))))
+          .where(col("t_t") >= col("user_max") - lit(windowMs))
+          .select(col("user_id"), col("touch_type"), col("t_t"))
+      }.persist()
+    }
+    val suffixAgg = attributed(purchasesOf(newEv),
+      tail.unionByName(touchesOf(newEv)))
+    oldAgg.unionByName(suffixAgg)
+      .groupBy(col("touch_type"))
+      .agg(Exact.sumLong(col("n_touches")).as("n_touches"),
+        Exact.sumLong(col("n_purchases")).as("n_purchases"),
+        Exact.sumLong(col("credit_ppm_sum")).as("credit_ppm_sum"))
+      .orderBy("touch_type")
+  }
+
   def funnelConversion(spark: SparkSession, d: String): DataFrame = {
     val stages = Seq("signup", "view", "click", "purchase")
     def firstOf(t: String): Column =

@@ -565,6 +565,29 @@ class TemporalSpec extends SparkSuite {
     assert(out.values.map(_._3).sum <= 1000000L * nCredited)
   }
 
+  test("incrementalAttribution: window-tail merge reproduces the full log; boundary credit exercised") {
+    val full = Temporal.touchAttribution(spark, sf).collect().toSeq
+    assert(Temporal.incrementalAttribution(spark, sf).collect().toSeq == full)
+    assert(full.nonEmpty)
+    // non-vacuity: at least one suffix purchase credits a HISTORY touch
+    // (otherwise the tail store was never exercised)
+    val W = 7L * 86400000L
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Sessions.msFloor(spark, sf).as("ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val cut = ev.map(_._2).max * 9 / 10
+    val touchTypes = Set("signup", "view", "click")
+    val byUser = ev.groupBy(_._1)
+    val crossCredits = ev
+      .filter(e => e._3 == "purchase" && e._2 > cut)
+      .count { case (u, _, _, tp) =>
+        byUser(u).exists(x =>
+          touchTypes(x._3) && x._2 <= cut && x._4 >= tp - W && x._4 < tp) }
+    assert(crossCredits > 0,
+      "no suffix purchase credited a history touch — the tail path is unexercised")
+  }
+
   test("funnelConversion: stage counts are monotonically non-increasing and stage 1 is exact") {
     val out = Temporal.funnelConversion(spark, sf).collect().sortBy(_.getLong(0))
     assert(out.map(_.getString(1)).toSeq == Seq("signup", "view", "click", "purchase"))
