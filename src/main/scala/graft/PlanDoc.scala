@@ -298,7 +298,14 @@ object PlanDoc {
     "cohort_churn" -> ("Churn: one users-sized min/max aggregation, the log edge broadcast as " +
       "a one-row frame, then a days-bounded group-by — no join against the raw log; " +
       "eligibility filters BEFORE the cohort aggregation, so unjudgeable cohorts never " +
-      "shuffle."))
+      "shuffle."),
+    "touch_attribution" -> ("Multi-touch credit: one user-keyed join with the range residual " +
+      "(purchases x in-window touches — the funnel/AS-OF shape), then a purchase-keyed count " +
+      "window whose partitions are bounded by touches-per-window; the credit mass is " +
+      "integral (1e6 div k), so nothing float crosses the oracle."),
+    "event_trigrams" -> ("Order-2 sequence mining: two lag windows over ONE per-user " +
+      "partitioning (no second exchange), a types^3-bounded aggregation, and the global " +
+      "total as a broadcast one-row frame — the ppm math never re-shuffles the log."))
 
   /** Strip run-nondeterministic tokens (JVM lambda addresses, object
     * hashes, AQE plan/stage ids, expression ids) so a regenerated PLANS.md
