@@ -241,6 +241,11 @@ object SparkEntry {
     // incremental rung: finalized history credits + per-user W-tail of
     // touches (the window-tail store shape) — hash-matches the full log
     "incremental_attribution" -> ((s, d) => Temporal.incrementalAttribution(s, d)),
+    // U-shaped 40/20/40 position attribution + its incremental rung (the
+    // window-tail store's second consumer — SAME tail artifact)
+    "position_attribution" -> ((s, d) => Temporal.positionAttribution(s, d)),
+    "incremental_position_attribution" ->
+      ((s, d) => Temporal.incrementalPositionAttribution(s, d)),
     "event_type_stats" -> ((s, d) => Sessions.eventTypeStats(s, d)),
     "daily_counts" -> ((s, d) => Sessions.dailyCounts(s, d)),
     "value_histogram" -> ((s, d) => Sessions.valueHistogram(s, d)),
@@ -922,8 +927,10 @@ object SparkEntry {
         |  FROM u CROSS JOIN q
         |)
         |SELECT 'p90' AS pct, t90 AS threshold_events, u90 AS users_above,
-        |  e90 AS events_above, e90 * 1000000 // total_events AS share_ppm FROM a
-        |UNION ALL SELECT 'p99', t99, u99, e99, e99 * 1000000 // total_events FROM a
+        |  e90 AS events_above,
+        |  CAST((CAST(e90 AS HUGEINT) * 1000000) // total_events AS BIGINT) AS share_ppm FROM a
+        |UNION ALL SELECT 'p99', t99, u99, e99,
+        |  CAST((CAST(e99 AS HUGEINT) * 1000000) // total_events AS BIGINT) FROM a
         |ORDER BY pct""".stripMargin
 
   /** Shared by `touch_attribution` and its incremental rung (the
@@ -946,6 +953,33 @@ object SparkEntry {
         |SELECT touch_type, count(*) AS n_touches,
         |  CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
         |  CAST(SUM(1000000 // k) AS BIGINT) AS credit_ppm_sum
+        |FROM k GROUP BY 1 ORDER BY touch_type""".stripMargin
+
+  /** Shared by `position_attribution` and its incremental rung (the
+    * window-tail ladder's U-shaped consumer). Position = rank by
+    * (t_t, t_id) — event_id breaks timestamp ties so first/last are
+    * deterministic on both engines.
+    */
+  private val positionAttributionSql: String =
+    """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
+        |), p AS (
+        |  SELECT user_id, event_id AS p_id, ms AS t_p FROM e WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id, event_id AS t_id, event_type AS touch_type, ms AS t_t FROM e
+        |  WHERE event_type IN ('signup', 'view', 'click')
+        |), j AS (
+        |  SELECT p.p_id, t.touch_type, t.t_t, t.t_id FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.t_t >= p.t_p - 604800000 AND t.t_t < p.t_p
+        |), k AS (
+        |  SELECT *, count(*) OVER (PARTITION BY p_id) AS k,
+        |    row_number() OVER (PARTITION BY p_id ORDER BY t_t, t_id) AS rn FROM j
+        |)
+        |SELECT touch_type, count(*) AS n_touches,
+        |  CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(CASE WHEN k = 1 THEN 1000000 WHEN k = 2 THEN 500000
+        |    WHEN rn = 1 OR rn = k THEN 400000
+        |    ELSE 200000 // (k - 2) END) AS BIGINT) AS credit_ppm_sum
         |FROM k GROUP BY 1 ORDER BY touch_type""".stripMargin
 
   /** Shared by `event_trigrams` and its incremental rung
@@ -1853,6 +1887,8 @@ object SparkEntry {
     "incremental_concentration" -> userConcentrationSql,
     "touch_attribution" -> touchAttributionSql,
     "incremental_attribution" -> touchAttributionSql,
+    "position_attribution" -> positionAttributionSql,
+    "incremental_position_attribution" -> positionAttributionSql,
     "timeseries_gapfill" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS n,

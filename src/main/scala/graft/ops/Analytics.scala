@@ -778,12 +778,15 @@ object Analytics {
     * mon_c2, g)` users frame — shared by the batch and incremental forms.
     */
   private def rfmOfUsers(users: DataFrame): DataFrame = {
-    def quints(metric: String): DataFrame =
-      DistributedSelect.exactGroupPercentiles(users, "g", metric,
-        (1 to 4).map(k => (s"${metric}_q$k", k.toLong, 5L)))
-        .drop("g", "n_rows")
-    val bounds = broadcast(
-      quints("rec_days").crossJoin(quints("freq")).crossJoin(quints("mon_c2")))
+    // ONE multi-metric split (2 actions total) instead of three independent
+    // exactGroupPercentiles calls (6): the three metrics share the min/max
+    // head and the stacked histogram collect — r18 verdict item 4; values
+    // bit-identical, so the oracle pins the change
+    val bounds = broadcast(DistributedSelect.exactGroupPercentilesMulti(
+      users, "g",
+      Seq("rec_days", "freq", "mon_c2").map(metric =>
+        metric -> (1 to 4).map(k => (s"${metric}_q$k", k.toLong, 5L))))
+      .drop("g", "n_rows"))
     def bucket(metric: String): Column =
       (1 to 4).foldLeft(lit(1L)) { (acc, k) =>
         acc + when(col(metric) > col(s"${metric}_q$k"), 1L).otherwise(0L)
@@ -838,7 +841,12 @@ object Analytics {
       .map { case (label, t, u, e) =>
         agg.select(lit(label).as("pct"), col(t).as("threshold_events"),
           col(u).as("users_above"), col(e).as("events_above"),
-          expr(s"$e * 1000000 div total_events").as("share_ppm"))
+          // numerator widened to DECIMAL(38,0) before the 1e6 scale-up
+          // (the join_explosion_check convention): event counts above
+          // ~9.2e12 would overflow a BIGINT multiply — DuckDB errors,
+          // non-ANSI Spark wraps silently. `div` exports BIGINT.
+          expr(s"(CAST($e AS DECIMAL(38,0)) * 1000000) div total_events")
+            .as("share_ppm"))
       }
       .reduce(_ unionByName _)
       .orderBy("pct")

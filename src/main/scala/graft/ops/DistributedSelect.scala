@@ -49,62 +49,101 @@ object DistributedSelect {
     *         per group, unordered — callers add their ORDER BY
     */
   def exactGroupPercentiles(df: DataFrame, group: String, value: String,
-      pcts: Seq[(String, Long, Long)], nBuckets: Int = 256): DataFrame = {
+      pcts: Seq[(String, Long, Long)], nBuckets: Int = 256): DataFrame =
+    exactGroupPercentilesMulti(df, group, Seq(value -> pcts), nBuckets)
+
+  /** [[exactGroupPercentiles]] over SEVERAL value columns of the same frame
+    * in ONE driver round-trip pair: one min/max head for every metric, one
+    * stacked histogram collect (|groups|·|metrics|·nBuckets rows — same
+    * bounded-collect contract), then each metric's candidate-bucket rank
+    * select runs as its own lazy branch and the per-metric one-row-per-group
+    * results equi-join back on `group`. RFM's three quintile splits
+    * (`Analytics.rfmSegments`) are the motivating caller: 3 metrics × 2
+    * eager actions collapsed to 2 actions total, values bit-identical to
+    * three independent calls (each metric's boundaries, histogram, and
+    * residual ranks are computed exactly as the single-metric form does).
+    *
+    * `metrics` maps each BIGINT value column to its pct specs; output
+    * percentile names must be globally unique across metrics. Output:
+    * (group, n_rows, <pct columns in metrics order>).
+    */
+  def exactGroupPercentilesMulti(df: DataFrame, group: String,
+      metrics: Seq[(String, Seq[(String, Long, Long)])],
+      nBuckets: Int = 256): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val mm = df.agg(min(col(value)).as("lo"), max(col(value)).as("hi")).head()
+    require(metrics.nonEmpty, "exactGroupPercentilesMulti: no metrics")
+    val mmAggs = metrics.flatMap { case (v, _) =>
+      Seq(min(col(v)).as(s"lo_$v"), max(col(v)).as(s"hi_$v")) }
+    val mm = df.agg(mmAggs.head, mmAggs.tail: _*).head()
     require(!mm.isNullAt(0), "exactGroupPercentiles: empty input")
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    val bucketed =
+    val bucketed = metrics.foldLeft(df) { case (acc, (v, _)) =>
+      val lo = mm.getLong(mm.fieldIndex(s"lo_$v"))
+      val hi = mm.getLong(mm.fieldIndex(s"hi_$v"))
       // degenerate: one distinct value — but keep null values null (not
       // bucket 0) so the loud-failure non-null contract below holds in
       // this branch too; width_bucket nulls them for free in the main one
-      if (lo == hi) df.withColumn("bucket",
-        when(col(value).isNull, lit(null)).otherwise(lit(0L)))
-      else df.withColumn("bucket",
-        expr(s"width_bucket($value, ${lo}D, ${hi + 1}D, $nBuckets)"))
-    val hist = bucketed.groupBy(col(group), col("bucket"))
+      if (lo == hi) acc.withColumn(s"bucket_$v",
+        when(col(v).isNull, lit(null)).otherwise(lit(0L)))
+      else acc.withColumn(s"bucket_$v",
+        expr(s"width_bucket($v, ${lo}D, ${hi + 1}D, $nBuckets)"))
+    }
+    // ONE histogram action for all metrics: each row contributes one
+    // (metric, bucket) pair per metric; the groupBy map-side-combines down
+    // to |groups|·|metrics|·nBuckets rows before the collect
+    val hist = bucketed
+      .select(col(group), explode(array(metrics.map { case (v, _) =>
+        struct(lit(v).as("m"), col(s"bucket_$v").as("b")) }: _*)).as("mb"))
+      .groupBy(col(group), col("mb.m").as("m"), col("mb.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
       .collect().map { r =>
         // loud failure per the non-null contract (a null group would
         // otherwise be dropped by the equi-join, a null value mis-bucketed)
-        require(!r.isNullAt(0) && !r.isNullAt(1),
-          s"exactGroupPercentiles: null $group or $value in input")
-        (r.getString(0), r.getLong(1), r.getLong(2))
+        require(!r.isNullAt(0) && !r.isNullAt(2),
+          s"exactGroupPercentiles: null $group or value in input")
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
       }
-    val targets = hist.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
-      val n = rows.map(_._3).sum
-      val sorted = rows.sortBy(_._2)
-      def locate(k: Long): (Long, Long) = {
-        var cum = 0L
-        var res: (Long, Long) = null
-        val it = sorted.iterator
-        while (res == null && it.hasNext) {
-          val (_, b, c) = it.next()
-          if (k <= cum + c) res = (b, k - cum) else cum += c
+    val perMetric = metrics.map { case (v, pcts) =>
+      val rowsOfMetric = hist.filter(_._2 == v).map { case (g, _, b, c) => (g, b, c) }
+      val targets = rowsOfMetric.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        val n = rows.map(_._3).sum
+        val sorted = rows.sortBy(_._2)
+        def locate(k: Long): (Long, Long) = {
+          var cum = 0L
+          var res: (Long, Long) = null
+          val it = sorted.iterator
+          while (res == null && it.hasNext) {
+            val (_, b, c) = it.next()
+            if (k <= cum + c) res = (b, k - cum) else cum += c
+          }
+          require(res != null, s"rank $k beyond histogram for group $g")
+          res
         }
-        require(res != null, s"rank $k beyond histogram for group $g")
-        res
+        pcts.map { case (name, num, den) =>
+          val k = (num * n + den - 1) / den
+          val (b, r) = locate(k)
+          (g, b, r, name, n)
+        }
       }
-      pcts.map { case (name, num, den) =>
-        val k = (num * n + den - 1) / den
-        val (b, r) = locate(k)
-        (g, b, r, name, n)
+      val targetsDf = targets.toDF("t_g", "t_bucket", "resid", "pct", "n_rows")
+      val w = Window.partitionBy(col(group), col(s"bucket_$v")).orderBy(col(v))
+      val aggs = max(col("n_rows")).as("n_rows") +: pcts.map { case (name, _, _) =>
+        max(when(col("pct") === name, col(v))).as(name)
       }
+      bucketed.select(col(group), col(v), col(s"bucket_$v"))
+        .join(broadcast(targetsDf.select(col("t_g"), col("t_bucket")).distinct()),
+          col(group) === col("t_g") && col(s"bucket_$v") === col("t_bucket"), "left_semi")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .join(broadcast(targetsDf),
+          col(group) === col("t_g") && col(s"bucket_$v") === col("t_bucket") &&
+            col("rn") === col("resid"))
+        .groupBy(col(group))
+        .agg(aggs.head, aggs.tail: _*)
     }
-    val targetsDf = targets.toDF("t_g", "t_bucket", "resid", "pct", "n_rows")
-    val w = Window.partitionBy(col(group), col("bucket")).orderBy(col(value))
-    val aggs = max(col("n_rows")).as("n_rows") +: pcts.map { case (name, _, _) =>
-      max(when(col("pct") === name, col(value))).as(name)
+    // n_rows is the per-group row count — identical for every metric under
+    // the non-null contract, so the first branch's copy is THE copy
+    perMetric.reduceLeft { (acc, next) =>
+      acc.join(next.drop("n_rows"), Seq(group))
     }
-    bucketed
-      .join(broadcast(targetsDf.select(col("t_g"), col("t_bucket")).distinct()),
-        col(group) === col("t_g") && col("bucket") === col("t_bucket"), "left_semi")
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .join(broadcast(targetsDf),
-        col(group) === col("t_g") && col("bucket") === col("t_bucket") &&
-          col("rn") === col("resid"))
-      .groupBy(col(group))
-      .agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -1004,26 +1004,90 @@ object Temporal {
     */
   def touchAttribution(spark: SparkSession, d: String,
       windowMs: Long = 7L * 86400000L): DataFrame = {
-    val ev = Tables.events(spark, d)
-      .withColumn("ms", Sessions.msFloor(spark, d))
-      .select(col("user_id"), col("event_id"), col("event_type"), col("ms"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("p_id"), col("ms").as("t_p"))
-    val touches = ev.filter(col("event_type").isin("signup", "view", "click"))
-      .select(col("user_id"), col("event_type").as("touch_type"), col("ms").as("t_t"))
-    purchases.join(touches, Seq("user_id"))
-      .filter(col("t_t") >= col("t_p") - lit(windowMs) && col("t_t") < col("t_p"))
-      .withColumn("k", count(lit(1)).over(Window.partitionBy(col("p_id"))))
-      .groupBy(col("touch_type"))
-      .agg(count(lit(1)).as("n_touches"),
-        countDistinct(col("p_id")).as("n_purchases"),
-        Exact.sumLong(expr("1000000 div k")).as("credit_ppm_sum"))
+    val ev = attrEventsOf(spark, d)
+    attrReadout(
+      touchWindowJoin(attrPurchasesOf(ev), attrTouchesOf(ev), windowMs),
+      expr("1000000 div k"))
       .orderBy("touch_type")
   }
 
-  /** [[AnnStore]] kinds for the persisted attribution summaries. */
+  /** U-shaped (position-based) multi-touch attribution — 40/20/40: the
+    * FIRST and LAST touch in the purchase's trailing window each take
+    * 400 000 ppm, the middles share the remaining 200 000 by integral div
+    * (same deliberately-unredistributed-remainder convention as the linear
+    * scheme); a lone touch takes the full 1 000 000 and a pair splits
+    * 500 000/500 000. Position is rank by `(t_t, t_id)` — the touch's
+    * event_id breaks timestamp ties, so first/last are DETERMINISTIC and
+    * the oracle replays the exact ordering (a bare-`t_t` rank would make
+    * the 400 000 assignment nondeterministic under same-ms touches). Same
+    * join shape and partition bound as [[touchAttribution]]: the rank
+    * window partitions by purchase, bounded by touches-per-window.
+    */
+  def positionAttribution(spark: SparkSession, d: String,
+      windowMs: Long = 7L * 86400000L): DataFrame = {
+    val ev = attrEventsOf(spark, d)
+    attrReadout(
+      withPosition(touchWindowJoin(attrPurchasesOf(ev), attrTouchesOf(ev), windowMs)),
+      positionCreditPpm)
+      .orderBy("touch_type")
+  }
+
+  private def attrEventsOf(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .withColumn("ms", Sessions.msFloor(spark, d))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ms"))
+
+  /** Touch rows carry the source event_id (`t_id`): the U-shaped rung's
+    * position tie-break; the linear fold ignores it.
+    */
+  private def attrTouchesOf(e: DataFrame): DataFrame =
+    e.filter(col("event_type").isin("signup", "view", "click"))
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("ms").as("t_t"), col("event_id").as("t_id"))
+
+  private def attrPurchasesOf(e: DataFrame): DataFrame =
+    e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ms").as("t_p"))
+
+  /** Purchases × their trailing-window touches with the per-purchase touch
+    * count `k` — the shared first half of every credit scheme. One
+    * user-keyed join with a range residual (the funnel/AS-OF shape); the
+    * count window partitions by purchase, bounded by touches-per-window —
+    * never a whole-type sort.
+    */
+  private def touchWindowJoin(purchases: DataFrame, touches: DataFrame,
+      windowMs: Long): DataFrame =
+    purchases.join(touches, Seq("user_id"))
+      .filter(col("t_t") >= col("t_p") - lit(windowMs) && col("t_t") < col("t_p"))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy(col("p_id"))))
+
+  /** Rank each credited touch within its purchase by arrival — the
+    * U-shaped scheme's position (same purchase-bounded partitions as `k`).
+    */
+  private def withPosition(joined: DataFrame): DataFrame =
+    joined.withColumn("rn", row_number().over(
+      Window.partitionBy(col("p_id")).orderBy(col("t_t"), col("t_id"))).cast("long"))
+
+  private def positionCreditPpm: Column =
+    when(col("k") === 1, lit(1000000L))
+      .when(col("k") === 2, lit(500000L))
+      .when(col("rn") === 1 || col("rn") === col("k"), lit(400000L))
+      .otherwise(expr("200000 div (k - 2)"))
+
+  /** The per-touch-type readout every attribution scheme shares. */
+  private def attrReadout(joined: DataFrame, creditPpm: Column): DataFrame =
+    joined.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        Exact.sumLong(creditPpm).as("credit_ppm_sum"))
+
+  /** [[AnnStore]] kinds for the persisted attribution summaries. `-v2`
+    * tail: rows gained `t_id` so ONE tail store serves both credit schemes
+    * (the shared-artifact convention, like the DAU store).
+    */
   private[graft] val AttrAggKind = "evattragg-v1"
-  private[graft] val AttrTailKind = "evattrtail-v1"
+  private[graft] val AttrPosAggKind = "evattrposagg-v1"
+  private[graft] val AttrTailKind = "evattrtail-v2"
 
   /** Attribution under SUFFIX arrival — the incremental rung, and the
     * pattern's third store shape: a WINDOW-TAIL. History purchases'
@@ -1042,47 +1106,61 @@ object Temporal {
     * window-bounded, NOT the raw history.
     */
   def incrementalAttribution(spark: SparkSession, d: String,
-      windowMs: Long = 7L * 86400000L, tenthsOld: Int = 9): DataFrame = {
-    val ev = Tables.events(spark, d)
-      .withColumn("ms", Sessions.msFloor(spark, d))
-      .select(col("user_id"), col("event_id"), col("event_type"), col("ms"))
+      windowMs: Long = 7L * 86400000L, tenthsOld: Int = 9): DataFrame =
+    incrementalAttrScheme(spark, d, windowMs, tenthsOld,
+      AttrAggKind, "ev_attr_agg", joined => attrReadout(joined, expr("1000000 div k")))
+
+  /** U-shaped attribution under SUFFIX arrival — the window-tail ladder's
+    * second consumer, sharing the [[AttrTailKind]] tail store VERBATIM
+    * with the linear rung (the tail is credit-scheme-agnostic: it is just
+    * each user's trailing-W touches). The finality and sufficiency
+    * arguments transfer unchanged — history purchases' credits are final
+    * (a suffix touch is never strictly before a history purchase), and a
+    * suffix purchase's FULL credited touch set lives in tail ∪ suffix, so
+    * its k, first, last, and middle ranks equal the full-log recompute's —
+    * which is why the readout pins to the batch [[positionAttribution]]
+    * oracle verbatim. Only the per-scheme FINISHED AGGREGATE store differs
+    * ([[AttrPosAggKind]]).
+    */
+  def incrementalPositionAttribution(spark: SparkSession, d: String,
+      windowMs: Long = 7L * 86400000L, tenthsOld: Int = 9): DataFrame =
+    incrementalAttrScheme(spark, d, windowMs, tenthsOld,
+      AttrPosAggKind, "ev_attr_posagg",
+      joined => attrReadout(withPosition(joined), positionCreditPpm))
+
+  /** The shared incremental-attribution skeleton: history = persisted
+    * finished aggregate (per scheme) ⊕ suffix purchases attributed against
+    * the SHARED window tail ∪ suffix touches; merged by per-type sums
+    * (disjoint purchase sets — even the DISTINCT counts add).
+    */
+  private def incrementalAttrScheme(spark: SparkSession, d: String,
+      windowMs: Long, tenthsOld: Int, aggKind: String, aggMemoKey: String,
+      readout: DataFrame => DataFrame): DataFrame = {
+    val ev = attrEventsOf(spark, d)
     val cut = Sessions.suffixCut(ev, tenthsOld)
     val oldEv = ev.filter(col("event_id") <= cut)
     val newEv = ev.filter(col("event_id") > cut)
-    def touchesOf(e: DataFrame): DataFrame =
-      e.filter(col("event_type").isin("signup", "view", "click"))
-        .select(col("user_id"), col("event_type").as("touch_type"), col("ms").as("t_t"))
-    def attributed(purchases: DataFrame, touches: DataFrame): DataFrame =
-      purchases.join(touches, Seq("user_id"))
-        .filter(col("t_t") >= col("t_p") - lit(windowMs) && col("t_t") < col("t_p"))
-        .withColumn("k", count(lit(1)).over(Window.partitionBy(col("p_id"))))
-        .groupBy(col("touch_type"))
-        .agg(count(lit(1)).as("n_touches"),
-          countDistinct(col("p_id")).as("n_purchases"),
-          Exact.sumLong(expr("1000000 div k")).as("credit_ppm_sum"))
-    def purchasesOf(e: DataFrame): DataFrame =
-      e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("p_id"), col("ms").as("t_p"))
-    val oldAgg = Memo(spark, s"ev_attr_agg|$d|$windowMs|$tenthsOld") {
+    val oldAgg = Memo(spark, s"$aggMemoKey|$d|$windowMs|$tenthsOld") {
       AnnStore.loadOrBuild(spark,
-        AnnStore.path(spark, AttrAggKind, d, s"w$windowMs-t$tenthsOld",
+        AnnStore.path(spark, aggKind, d, s"w$windowMs-t$tenthsOld",
           corpusTable = "events")) {
-        attributed(purchasesOf(oldEv), touchesOf(oldEv))
+        readout(touchWindowJoin(attrPurchasesOf(oldEv), attrTouchesOf(oldEv),
+          windowMs))
       }.persist()
     }
     val tail = Memo(spark, s"ev_attr_tail|$d|$windowMs|$tenthsOld") {
       AnnStore.loadOrBuild(spark,
         AnnStore.path(spark, AttrTailKind, d, s"w$windowMs-t$tenthsOld",
           corpusTable = "events")) {
-        touchesOf(oldEv)
+        attrTouchesOf(oldEv)
           .withColumn("user_max", max(col("t_t")).over(
             Window.partitionBy(col("user_id"))))
           .where(col("t_t") >= col("user_max") - lit(windowMs))
-          .select(col("user_id"), col("touch_type"), col("t_t"))
+          .select(col("user_id"), col("touch_type"), col("t_t"), col("t_id"))
       }.persist()
     }
-    val suffixAgg = attributed(purchasesOf(newEv),
-      tail.unionByName(touchesOf(newEv)))
+    val suffixAgg = readout(touchWindowJoin(attrPurchasesOf(newEv),
+      tail.unionByName(attrTouchesOf(newEv)), windowMs))
     oldAgg.unionByName(suffixAgg)
       .groupBy(col("touch_type"))
       .agg(Exact.sumLong(col("n_touches")).as("n_touches"),

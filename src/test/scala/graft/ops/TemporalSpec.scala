@@ -588,6 +588,49 @@ class TemporalSpec extends SparkSuite {
       "no suffix purchase credited a history touch — the tail path is unexercised")
   }
 
+  test("positionAttribution: driver recompute of the U-shaped 40/20/40 credit") {
+    val W = 7L * 86400000L
+    val out = Temporal.positionAttribution(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Sessions.msFloor(spark, sf).as("ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    val touchTypes = Set("signup", "view", "click")
+    val credited = ev.filter(_._3 == "purchase").flatMap { case (u, pid, _, tp) =>
+      // position = rank by (ms, event_id) — the engine's (t_t, t_id) order
+      val ts = byUser(u).filter(x => touchTypes(x._3) && x._4 >= tp - W && x._4 < tp)
+        .sortBy(x => (x._4, x._2))
+      val k = ts.length
+      ts.zipWithIndex.map { case (x, i) =>
+        val credit =
+          if (k == 1) 1000000L
+          else if (k == 2) 500000L
+          else if (i == 0 || i == k - 1) 400000L
+          else 200000L / (k - 2)
+        (x._3, pid, credit)
+      }
+    }
+    val want = credited.groupBy(_._1).map { case (tpe, rs) =>
+      (tpe, (rs.length.toLong, rs.map(_._2).distinct.length.toLong, rs.map(_._3).sum))
+    }
+    assert(out == want)
+    // non-vacuity: all three credit arities must occur in the data, or the
+    // lone/pair/middle branches went untested
+    val ks = ev.filter(_._3 == "purchase").map { case (u, _, _, tp) =>
+      byUser(u).count(x => touchTypes(x._3) && x._4 >= tp - W && x._4 < tp) }
+    assert(ks.exists(_ == 1) && ks.exists(_ >= 3),
+      "purchase touch-count arities too uniform — a credit branch is unexercised")
+  }
+
+  test("incrementalPositionAttribution: shared window tail reproduces the full log") {
+    val full = Temporal.positionAttribution(spark, sf).collect().toSeq
+    assert(full.nonEmpty)
+    assert(Temporal.incrementalPositionAttribution(spark, sf).collect().toSeq == full)
+  }
+
   test("funnelConversion: stage counts are monotonically non-increasing and stage 1 is exact") {
     val out = Temporal.funnelConversion(spark, sf).collect().sortBy(_.getLong(0))
     assert(out.map(_.getString(1)).toSeq == Seq("signup", "view", "click", "purchase"))
