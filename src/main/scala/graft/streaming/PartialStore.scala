@@ -78,7 +78,10 @@ private[graft] object PartialStore {
     * Probe transparency needs exactly the algebraic properties
     * compactSummed's integer sums have: the fold must reassociate across
     * the partition regrouping, which every (sum, min, max) combination
-    * does.
+    * does. CALLER CONTRACT (same as [[compactSummed]]): fold only
+    * COMMITTED batches — the sentinel makes a fold-point replay
+    * non-destructive, but an uncommitted batch folded here would still
+    * double-count its own mass when it replays.
     */
   def compactFolded(spark: SparkSession, storeDir: String, outDir: String,
       upTo: Long, empty: DataFrame, keyCols: Seq[String], aggs: Seq[Column]): Long = {
@@ -94,7 +97,11 @@ private[graft] object PartialStore {
     * each key's latest row ≤ upTo. Probe-transparent for the same reason
     * replay is: "latest" reassociates — max over (max of a prefix, the
     * rest) is max over all. Ties are impossible: a trigger writes at most
-    * one row per key into its own partition.
+    * one row per key into its own partition. CALLER CONTRACT (same as
+    * [[compactSummed]]): fold only COMMITTED batches — an uncommitted
+    * batch's rows folded into the sentinel lose their batch_id, so a key
+    * the first attempt touched but the replay does not would keep the
+    * stale attempt's row as current state forever.
     */
   def compactLatest(spark: SparkSession, storeDir: String, outDir: String,
       upTo: Long, empty: DataFrame, keyCols: Seq[String]): Long = {
