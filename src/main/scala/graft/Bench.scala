@@ -218,7 +218,8 @@ object Bench {
         streamSection("streaming_ann")(graft.obs.StreamingBench.annE2e(spark, sfDir)) +
         streamSection("streaming_ingest")(graft.obs.StreamingBench.ingestE2e(spark, sfDir)) +
         streamSection("streaming_scd2")(graft.obs.StreamingBench.scd2E2e(spark, sfDir)) +
-        streamSection("streaming_sessions")(graft.obs.StreamingBench.sessionsE2e(spark, sfDir))
+        streamSection("streaming_sessions")(graft.obs.StreamingBench.sessionsE2e(spark, sfDir)) +
+        streamSection("streaming_transitions")(graft.obs.StreamingBench.transitionsE2e(spark, sfDir))
     // Contention self-flag (r14 VERDICT item 6): the artifact announces its
     // own invalidity instead of waiting for a postmortem. Two one-sided
     // signals, either trips it:

@@ -1,0 +1,134 @@
+package graft.obs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{CorpusIngest, IndexTombstones, StreamingDedup}
+
+/** Diagnosis main for the `streaming_ingest` bench section's per-row cost
+  * (r18 verdict item 3: 719 rows/s, 8.1 cpu-ms/row — attribute probe-join
+  * vs shingle-build vs tombstone maintenance). Drives the SAME synthesized
+  * workload as [[StreamingBench.ingestE2e]] ([[StreamingBench
+  * .synthIngestEvents]]) in `seq`-contiguous slices, runs each slice once
+  * through the REAL [[CorpusIngest.ingestBatch]] (so the store/tombstone
+  * subtrees evolve exactly as the bench's do), then re-measures that
+  * trigger's stages separately with [[ScopedMetrics]]:
+  *
+  *  - `collapse`       — last-event-per-doc window over the batch
+  *  - `shingle_batch`  — shingling the surviving upserts
+  *  - `prestate`       — ONE pass through the pre-batch live-state lineage
+  *                       (store read ∪ initial, tombstone agg+join, retire
+  *                       anti-join) — the "tombstone maintenance" cost
+  *  - `probe_cached`   — the probe join against a PERSISTED pre-state —
+  *                       the irreducible candidate-join cost
+  *  - `probe_prod`     — the probe as production runs it (pre-state as a
+  *                       lineage, recomputed by each of the probe's THREE
+  *                       index consumptions: df-cap agg, per-doc sizes,
+  *                       candidate join) — minus `probe_cached`, this is
+  *                       the lineage-recomputation overhead
+  *
+  * Stage measurements replay against the same `batchId` AFTER the real
+  * trigger committed — [[IndexTombstones.preBatchState]] excludes the
+  * probing batch's own partitions, so each stage sees exactly the state
+  * the real trigger saw (the replay-stability contract doubling as a
+  * measurement harness). Prints one JSON line (and writes args(0), default
+  * `INGEST_AUDIT.json`) with per-stage totals across slices.
+  */
+object IngestAudit {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nSlices = 8
+    val arrivalCopies = 64
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val docs = graft.ops.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val indexSh = graft.ops.Dedup.shingles(docs.filter(col("doc_id") % 10 =!= 0)).persist()
+    indexSh.count() // pre-materialized static state, as in the bench
+    val events = StreamingBench.synthIngestEvents(spark, sfDir, arrivalCopies).persist()
+    val total = events.count()
+    val store = graft.ops.Scratch.dir("graft_ingestaudit") + "/store/idx"
+
+    val stages = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double)] // wall_s, cpu_s
+    def measure[A](name: String)(body: => A): A = {
+      var out: Option[A] = None
+      val t0 = System.nanoTime()
+      val (_, snap) = ScopedMetrics.measure(spark) { out = Some(body) }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (w0, c0) = stages.getOrElse(name, (0.0, 0.0))
+      stages(name) = (w0 + wall, c0 + snap.executorCpuNs / 1e9)
+      out.get
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    (0 until nSlices).foreach { i =>
+      // seq-contiguous slices: rep ranges, mirroring ordered CDC arrival
+      val lo = i.toLong * arrivalCopies / nSlices
+      val hi = (i + 1).toLong * arrivalCopies / nSlices
+      val batch = events.filter(col("seq") >= lo && col("seq") < hi)
+        .as[CorpusIngest.DocEvent].persist()
+      batch.count()
+      // the real trigger — evolves the store exactly as the bench's does
+      measure("full_trigger") {
+        CorpusIngest.ingestBatch(batch, i.toLong, indexSh, store,
+          (df, _) => { df.count(); () }, thresholdE6 = 500000L, maxDf = 256)
+      }
+      // stage replay against the same batchId: own partitions excluded, so
+      // every stage sees the state the real trigger saw
+      val w = Window.partitionBy(col("doc_id")).orderBy(desc("seq"))
+      val last = measure("collapse") {
+        val l = batch.toDF()
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+          .persist()
+        l.count()
+        l
+      }
+      val upserts = last.filter(col("event") =!= "REMOVE")
+        .select(col("doc_id"), col("text"))
+        .as[StreamingDedup.Doc].persist()
+      upserts.count()
+      measure("shingle_batch") { noop(StreamingDedup.shingleBatch(upserts)) }
+      val retired = last
+        .filter(col("event") === "REMOVE" || col("event") === "MODIFY")
+        .select(col("doc_id"))
+      def preState = IndexTombstones.preBatchState(spark, store,
+        indexSh, "doc_id", i.toLong, retired,
+        StreamingDedup.readIndexStore(spark, store))
+      measure("prestate") { noop(preState) }
+      val cached = preState.persist()
+      cached.count() // materialize OUTSIDE the probe_cached window
+      measure("probe_cached") {
+        noop(StreamingDedup.probeBatch(upserts, cached, 500000L, 256))
+      }
+      cached.unpersist()
+      measure("probe_prod") {
+        noop(StreamingDedup.probeBatch(upserts, preState, 500000L, 256))
+      }
+      upserts.unpersist(); last.unpersist(); batch.unpersist()
+      ()
+    }
+    events.unpersist()
+
+    def r2(v: Double) = math.rint(v * 100) / 100.0
+    val body = stages.map { case (k, (wall, cpu)) =>
+      s""""$k":{"wall_s":${r2(wall)},"cpu_s":${r2(cpu)}}"""
+    }.mkString(",")
+    val json = s"""{"metric":"ingest_audit","input_rows":$total,""" +
+      s""""slices":$nSlices,$body,"sf":"$sfDir"}"""
+    val outPath = if (args.nonEmpty) args(0) else "INGEST_AUDIT.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}

@@ -369,8 +369,20 @@ class StreamingSpec extends SparkSuite {
     val st = graft.obs.StreamingBench.sessionsE2e(spark, sf, nFiles = 4,
       maxFilesPerTrigger = 1)
     assert(st.inputRows > 0, "no events written")
-    // the final report is the full session table: >0 and <= one session
+    // busRows is the post-run liveSessionTable fold: >0 and <= one session
     // per event; equality to the batch table is StreamingSessionsSpec's job
+    assert(st.busRows > 0 && st.busRows <= st.inputRows, st.toString)
+    assert(st.batches >= 4, s"bounded admission not honored: $st")
+    assert(st.steadyAvgBatchMs > 0 && st.steadyRowsPerSec > 0,
+      s"steady-state stats not populated: $st")
+  }
+
+  test("StreamingBench transition-matrix stats populate (the streaming_transitions section)") {
+    val st = graft.obs.StreamingBench.transitionsE2e(spark, sf, nFiles = 4,
+      maxFilesPerTrigger = 1)
+    assert(st.inputRows > 0, "no events written")
+    // the final running matrix is at most |event types|² rows — tiny, but
+    // it must be nonzero for the section to mean anything
     assert(st.busRows > 0 && st.busRows <= st.inputRows, st.toString)
     assert(st.batches >= 4, s"bounded admission not honored: $st")
     assert(st.steadyAvgBatchMs > 0 && st.steadyRowsPerSec > 0,
