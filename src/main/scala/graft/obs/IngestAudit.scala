@@ -111,9 +111,36 @@ object IngestAudit {
         noop(StreamingDedup.probeBatch(upserts, cached, 500000L, 256))
       }
       cached.unpersist()
-      measure("probe_prod") {
-        noop(StreamingDedup.probeBatch(upserts, preState, 500000L, 256))
+      val verdicts = measure("probe_prod") {
+        val v = StreamingDedup.probeBatch(upserts, preState, 500000L, 256).persist()
+        v.count()
+        v
       }
+      // the write tail, replayed idempotently (dynamic-partition overwrite
+      // of the SAME batch partitions with identical content — exactly the
+      // at-least-once replay the store contract absorbs)
+      // production order (the r19 WRITE ORDER RULE): rejected, admitted,
+      // tombstones LAST — a store/tombstone write before the last verdicts
+      // consumer refreshes a read path and recomputes the whole probe (the
+      // pre-fix ordering measured exactly one extra probe in tail_rejected)
+      val docEnc = org.apache.spark.sql.Encoders.product[StreamingDedup.Doc]
+      Seq(("tail_rejected", col("is_dup") =!= 0L, CorpusIngest.rejectedDir(store)),
+        ("tail_admitted", col("is_dup") === 0L, store)).foreach { case (stage, cond, dir) =>
+        measure(stage) {
+          val side = upserts.join(
+            verdicts.filter(cond).select("doc_id"), Seq("doc_id"), "left_semi")
+          StreamingDedup.shingleBatch(side.as[StreamingDedup.Doc](docEnc))
+            .withColumn("batch_id", lit(i.toLong))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(dir)
+        }
+      }
+      measure("tail_tombstone") {
+        IndexTombstones.retire(spark, store, retired, "doc_id", i.toLong)
+      }
+      verdicts.unpersist()
       upserts.unpersist(); last.unpersist(); batch.unpersist()
       ()
     }

@@ -156,11 +156,23 @@ object CorpusIngest {
           .persist()
         try {
           sink(verdicts, batchId)
-          IndexTombstones.retire(spark, storeDir, retired, "doc_id", batchId)
+          // WRITE ORDER RULE (r19 ingest audit): every consumer of the
+          // persisted `verdicts` must run BEFORE any write under a path
+          // its plan READS (the store and its tombstone subtree) — such a
+          // write refreshes the path, silently drops the cached probe,
+          // and the next consumer re-runs the ENTIRE probe join (retiring
+          // first doubled the trigger's cpu, ~135 -> ~250 cpu-s at sf0.1,
+          // because the rejected-lane semi-join recomputed it). So: the
+          // rejected lane first (a sibling dir no probe reads — and the
+          // lineage contract wants it before the admitted write anyway: a
+          // crash between the two shingle writes must not leave an
+          // admitted doc without its lineage row), the admitted partition
+          // second (the last verdicts consumer), the tombstones LAST.
+          // Retiring last is replay-equivalent: any crash window replays
+          // the batch, the probe excludes its own partitions in BOTH
+          // subtrees, and a tombstone kills only batch_id strictly below
+          // its own — the admitted rows it follows are never its victims.
           val docEnc = org.apache.spark.sql.Encoders.product[StreamingDedup.Doc]
-          // non-probing rejected lane FIRST (scaladoc contract): a crash
-          // between the two writes must not leave an admitted doc without
-          // its lineage row, and replays overwrite their own partition
           val rejected = upserts.join(
             verdicts.filter(col("is_dup") =!= 0L).select("doc_id"),
             Seq("doc_id"), "left_semi")
@@ -179,6 +191,7 @@ object CorpusIngest {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(storeDir)
+          IndexTombstones.retire(spark, storeDir, retired, "doc_id", batchId)
         } finally { verdicts.unpersist(); () }
       } finally { upserts.unpersist(); () }
     } finally { last.unpersist(); () }
