@@ -79,6 +79,12 @@ object VectorIngest {
         val topk = StreamingAnn.probeBatch(upserts,
           preState, nTables, bits, probes, k, broadcastIdx)
         sink(topk, batchId)
+        // WRITE ORDER RULE (CorpusIngest.ingestBatch, r19 audit): every
+        // consumer of the probe's output runs BEFORE any write under a
+        // path its plan reads — the sink above is topk's ONLY consumer,
+        // so the retire may follow; a future second consumer (or a
+        // topk.persist expecting cache hits) must move above this line or
+        // it silently re-runs the whole probe against the refreshed path
         IndexTombstones.retire(spark, storeDir, retired, "cid", batchId)
         Similarity.homeRowsOf(upserts.toDF(), nTables, bits)
           .withColumn("batch_id", lit(batchId))
