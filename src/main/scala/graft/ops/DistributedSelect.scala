@@ -53,15 +53,17 @@ object DistributedSelect {
     exactGroupPercentilesMulti(df, group, Seq(value -> pcts), nBuckets)
 
   /** [[exactGroupPercentiles]] over SEVERAL value columns of the same frame
-    * in ONE driver round-trip pair: one min/max head for every metric, one
-    * stacked histogram collect (|groups|·|metrics|·nBuckets rows — same
-    * bounded-collect contract), then each metric's candidate-bucket rank
-    * select runs as its own lazy branch and the per-metric one-row-per-group
-    * results equi-join back on `group`. RFM's three quintile splits
-    * (`Analytics.rfmSegments`) are the motivating caller: 3 metrics × 2
-    * eager actions collapsed to 2 actions total, values bit-identical to
-    * three independent calls (each metric's boundaries, histogram, and
-    * residual ranks are computed exactly as the single-metric form does).
+    * in ONE driver round-trip pair AND one lazy select branch: one min/max
+    * head for every metric, one stacked histogram collect
+    * (|groups|·|metrics|·nBuckets rows — same bounded-collect contract),
+    * then ONE candidate-bucket rank select over the stacked (metric, value,
+    * bucket) triples — the window partitions by (group, metric, bucket),
+    * disjoint across metrics, so ranks equal the per-metric form's. RFM's
+    * three quintile splits (`Analytics.rfmSegments`) are the motivating
+    * caller: 3 metrics × 2 eager actions collapsed to 2 actions total and
+    * 3 select branches to 1, values bit-identical to three independent
+    * calls (each metric's boundaries, histogram, and residual ranks are
+    * computed exactly as the single-metric form does).
     *
     * `metrics` maps each BIGINT value column to its pct specs; output
     * percentile names must be globally unique across metrics. Output:
@@ -103,9 +105,9 @@ object DistributedSelect {
           s"exactGroupPercentiles: null $group or value in input")
         (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
       }
-    val perMetric = metrics.map { case (v, pcts) =>
+    val targets = metrics.flatMap { case (v, pcts) =>
       val rowsOfMetric = hist.filter(_._2 == v).map { case (g, _, b, c) => (g, b, c) }
-      val targets = rowsOfMetric.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      rowsOfMetric.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
         val n = rows.map(_._3).sum
         val sorted = rows.sortBy(_._2)
         def locate(k: Long): (Long, Long) = {
@@ -122,28 +124,37 @@ object DistributedSelect {
         pcts.map { case (name, num, den) =>
           val k = (num * n + den - 1) / den
           val (b, r) = locate(k)
-          (g, b, r, name, n)
+          (g, v, b, r, name, n)
         }
       }
-      val targetsDf = targets.toDF("t_g", "t_bucket", "resid", "pct", "n_rows")
-      val w = Window.partitionBy(col(group), col(s"bucket_$v")).orderBy(col(v))
-      val aggs = max(col("n_rows")).as("n_rows") +: pcts.map { case (name, _, _) =>
-        max(when(col("pct") === name, col(v))).as(name)
+    }
+    // ONE select branch for every metric (not one per metric — the 3-branch
+    // form was stage-count-dominated at warm bench scale): stack each row's
+    // (metric, value, bucket) triples, keep candidate (group, metric,
+    // bucket) cells, rank inside them with a single window — partitions are
+    // disjoint across metrics, so ranks equal the per-metric form's — and
+    // pivot every percentile of every metric out of one agg
+    val targetsDf = targets.toDF("t_g", "t_m", "t_bucket", "resid", "pct", "n_rows")
+    val stacked = bucketed
+      .select(col(group), explode(array(metrics.map { case (v, _) =>
+        struct(lit(v).as("m"), col(v).as("v"), col(s"bucket_$v").as("bucket")) }: _*)).as("x"))
+      .select(col(group), col("x.m").as("m"), col("x.v").as("v"),
+        col("x.bucket").as("bucket"))
+    val w = Window.partitionBy(col(group), col("m"), col("bucket")).orderBy(col("v"))
+    val aggs = max(col("n_rows")).as("n_rows") +: metrics.flatMap { case (_, pcts) =>
+      pcts.map { case (name, _, _) =>
+        max(when(col("pct") === name, col("v"))).as(name)
       }
-      bucketed.select(col(group), col(v), col(s"bucket_$v"))
-        .join(broadcast(targetsDf.select(col("t_g"), col("t_bucket")).distinct()),
-          col(group) === col("t_g") && col(s"bucket_$v") === col("t_bucket"), "left_semi")
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .join(broadcast(targetsDf),
-          col(group) === col("t_g") && col(s"bucket_$v") === col("t_bucket") &&
-            col("rn") === col("resid"))
-        .groupBy(col(group))
-        .agg(aggs.head, aggs.tail: _*)
     }
-    // n_rows is the per-group row count — identical for every metric under
-    // the non-null contract, so the first branch's copy is THE copy
-    perMetric.reduceLeft { (acc, next) =>
-      acc.join(next.drop("n_rows"), Seq(group))
-    }
+    stacked
+      .join(broadcast(targetsDf.select(col("t_g"), col("t_m"), col("t_bucket")).distinct()),
+        col(group) === col("t_g") && col("m") === col("t_m") &&
+          col("bucket") === col("t_bucket"), "left_semi")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(targetsDf),
+        col(group) === col("t_g") && col("m") === col("t_m") &&
+          col("bucket") === col("t_bucket") && col("rn") === col("resid"))
+      .groupBy(col(group))
+      .agg(aggs.head, aggs.tail: _*)
   }
 }
