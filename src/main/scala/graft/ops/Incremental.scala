@@ -135,45 +135,22 @@ object Incremental {
     */
   private[graft] def probeAgainstIndex(newDocIds: DataFrame, newSh: DataFrame,
       oldSh: DataFrame, thresholdE6: Long, maxDf: Int): DataFrame = {
-    // r19 probe restructure (the ingest audit measured this join at ~72%
-    // of a CDC-ingest trigger, and two of its three index consumptions
-    // were FULL-INDEX SHUFFLES — the df-cap groupBy and the per-doc size
-    // groupBy): broadcast a bloom sketch of the batch's shingles and
-    // prune the index side BEFORE any shuffle. The sketch has no false
-    // negatives, so every shingle that can join keeps ALL its index rows
-    // — per-shingle df counts over the pruned frame equal the full-index
-    // counts for exactly the shingles the join can see, making cap
-    // decisions and n_common bit-identical; false positives only keep
-    // extra rows the join then drops. The jaccard denominator needs each
-    // candidate's FULL shingle count, which the pruned frame cannot
-    // provide — n_old comes from a second index SCAN semi-joined to the
-    // pruned frame's doc ids (a candidate SUPERSET derived independently
-    // of the scored pairs, so no plan fork), shuffling only candidate
-    // docs' rows. Net at 100 TB: the index is scanned, never shuffled
-    // whole; every shuffle is proportional to rows sharing a batch
-    // shingle. Verdicts stay bit-identical (oracle-pinned by
-    // incremental_dedup; streaming parity specs pin the foreachBatch
-    // path). The build is two batch-sized actions (count + sketch agg),
-    // charged to the probe itself.
-    val nNew = newSh.count()
-    // empty batch side (e.g. a REMOVE-only CDC trigger): nothing can match
-    // — and stat.bloomFilter NPEs on an empty frame (null aggregate bytes)
-    val oldPruned = if (nNew == 0L) oldSh.limit(0) else {
-      val bloom = newSh.stat.bloomFilter("shingle",
-        expectedNumItems = math.max(64L, nNew), fpp = 0.01)
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      oldSh.filter(org.apache.spark.sql.graftx.Bridge
-        .bloomMightContain(bos.toByteArray, col("shingle")))
-    }
-    val oldCapped = oldPruned.join(
-      oldPruned.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // Plan-shape note (r19, measured both ways): a manual bloom sketch of
+    // the batch's shingles CAN prune the index side before the df-cap and
+    // size groupBys (bit-identical verdicts — no false negatives), but at
+    // bench scale it measured cpu-NEUTRAL (saved in-memory shuffles ≈
+    // per-scan bloom probes) and wall-NEGATIVE (its two eager driver
+    // actions per trigger halved the fast dedup section's rows/s), so it
+    // was reverted — docs/TUNING.md "streaming_ingest per-trigger cost"
+    // carries the numbers and the real 100 TB levers (maintained df/size
+    // aggregates in the store; a shingle-bucketed store layout that makes
+    // the candidate join co-located, shuffling only the batch side).
+    val oldCapped = oldSh.join(
+      oldSh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf).select("shingle"),
       Seq("shingle"), "left_anti")
     val sizesNew = newSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val sizesOld = oldSh
-      .join(oldPruned.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_old"))
+    val sizesOld = oldSh.groupBy("doc_id").agg(count(lit(1)).as("n_old"))
     val scored = newSh.withColumnRenamed("doc_id", "new_id")
       .join(oldCapped.withColumnRenamed("doc_id", "old_id"), "shingle")
       .groupBy(col("new_id"), col("old_id")).agg(count(lit(1)).as("n_common"))
