@@ -305,7 +305,17 @@ object PlanDoc {
       "integral (1e6 div k), so nothing float crosses the oracle."),
     "event_trigrams" -> ("Order-2 sequence mining: two lag windows over ONE per-user " +
       "partitioning (no second exchange), a types^3-bounded aggregation, and the global " +
-      "total as a broadcast one-row frame — the ppm math never re-shuffles the log."))
+      "total as a broadcast one-row frame — the ppm math never re-shuffles the log."),
+    "position_attribution" -> ("U-shaped credit: the same user-keyed range join as " +
+      "touch_attribution, then TWO windows over ONE purchase-keyed partitioning (count k " +
+      "and rank rn share the exchange — rn orders by (t_t, t_id), so first/last are " +
+      "deterministic); the 40/20/40 split is a pure when-chain on (k, rn), integral div " +
+      "for the middles — nothing float crosses the oracle."),
+    "rfm_segments" -> ("Behavioral segmentation over the memoized per-user frame: ONE " +
+      "min/max head + ONE stacked histogram collect bound the driver work for all three " +
+      "metrics; the select phase is a single window over disjoint (group, metric, bucket) " +
+      "partitions (never a whole-frame sort), and the <=125-cell matrix folds out of one " +
+      "broadcast-bounds crossJoin + map-side-combined aggregation."))
 
   /** Strip run-nondeterministic tokens (JVM lambda addresses, object
     * hashes, AQE plan/stage ids, expression ids) so a regenerated PLANS.md
