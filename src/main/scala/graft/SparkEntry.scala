@@ -246,6 +246,11 @@ object SparkEntry {
     "position_attribution" -> ((s, d) => Temporal.positionAttribution(s, d)),
     "incremental_position_attribution" ->
       ((s, d) => Temporal.incrementalPositionAttribution(s, d)),
+    // time-decay (power-of-two half-life) credit + its incremental rung —
+    // the window-tail store's THIRD consumer
+    "decay_attribution" -> ((s, d) => Temporal.decayAttribution(s, d)),
+    "incremental_decay_attribution" ->
+      ((s, d) => Temporal.incrementalDecayAttribution(s, d)),
     "event_type_stats" -> ((s, d) => Sessions.eventTypeStats(s, d)),
     "daily_counts" -> ((s, d) => Sessions.dailyCounts(s, d)),
     "value_histogram" -> ((s, d) => Sessions.valueHistogram(s, d)),
@@ -981,6 +986,32 @@ object SparkEntry {
         |    WHEN rn = 1 OR rn = k THEN 400000
         |    ELSE 200000 // (k - 2) END) AS BIGINT) AS credit_ppm_sum
         |FROM k GROUP BY 1 ORDER BY touch_type""".stripMargin
+
+  /** Shared by `decay_attribution` and its incremental rung (the
+    * window-tail ladder's time-decay consumer). Weight = 1e6 >> whole
+    * half-lives of age — exact integers on both engines; per-purchase
+    * mass splits by integral div of the BIGINT-widened numerator.
+    */
+  private val decayAttributionSql: String =
+    """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
+        |), p AS (
+        |  SELECT user_id, event_id AS p_id, ms AS t_p FROM e WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id, event_type AS touch_type, ms AS t_t FROM e
+        |  WHERE event_type IN ('signup', 'view', 'click')
+        |), j AS (
+        |  SELECT p.p_id, t.touch_type,
+        |    (CAST(1000000 AS BIGINT) >> CAST((p.t_p - t.t_t) // 86400000 AS INT)) AS w
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.t_t >= p.t_p - 604800000 AND t.t_t < p.t_p
+        |), s AS (
+        |  SELECT *, SUM(w) OVER (PARTITION BY p_id) AS sw FROM j
+        |)
+        |SELECT touch_type, count(*) AS n_touches,
+        |  CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+        |  CAST(SUM((w * 1000000) // sw) AS BIGINT) AS credit_ppm_sum
+        |FROM s GROUP BY 1 ORDER BY touch_type""".stripMargin
 
   /** Shared by `event_trigrams` and its incremental rung
     * `incremental_trigrams` (the order-2 boundary-state ladder).
@@ -1889,6 +1920,8 @@ object SparkEntry {
     "incremental_attribution" -> touchAttributionSql,
     "position_attribution" -> positionAttributionSql,
     "incremental_position_attribution" -> positionAttributionSql,
+    "decay_attribution" -> decayAttributionSql,
+    "incremental_decay_attribution" -> decayAttributionSql,
     "timeseries_gapfill" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS n,

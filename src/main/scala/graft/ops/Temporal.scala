@@ -1032,6 +1032,38 @@ object Temporal {
       .orderBy("touch_type")
   }
 
+  /** Time-decay multi-touch attribution — half-life credit in EXACT
+    * integers: a touch aged `a` ms before its purchase carries weight
+    * `1000000 >> (a div halfLifeMs)` (power-of-two decay — the shift keeps
+    * the weight integral where a float `e^(−λa)` could never cross the
+    * oracle), and each purchase's 1 000 000 ppm credit mass splits
+    * proportionally by integral div (`(w·1e6) div Σw` — remainders
+    * deliberately unredistributed, the family convention; `w·1e6 ≤ 1e12`
+    * so plain BIGINT holds it). No rank window at all: the credit is a
+    * pure function of age, so determinism needs no tie-break — the
+    * third credit scheme on the same join shape.
+    */
+  def decayAttribution(spark: SparkSession, d: String,
+      windowMs: Long = 7L * 86400000L, halfLifeMs: Long = 86400000L): DataFrame = {
+    val ev = attrEventsOf(spark, d)
+    attrReadout(
+      withDecay(touchWindowJoin(attrPurchasesOf(ev), attrTouchesOf(ev), windowMs),
+        halfLifeMs),
+      decayCreditPpm)
+      .orderBy("touch_type")
+  }
+
+  /** Integral half-life weight per credited touch and the per-purchase
+    * weight mass (same purchase-bounded partitions as `k`).
+    */
+  private def withDecay(joined: DataFrame, halfLifeMs: Long): DataFrame =
+    joined
+      .withColumn("w",
+        expr(s"shiftright(CAST(1000000 AS BIGINT), CAST((t_p - t_t) div $halfLifeMs AS INT))"))
+      .withColumn("sw", sum(col("w")).over(Window.partitionBy(col("p_id"))))
+
+  private def decayCreditPpm: Column = expr("(w * 1000000) div sw")
+
   private def attrEventsOf(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
       .withColumn("ms", Sessions.msFloor(spark, d))
@@ -1087,6 +1119,7 @@ object Temporal {
     */
   private[graft] val AttrAggKind = "evattragg-v1"
   private[graft] val AttrPosAggKind = "evattrposagg-v1"
+  private[graft] val AttrDecayAggKind = "evattrdecayagg-v1"
   private[graft] val AttrTailKind = "evattrtail-v2"
 
   /** Attribution under SUFFIX arrival — the incremental rung, and the
@@ -1127,6 +1160,20 @@ object Temporal {
     incrementalAttrScheme(spark, d, windowMs, tenthsOld,
       AttrPosAggKind, "ev_attr_posagg",
       joined => attrReadout(withPosition(joined), positionCreditPpm))
+
+  /** Time-decay attribution under SUFFIX arrival — the window-tail
+    * ladder's THIRD consumer on the same shared tail store (the tail
+    * carries `t_t`, which is all the age needs); only the finished-
+    * aggregate store differs ([[AttrDecayAggKind]]). Same finality and
+    * sufficiency arguments as the other two rungs; pinned to the batch
+    * [[decayAttribution]] oracle verbatim.
+    */
+  def incrementalDecayAttribution(spark: SparkSession, d: String,
+      windowMs: Long = 7L * 86400000L, halfLifeMs: Long = 86400000L,
+      tenthsOld: Int = 9): DataFrame =
+    incrementalAttrScheme(spark, d, windowMs, tenthsOld,
+      AttrDecayAggKind, "ev_attr_decayagg",
+      joined => attrReadout(withDecay(joined, halfLifeMs), decayCreditPpm))
 
   /** The shared incremental-attribution skeleton: history = persisted
     * finished aggregate (per scheme) ⊕ suffix purchases attributed against

@@ -631,6 +631,44 @@ class TemporalSpec extends SparkSuite {
     assert(Temporal.incrementalPositionAttribution(spark, sf).collect().toSeq == full)
   }
 
+  test("decayAttribution: driver recompute of the half-life credit split") {
+    val W = 7L * 86400000L
+    val H = 86400000L
+    val out = Temporal.decayAttribution(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Sessions.msFloor(spark, sf).as("ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    val touchTypes = Set("signup", "view", "click")
+    val credited = ev.filter(_._3 == "purchase").flatMap { case (u, pid, _, tp) =>
+      val ts = byUser(u).filter(x => touchTypes(x._3) && x._4 >= tp - W && x._4 < tp)
+      val ws = ts.map(x => 1000000L >> ((tp - x._4) / H).toInt)
+      val sw = ws.sum
+      ts.zip(ws).map { case (x, w) => (x._3, pid, w * 1000000L / sw) }
+    }
+    val want = credited.groupBy(_._1).map { case (tpe, rs) =>
+      (tpe, (rs.length.toLong, rs.map(_._2).distinct.length.toLong, rs.map(_._3).sum))
+    }
+    assert(out == want)
+    // per-purchase mass never exceeds 1e6 (integral-div remainders only shrink it)
+    credited.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sum <= 1000000L)
+    }
+    // decay must actually bite: some credited touch must be >= 1 half-life old
+    assert(ev.filter(_._3 == "purchase").exists { case (u, _, _, tp) =>
+      byUser(u).exists(x => touchTypes(x._3) && x._4 >= tp - W && x._4 < tp - H)
+    }, "no credited touch older than one half-life — decay path unexercised")
+  }
+
+  test("incrementalDecayAttribution: shared window tail reproduces the full log") {
+    val full = Temporal.decayAttribution(spark, sf).collect().toSeq
+    assert(full.nonEmpty)
+    assert(Temporal.incrementalDecayAttribution(spark, sf).collect().toSeq == full)
+  }
+
   test("funnelConversion: stage counts are monotonically non-increasing and stage 1 is exact") {
     val out = Temporal.funnelConversion(spark, sf).collect().sortBy(_.getLong(0))
     assert(out.map(_.getString(1)).toSeq == Seq("signup", "view", "click", "purchase"))
