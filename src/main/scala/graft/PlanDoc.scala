@@ -311,6 +311,10 @@ object PlanDoc {
       "and rank rn share the exchange — rn orders by (t_t, t_id), so first/last are " +
       "deterministic); the 40/20/40 split is a pure when-chain on (k, rn), integral div " +
       "for the middles — nothing float crosses the oracle."),
+    "decay_attribution" -> ("Half-life credit: the same user-keyed range join, ONE " +
+      "purchase-keyed window (the weight-mass sum — no rank at all, credit is a pure " +
+      "function of age), and the split is shiftright + integral div, all codegen'd " +
+      "integer ops; the lightest plan of the three credit schemes."),
     "rfm_segments" -> ("Behavioral segmentation over the memoized per-user frame: ONE " +
       "min/max head + ONE stacked histogram collect bound the driver work for all three " +
       "metrics; the select phase is a single window over disjoint (group, metric, bucket) " +
