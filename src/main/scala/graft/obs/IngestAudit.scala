@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{CorpusIngest, IndexTombstones, StreamingDedup}
+import graft.streaming.{CorpusIngest, IndexTombstones, IngestAggregates, StreamingDedup}
 
 /** Diagnosis main for the `streaming_ingest` bench section's per-row cost
   * (r18 verdict item 3: 719 rows/s, 8.1 cpu-ms/row — attribute probe-join
@@ -20,13 +20,18 @@ import graft.streaming.{CorpusIngest, IndexTombstones, StreamingDedup}
   *  - `prestate`       — ONE pass through the pre-batch live-state lineage
   *                       (store read ∪ initial, tombstone agg+join, retire
   *                       anti-join) — the "tombstone maintenance" cost
-  *  - `probe_cached`   — the probe join against a PERSISTED pre-state —
-  *                       the irreducible candidate-join cost
-  *  - `probe_prod`     — the probe as production runs it (pre-state as a
-  *                       lineage, recomputed by each of the probe's THREE
+  *  - `probe_cached`   — the RECOMPUTE probe join against a PERSISTED
+  *                       pre-state — the r19 irreducible-cost baseline
+  *  - `probe_recompute`— the r19 production shape (pre-state as a lineage,
+  *                       recomputed by each of the recompute probe's THREE
   *                       index consumptions: df-cap agg, per-doc sizes,
-  *                       candidate join) — minus `probe_cached`, this is
-  *                       the lineage-recomputation overhead
+  *                       candidate join) — the comparison baseline for the
+  *                       maintained form
+  *  - `probe_maintained` — the r20 production shape: negative deltas (on
+  *                       retire-carrying triggers) + store-maintained
+  *                       df/size lookups + ONE candidate join, verdicts
+  *                       localCheckpoint'ed exactly as [[CorpusIngest
+  *                       .ingestBatch]] runs it
   *
   * Stage measurements replay against the same `batchId` AFTER the real
   * trigger committed — [[IndexTombstones.preBatchState]] excludes the
@@ -111,10 +116,22 @@ object IngestAudit {
         noop(StreamingDedup.probeBatch(upserts, cached, 500000L, 256))
       }
       cached.unpersist()
-      val verdicts = measure("probe_prod") {
-        val v = StreamingDedup.probeBatch(upserts, preState, 500000L, 256).persist()
-        v.count()
-        v
+      measure("probe_recompute") {
+        noop(StreamingDedup.probeBatch(upserts, preState, 500000L, 256))
+      }
+      val verdicts = measure("probe_maintained") {
+        val negDelta =
+          if (retired.limit(1).count() > 0)
+            IngestAggregates.negativeDelta(spark, store, indexSh,
+              i.toLong, retired).localCheckpoint(true)
+          else Seq.empty[(Long, Long)].toDF("shingle", "delta")
+        val newSh = StreamingDedup.shingleBatch(upserts)
+        graft.ops.Incremental.probeWithAggregates(
+            upserts.select("doc_id"), newSh, preState,
+            IngestAggregates.preBatchDf(spark, store, i.toLong, newSh, negDelta),
+            IngestAggregates.preBatchSizes(spark, store, i.toLong, retired),
+            500000L, 256)
+          .localCheckpoint(true)
       }
       // the write tail, replayed idempotently (dynamic-partition overwrite
       // of the SAME batch partitions with identical content — exactly the
@@ -124,23 +141,42 @@ object IngestAudit {
       // consumer refreshes a read path and recomputes the whole probe (the
       // pre-fix ordering measured exactly one extra probe in tail_rejected)
       val docEnc = org.apache.spark.sql.Encoders.product[StreamingDedup.Doc]
-      Seq(("tail_rejected", col("is_dup") =!= 0L, CorpusIngest.rejectedDir(store)),
-        ("tail_admitted", col("is_dup") === 0L, store)).foreach { case (stage, cond, dir) =>
-        measure(stage) {
-          val side = upserts.join(
-            verdicts.filter(cond).select("doc_id"), Seq("doc_id"), "left_semi")
-          StreamingDedup.shingleBatch(side.as[StreamingDedup.Doc](docEnc))
-            .withColumn("batch_id", lit(i.toLong))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(dir)
-        }
+      measure("tail_rejected") {
+        val side = upserts.join(
+          verdicts.filter(col("is_dup") =!= 0L).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        StreamingDedup.shingleBatch(side.as[StreamingDedup.Doc](docEnc))
+          .withColumn("batch_id", lit(i.toLong))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(CorpusIngest.rejectedDir(store))
+      }
+      val admitted = upserts.join(
+        verdicts.filter(col("is_dup") === 0L).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val admittedSh = StreamingDedup
+        .shingleBatch(admitted.as[StreamingDedup.Doc](docEnc)).persist()
+      measure("tail_aggregates") {
+        val negDelta =
+          if (retired.limit(1).count() > 0)
+            IngestAggregates.negativeDelta(spark, store, indexSh,
+              i.toLong, retired).localCheckpoint(true)
+          else Seq.empty[(Long, Long)].toDF("shingle", "delta")
+        IngestAggregates.writeDeltas(spark, store, i.toLong, admittedSh, negDelta)
+      }
+      measure("tail_admitted") {
+        admittedSh
+          .withColumn("batch_id", lit(i.toLong))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(store)
       }
       measure("tail_tombstone") {
         IndexTombstones.retire(spark, store, retired, "doc_id", i.toLong)
       }
-      verdicts.unpersist()
+      admittedSh.unpersist()
       upserts.unpersist(); last.unpersist(); batch.unpersist()
       ()
     }

@@ -370,12 +370,15 @@ object StreamingBench {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .json(in).as[StreamingSessions.SessionEvent]
-    val changelogRows = new java.util.concurrent.atomic.AtomicLong(0L)
     val t0 = System.nanoTime()
     val q = StreamingSessions.admissionStream(stream,
       StreamingSessions.emptyOpenState(spark), sessDir, openDir,
       gapMs = 30 * 60 * 1000L,
-      (df, _) => { changelogRows.addAndGet(df.count()); () })
+      // the count() is the sink's materialization of the changelog (what a
+      // downstream folder would do); its value is deliberately unused —
+      // busRows pins the final liveSessionTable instead (ADVICE r19
+      // removed the dead accumulator that used to capture it)
+      (df, _) => { df.count(); () })
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

@@ -78,7 +78,14 @@ object DistributedSelect {
     val mmAggs = metrics.flatMap { case (v, _) =>
       Seq(min(col(v)).as(s"lo_$v"), max(col(v)).as(s"hi_$v")) }
     val mm = df.agg(mmAggs.head, mmAggs.tail: _*).head()
-    require(!mm.isNullAt(0), "exactGroupPercentiles: empty input")
+    // loud per-metric contract (ADVICE r19): an empty frame nulls EVERY
+    // min/max, but an all-null SECOND metric column nulls only its own —
+    // checking index 0 alone would surface that as an NPE at getLong below
+    metrics.foreach { case (v, _) =>
+      require(!mm.isNullAt(mm.fieldIndex(s"lo_$v")) &&
+        !mm.isNullAt(mm.fieldIndex(s"hi_$v")),
+        s"exactGroupPercentiles: empty or all-null input for metric $v")
+    }
     val bucketed = metrics.foldLeft(df) { case (acc, (v, _)) =>
       val lo = mm.getLong(mm.fieldIndex(s"lo_$v"))
       val hi = mm.getLong(mm.fieldIndex(s"hi_$v"))

@@ -149,8 +149,37 @@ object Incremental {
       oldSh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf).select("shingle"),
       Seq("shingle"), "left_anti")
-    val sizesNew = newSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val sizesOld = oldSh.groupBy("doc_id").agg(count(lit(1)).as("n_old"))
+    scoredVerdicts(newDocIds, newSh, oldCapped, sizesOld, thresholdE6)
+  }
+
+  /** [[probeAgainstIndex]] with the index-side aggregates SUPPLIED instead
+    * of recomputed — the probe core [[graft.streaming.CorpusIngest]] runs
+    * against its store-maintained summaries
+    * ([[graft.streaming.IngestAggregates]]): `dfOld` is `(shingle, df)`
+    * covering at least the batch's shingles (the cap anti-join only ever
+    * bites on candidate-join keys, so a batch-restricted df set yields
+    * bit-identical verdicts), `sizesOld` is `(doc_id, n_old)` over the live
+    * pre-batch docs. Identical scoring to [[probeAgainstIndex]] — the two
+    * full-index aggregations are simply not re-derived here.
+    */
+  private[graft] def probeWithAggregates(newDocIds: DataFrame, newSh: DataFrame,
+      oldSh: DataFrame, dfOld: DataFrame, sizesOld: DataFrame,
+      thresholdE6: Long, maxDf: Int): DataFrame = {
+    val oldCapped = oldSh.join(
+      dfOld.filter(col("df") > maxDf).select("shingle"),
+      Seq("shingle"), "left_anti")
+    scoredVerdicts(newDocIds, newSh, oldCapped, sizesOld, thresholdE6)
+  }
+
+  /** The shared scoring tail of both probe forms: candidate co-occurrence
+    * counts over the (already df-capped) index side, exact Jaccard from the
+    * supplied old sizes, best-match rank, left-join back to every probed
+    * doc id.
+    */
+  private def scoredVerdicts(newDocIds: DataFrame, newSh: DataFrame,
+      oldCapped: DataFrame, sizesOld: DataFrame, thresholdE6: Long): DataFrame = {
+    val sizesNew = newSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val scored = newSh.withColumnRenamed("doc_id", "new_id")
       .join(oldCapped.withColumnRenamed("doc_id", "old_id"), "shingle")
       .groupBy(col("new_id"), col("old_id")).agg(count(lit(1)).as("n_common"))

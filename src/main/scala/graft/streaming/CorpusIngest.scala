@@ -72,10 +72,16 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * batch sees exactly the state attempt 1 saw and rewrites exactly what
   * attempt 1 wrote.
   *
-  * Scale shape: unchanged from [[StreamingDedup.externalBatch]] — per
-  * trigger one bounded probe (O(batch shingles ⋈ index)), one partition
-  * write, one tombstone write of |retired ids| rows; the within-trigger
-  * last-event collapse is a window over one batch.
+  * Scale shape (r20): the probe's per-shingle df cap and per-doc sizes are
+  * STORE-MAINTAINED ([[IngestAggregates]] — mergeable sibling stores
+  * updated with batch-sized deltas), so per trigger the raw index is
+  * consumed ONCE (the candidate join, O(batch shingles ⋈ index)) plus one
+  * broadcast-filtered scan on retire-carrying triggers (the negative df
+  * deltas); the df lookup shuffles batch-bounded rows, the size lookup
+  * aggregates |docs| rows, all writes are batch-sized, and the
+  * within-trigger last-event collapse is a window over one batch. The two
+  * full-index shuffles the r19 audit attributed to the recompute probe are
+  * gone — per-trigger cost no longer re-aggregates accumulated history.
   */
 object CorpusIngest {
 
@@ -122,6 +128,17 @@ object CorpusIngest {
 
   /** One trigger's work — exposed so specs can drive batches exactly as a
     * (restarted) stream would, batchIds included.
+    *
+    * r20: the probe runs against the STORE-MAINTAINED aggregates
+    * ([[IngestAggregates]] — the first structural 100 TB lever the r19
+    * audit named): the per-shingle df cap and per-doc sizes come from
+    * mergeable sibling stores updated with batch-sized deltas, so the two
+    * full-index shuffles the recompute probe paid every trigger are gone;
+    * the raw index is consumed ONCE (the candidate join) plus one
+    * broadcast-filtered scan on retire-carrying triggers (the negative df
+    * deltas). Verdicts are bit-identical to the recompute probe
+    * (IngestAggregatesSpec drives both side by side through the full
+    * lifecycle).
     */
   private[graft] def ingestBatch(batch: Dataset[DocEvent], batchId: Long,
       initialIndex: DataFrame, storeDir: String, sink: (DataFrame, Long) => Unit,
@@ -143,6 +160,24 @@ object CorpusIngest {
         val retired = last
           .filter(col("event") === "REMOVE" || col("event") === "MODIFY")
           .select(col("doc_id"))
+        // lazy, marker-guarded aggregate bootstrap (first trigger ever, or
+        // self-healing after a torn compaction) — a filesystem existence
+        // check on every later trigger
+        IngestAggregates.ensure(spark, storeDir, initialIndex)
+        // localCheckpoint, not persist: the write tail refreshes store
+        // paths this frame's LINEAGE reads, and a path refresh UNCACHES
+        // any persisted plan referencing it (the r19 audit's found bug —
+        // one silent cache drop cost an entire recomputation per trigger).
+        // Truncating the lineage makes the tail invalidation-proof by
+        // construction. (Executor-local blocks: an executor loss fails the
+        // task, the trigger retries, and the store contract absorbs the
+        // replay — same guarantee path as any at-least-once window here.)
+        val negDelta =
+          if (retired.limit(1).count() > 0)
+            IngestAggregates.negativeDelta(spark, storeDir, initialIndex,
+              batchId, retired).localCheckpoint(true)
+          else Seq.empty[(Long, Long)].toDF("shingle", "delta")
+        val newSh = StreamingDedup.shingleBatch(upserts)
         // post-retire pre-admit state over the WHOLE index — initial rows
         // included, sequenced at batch -inf so past tombstones kill them
         // too (a MODIFY of a base-corpus doc must not self-match its own
@@ -151,49 +186,95 @@ object CorpusIngest {
         val preState = IndexTombstones.preBatchState(spark, storeDir,
           initialIndex, "doc_id", batchId, retired,
           StreamingDedup.readIndexStore(spark, storeDir))
-        val verdicts = StreamingDedup
-          .probeBatch(upserts, preState, thresholdE6, maxDf)
-          .persist()
+        val verdicts = graft.ops.Incremental.probeWithAggregates(
+            upserts.select("doc_id"), newSh, preState,
+            IngestAggregates.preBatchDf(spark, storeDir, batchId, newSh, negDelta),
+            IngestAggregates.preBatchSizes(spark, storeDir, batchId, retired),
+            thresholdE6, maxDf)
+          .localCheckpoint(true)
+        sink(verdicts, batchId)
+        // WRITE ORDER (r19 rule, r20 shape): `verdicts` and `negDelta` are
+        // lineage-truncated, so the probe can no longer be silently
+        // recomputed by a path refresh — but the ORDER still carries the
+        // crash-window contracts: the rejected lane first (an admitted doc
+        // must never exist without its lineage row), the maintained
+        // aggregates and the admitted partition next, the tombstones LAST
+        // (a tombstone kills only batch_id strictly below its own, so the
+        // admitted rows it follows are never its victims; every write is a
+        // dynamic-partition overwrite, so any crash window replays to the
+        // identical state).
+        val docEnc = org.apache.spark.sql.Encoders.product[StreamingDedup.Doc]
+        val rejected = upserts.join(
+          verdicts.filter(col("is_dup") =!= 0L).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        StreamingDedup.shingleBatch(rejected.as[StreamingDedup.Doc](docEnc))
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(rejectedDir(storeDir))
+        val admitted = upserts.join(
+          verdicts.filter(col("is_dup") === 0L).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        // consumed three times (sizes, df positives, store write); its
+        // lineage reads only the cached batch and checkpointed verdicts,
+        // so the persist is refresh-proof
+        val admittedSh = StreamingDedup
+          .shingleBatch(admitted.as[StreamingDedup.Doc](docEnc)).persist()
         try {
-          sink(verdicts, batchId)
-          // WRITE ORDER RULE (r19 ingest audit): every consumer of the
-          // persisted `verdicts` must run BEFORE any write under a path
-          // its plan READS (the store and its tombstone subtree) — such a
-          // write refreshes the path, silently drops the cached probe,
-          // and the next consumer re-runs the ENTIRE probe join (retiring
-          // first doubled the trigger's cpu, ~135 -> ~250 cpu-s at sf0.1,
-          // because the rejected-lane semi-join recomputed it). So: the
-          // rejected lane first (a sibling dir no probe reads — and the
-          // lineage contract wants it before the admitted write anyway: a
-          // crash between the two shingle writes must not leave an
-          // admitted doc without its lineage row), the admitted partition
-          // second (the last verdicts consumer), the tombstones LAST.
-          // Retiring last is replay-equivalent: any crash window replays
-          // the batch, the probe excludes its own partitions in BOTH
-          // subtrees, and a tombstone kills only batch_id strictly below
-          // its own — the admitted rows it follows are never its victims.
-          val docEnc = org.apache.spark.sql.Encoders.product[StreamingDedup.Doc]
-          val rejected = upserts.join(
-            verdicts.filter(col("is_dup") =!= 0L).select("doc_id"),
-            Seq("doc_id"), "left_semi")
-          StreamingDedup.shingleBatch(rejected.as[StreamingDedup.Doc](docEnc))
-            .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(rejectedDir(storeDir))
-          val admitted = upserts.join(
-            verdicts.filter(col("is_dup") === 0L).select("doc_id"),
-            Seq("doc_id"), "left_semi")
-          StreamingDedup.shingleBatch(admitted.as[StreamingDedup.Doc](docEnc))
+          IngestAggregates.writeDeltas(spark, storeDir, batchId, admittedSh, negDelta)
+          admittedSh
             .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(storeDir)
           IndexTombstones.retire(spark, storeDir, retired, "doc_id", batchId)
-        } finally { verdicts.unpersist(); () }
+        } finally { admittedSh.unpersist(); () }
       } finally { upserts.unpersist(); () }
     } finally { last.unpersist(); () }
+  }
+
+  /** Compaction for a CDC-ingest store: the main fold
+    * ([[StreamingDedup.compactIndexStore]] — tombstones applied physically,
+    * carried set forward) plus the aggregate stores' sibling folds
+    * ([[IngestAggregates.compact]]), all under `outDir`. The aggregate fold
+    * runs only when `storeDir` actually carries aggregates — compacting a
+    * plain [[StreamingDedup]] store through here stays valid (the missing
+    * marker makes the next [[ingestBatch]] against `outDir` rebuild them).
+    * Returns main-store rows written.
+    *
+    * STATIC-RETIREMENT CARRY (r20 bug fix): [[ingestBatch]] lets CDC events
+    * retire INITIAL-index content, but the initial frame is re-supplied to
+    * every trigger rather than stored — so a tombstone that kills an
+    * initial doc can never be spent by physically dropping rows. The plain
+    * fold treats every tombstone at or below the fold point as spent; a
+    * retired STATIC doc's near-copies would silently start admitting again
+    * after compaction (and takedown'd static content would resurrect in the
+    * probe). Here tombstones on initial-index docs are CARRIED at their
+    * original batch ids regardless of the fold point. LSM sequencing stays
+    * valid: folded store rows take `batch_id = upToBatchId` ≥ any carried
+    * tombstone's batch, so only the initial rows (at batch -inf) keep
+    * dying. The carried set is bounded by |initial docs ever retired| —
+    * monotone but tiny next to the store, and spendable the day the corpus
+    * re-fingerprints (a rebuilt initial index makes them moot).
+    */
+  def compactStores(spark: SparkSession, storeDir: String, outDir: String,
+      initialIndex: DataFrame, upToBatchId: Long,
+      targetPartitions: Int = 1): Long = {
+    val n = StreamingDedup.compactIndexStore(spark, storeDir, outDir,
+      upToBatchId, targetPartitions)
+    val initTombs = IndexTombstones.read(spark, storeDir, "doc_id")
+      .filter(col("batch_id") <= upToBatchId)
+      .join(initialIndex.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+    // append: the main fold wrote only batch_id > upToBatchId partitions
+    // under outDir's tombstone subtree, disjoint from these by construction
+    if (initTombs.limit(1).count() > 0)
+      initTombs.write.mode("append").partitionBy("batch_id")
+        .parquet(IndexTombstones.dir(outDir))
+    if (IngestAggregates.ready(spark, storeDir))
+      IngestAggregates.compact(spark, storeDir, outDir, upToBatchId)
+    n
   }
 }

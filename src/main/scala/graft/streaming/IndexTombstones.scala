@@ -109,13 +109,26 @@ object IndexTombstones {
     */
   def preBatchState(spark: SparkSession, storeDir: String,
       initialIndex: DataFrame, idCol: String, batchId: Long,
-      retired: DataFrame, readStore: DataFrame): DataFrame = {
+      retired: DataFrame, readStore: DataFrame): DataFrame =
+    preBatchLive(spark, storeDir, initialIndex, idCol, batchId, readStore)
+      .join(retired.toDF(idCol).distinct(), Seq(idCol), "left_anti")
+      .select(initialIndex.columns.map(col).toIndexedSeq: _*)
+
+  /** [[preBatchState]] WITHOUT the retire-set removal — the PRE-RETIRE
+    * live state (initial ∪ store, own batch excluded in both subtrees,
+    * past tombstones applied). The retire set's rows in it are exactly
+    * what a trigger's tombstone kills — the quantity
+    * [[IngestAggregates.negativeDelta]] records (via a partition-pruned
+    * equivalent of this view, not this full-scan form).
+    */
+  def preBatchLive(spark: SparkSession, storeDir: String,
+      initialIndex: DataFrame, idCol: String, batchId: Long,
+      readStore: DataFrame): DataFrame = {
     val init = initialIndex.withColumn("batch_id", lit(Long.MinValue))
     val stored = readStore.filter(col("batch_id") =!= batchId)
     val tombs = read(spark, storeDir, idCol).filter(col("batch_id") =!= batchId)
     applyTo(init.unionAll(stored), tombs, idCol)
       .drop("batch_id")
-      .join(retired.toDF(idCol).distinct(), Seq(idCol), "left_anti")
       .select(initialIndex.columns.map(col).toIndexedSeq: _*)
   }
 
