@@ -122,8 +122,9 @@ object IngestAudit {
       val verdicts = measure("probe_maintained") {
         val negDelta =
           if (retired.limit(1).count() > 0)
-            IngestAggregates.negativeDelta(spark, store, indexSh,
-              i.toLong, retired).localCheckpoint(true)
+            IngestAggregates.negativeDelta(spark, store, indexSh, i.toLong,
+              retired, StreamingDedup.readIndexStore(spark, store))
+              .localCheckpoint(true)
           else Seq.empty[(Long, Long)].toDF("shingle", "delta")
         val newSh = StreamingDedup.shingleBatch(upserts)
         graft.ops.Incremental.probeWithAggregates(
@@ -160,8 +161,9 @@ object IngestAudit {
       measure("tail_aggregates") {
         val negDelta =
           if (retired.limit(1).count() > 0)
-            IngestAggregates.negativeDelta(spark, store, indexSh,
-              i.toLong, retired).localCheckpoint(true)
+            IngestAggregates.negativeDelta(spark, store, indexSh, i.toLong,
+              retired, StreamingDedup.readIndexStore(spark, store))
+              .localCheckpoint(true)
           else Seq.empty[(Long, Long)].toDF("shingle", "delta")
         IngestAggregates.writeDeltas(spark, store, i.toLong, admittedSh, negDelta)
       }

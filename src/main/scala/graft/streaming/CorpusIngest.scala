@@ -163,7 +163,8 @@ object CorpusIngest {
         // lazy, marker-guarded aggregate bootstrap (first trigger ever, or
         // self-healing after a torn compaction) — a filesystem existence
         // check on every later trigger
-        IngestAggregates.ensure(spark, storeDir, initialIndex)
+        IngestAggregates.ensure(spark, storeDir, initialIndex,
+          StreamingDedup.readIndexStore(spark, storeDir))
         // localCheckpoint, not persist: the write tail refreshes store
         // paths this frame's LINEAGE reads, and a path refresh UNCACHES
         // any persisted plan referencing it (the r19 audit's found bug —
@@ -175,7 +176,8 @@ object CorpusIngest {
         val negDelta =
           if (retired.limit(1).count() > 0)
             IngestAggregates.negativeDelta(spark, storeDir, initialIndex,
-              batchId, retired).localCheckpoint(true)
+              batchId, retired,
+              StreamingDedup.readIndexStore(spark, storeDir)).localCheckpoint(true)
           else Seq.empty[(Long, Long)].toDF("shingle", "delta")
         val newSh = StreamingDedup.shingleBatch(upserts)
         // post-retire pre-admit state over the WHOLE index — initial rows

@@ -82,9 +82,16 @@ object IndexTombstones {
   /** The LIVE view of a store frame (must carry `batch_id`): rows whose id
     * has no tombstone strictly after their batch. One max-aggregate over
     * the tombstones + a left join on the id — the store is never rewritten.
+    * `broadcastTombs` forces a broadcast of the (bounded — compaction
+    * spends them) tombstone aggregate: the join then PRESERVES the store
+    * side's output partitioning, which the bucketed co-located candidate
+    * join ([[BucketedCorpusIngest]]) depends on — an SMJ here would
+    * re-partition the store by the id and destroy the shingle bucketing.
     */
-  def applyTo(store: DataFrame, tombs: DataFrame, idCol: String): DataFrame = {
-    val agg = tombs.groupBy(col(idCol)).agg(max(col("batch_id")).as("tomb_batch"))
+  def applyTo(store: DataFrame, tombs: DataFrame, idCol: String,
+      broadcastTombs: Boolean = false): DataFrame = {
+    val agg0 = tombs.groupBy(col(idCol)).agg(max(col("batch_id")).as("tomb_batch"))
+    val agg = if (broadcastTombs) org.apache.spark.sql.functions.broadcast(agg0) else agg0
     store.join(agg, Seq(idCol), "left")
       .filter(col("tomb_batch").isNull || col("batch_id") >= col("tomb_batch"))
       // the equi-join moved idCol to the front — restore the store's column

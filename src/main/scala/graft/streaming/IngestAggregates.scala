@@ -112,10 +112,15 @@ object IngestAggregates {
 
   /** Ensure the aggregate stores exist and cover the store's current state;
     * a filesystem existence check per trigger, a [[rebuild]] only when the
-    * marker is absent.
+    * marker is absent. `readStore` is the authoritative shingle-row frame
+    * (`(doc_id, shingle, batch_id)`) — the path store's reader for
+    * [[CorpusIngest]], the whole table scan for [[BucketedCorpusIngest]]
+    * (which passes an EMPTY `initialIndex`: its bootstrap partition is just
+    * store rows at [[BootstrapBatch]]).
     */
-  def ensure(spark: SparkSession, storeDir: String, initialIndex: DataFrame): Unit =
-    if (!ready(spark, storeDir)) rebuild(spark, storeDir, initialIndex)
+  def ensure(spark: SparkSession, storeDir: String, initialIndex: DataFrame,
+      readStore: DataFrame): Unit =
+    if (!ready(spark, storeDir)) rebuild(spark, storeDir, initialIndex, readStore)
 
   /** Rebuild both aggregate stores from authoritative state: the initial
     * index at the bootstrap partition plus one aggregation pass over the
@@ -126,17 +131,18 @@ object IngestAggregates {
     * bootstrap partition holding the CURRENT live df (future tombstones
     * write their own negatives, so a flattened starting sum stays exact).
     */
-  def rebuild(spark: SparkSession, storeDir: String, initialIndex: DataFrame): Unit = {
+  def rebuild(spark: SparkSession, storeDir: String, initialIndex: DataFrame,
+      readStore: DataFrame): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val sizesP = new org.apache.hadoop.fs.Path(sizesDir(storeDir))
     val dfP = new org.apache.hadoop.fs.Path(dfDir(storeDir))
     val fs = sizesP.getFileSystem(conf)
     if (fs.exists(sizesP)) { fs.delete(sizesP, true); () }
     if (fs.exists(dfP)) { fs.delete(dfP, true); () }
-    val stored = StreamingDedup.readIndexStore(spark, storeDir)
     val init = initialIndex.select(col("doc_id"), col("shingle"))
       .withColumn("batch_id", lit(BootstrapBatch))
-    val all = init.unionAll(stored)
+    val all = init.unionAll(
+      readStore.select(col("doc_id"), col("shingle"), col("batch_id")))
     // sizes: raw per-(doc, batch) counts — the exact mirror of store rows
     all.groupBy(col("doc_id"), col("batch_id"))
       .agg(count(lit(1)).as("n_sh"))
@@ -203,7 +209,8 @@ object IngestAggregates {
     * collected set). Callers skip this entirely on pure-INSERT triggers.
     */
   def negativeDelta(spark: SparkSession, storeDir: String,
-      initialIndex: DataFrame, batchId: Long, retired: DataFrame): DataFrame = {
+      initialIndex: DataFrame, batchId: Long, retired: DataFrame,
+      readStore: DataFrame): DataFrame = {
     import spark.implicits._
     val retiredKeys = retired.toDF("doc_id").distinct()
     val touched = readSizes(spark, storeDir)
@@ -211,10 +218,12 @@ object IngestAggregates {
       .join(broadcast(retiredKeys), Seq("doc_id"), "left_semi")
       .select(col("batch_id")).distinct()
       .collect().map(_.getLong(0)).toSet
-    val storeBatches = (touched - BootstrapBatch).toSeq
-    val storeSide = StreamingDedup.readIndexStore(spark, storeDir)
+    // the bootstrap batch stays IN the store-side filter: for the path
+    // store no such partition exists (harmless), for the bucketed table
+    // the bootstrap rows ARE store rows — one code path serves both
+    val storeSide = readStore
       .filter(col("batch_id") =!= batchId)
-      .filter(col("batch_id").isin(storeBatches: _*))
+      .filter(col("batch_id").isin(touched.toSeq: _*))
     val initSide =
       if (touched.contains(BootstrapBatch))
         initialIndex.select(col("doc_id"), col("shingle"))
@@ -297,11 +306,11 @@ object IngestAggregates {
     * trigger.
     */
   def audit(spark: SparkSession, storeDir: String,
-      initialIndex: DataFrame): (Long, Long) = {
+      initialIndex: DataFrame, readStore: DataFrame): (Long, Long) = {
     val live = IndexTombstones.applyTo(
       initialIndex.select(col("doc_id"), col("shingle"))
         .withColumn("batch_id", lit(BootstrapBatch))
-        .unionAll(StreamingDedup.readIndexStore(spark, storeDir)),
+        .unionAll(readStore.select(col("doc_id"), col("shingle"), col("batch_id"))),
       IndexTombstones.read(spark, storeDir, "doc_id"), "doc_id")
     val trueDf = live.groupBy(col("shingle")).agg(count(lit(1)).as("t_df"))
     val keptDf = readDf(spark, storeDir)

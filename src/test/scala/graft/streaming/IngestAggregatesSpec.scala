@@ -85,7 +85,8 @@ class IngestAggregatesSpec extends SparkSuite {
       val want = recompute(store, init, b, maxDf, events)
       assert(got == want, s"batch $b: maintained $got != recompute $want")
       assert(got.nonEmpty || events.forall(_.event == "REMOVE"))
-      val (dfBad, szBad) = IngestAggregates.audit(spark, store, init)
+      val (dfBad, szBad) = IngestAggregates.audit(spark, store, init,
+        StreamingDedup.readIndexStore(spark, store))
       assert(dfBad == 0L && szBad == 0L,
         s"batch $b: df mismatches=$dfBad size mismatches=$szBad")
     }
@@ -113,7 +114,8 @@ class IngestAggregatesSpec extends SparkSuite {
       "replay changed the sizes store")
     assert(snap(IngestAggregates.readDf(spark, store)) == dfBefore,
       "replay changed the df store")
-    assert(IngestAggregates.audit(spark, store, init) == ((0L, 0L)))
+    assert(IngestAggregates.audit(spark, store, init,
+        StreamingDedup.readIndexStore(spark, store)) == ((0L, 0L)))
   }
 
   test("bootstrap self-heals a store whose aggregates are missing") {
@@ -139,7 +141,8 @@ class IngestAggregatesSpec extends SparkSuite {
     // reported); doc 1 still blocks its own near-copy
     val m = got.map(r => r._1 -> ((r._2, r._4))).toMap
     assert(m(3L) == ((1L, 1L)) && m(4L)._2 == 0L, m.toString)
-    assert(IngestAggregates.audit(spark, store, init) == ((0L, 0L)))
+    assert(IngestAggregates.audit(spark, store, init,
+        StreamingDedup.readIndexStore(spark, store)) == ((0L, 0L)))
   }
 
   test("compactStores carries static retirements; the plain fold loses them") {
@@ -155,7 +158,8 @@ class IngestAggregatesSpec extends SparkSuite {
     val n = CorpusIngest.compactStores(spark, store, out, init, upToBatchId = 2L)
     assert(n == StreamingDedup.liveIndexStore(spark, store).count())
     assert(IngestAggregates.ready(spark, out))
-    assert(IngestAggregates.audit(spark, out, init) == ((0L, 0L)))
+    assert(IngestAggregates.audit(spark, out, init,
+      StreamingDedup.readIndexStore(spark, out)) == ((0L, 0L)))
 
     // probing the compacted store: retired static content must STAY
     // retired (near-copy admits, matches nothing), removed stream content
