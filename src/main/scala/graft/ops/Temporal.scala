@@ -1005,11 +1005,24 @@ object Temporal {
   def touchAttribution(spark: SparkSession, d: String,
       windowMs: Long = 7L * 86400000L): DataFrame = {
     val ev = attrEventsOf(spark, d)
-    attrReadout(
-      touchWindowJoin(attrPurchasesOf(ev), attrTouchesOf(ev), windowMs),
-      expr("1000000 div k"))
+    linearReadout(touchWindowJoin(attrPurchasesOf(ev), attrTouchesOf(ev), windowMs))
       .orderBy("touch_type")
   }
+
+  /** The three credit-scheme readouts over the shared window join — ONE
+    * definition each, reused verbatim by the batch query, the incremental
+    * rung, and the streaming monitor
+    * ([[graft.streaming.StreamingAttribution]]), so all three ladder rungs
+    * aggregate with literally the same expressions.
+    */
+  private[graft] def linearReadout(joined: DataFrame): DataFrame =
+    attrReadout(joined, expr("1000000 div k"))
+
+  private[graft] def positionReadout(joined: DataFrame): DataFrame =
+    attrReadout(withPosition(joined), positionCreditPpm)
+
+  private[graft] def decayReadout(halfLifeMs: Long)(joined: DataFrame): DataFrame =
+    attrReadout(withDecay(joined, halfLifeMs), decayCreditPpm)
 
   /** U-shaped (position-based) multi-touch attribution — 40/20/40: the
     * FIRST and LAST touch in the purchase's trailing window each take
@@ -1026,9 +1039,7 @@ object Temporal {
   def positionAttribution(spark: SparkSession, d: String,
       windowMs: Long = 7L * 86400000L): DataFrame = {
     val ev = attrEventsOf(spark, d)
-    attrReadout(
-      withPosition(touchWindowJoin(attrPurchasesOf(ev), attrTouchesOf(ev), windowMs)),
-      positionCreditPpm)
+    positionReadout(touchWindowJoin(attrPurchasesOf(ev), attrTouchesOf(ev), windowMs))
       .orderBy("touch_type")
   }
 
@@ -1046,10 +1057,8 @@ object Temporal {
   def decayAttribution(spark: SparkSession, d: String,
       windowMs: Long = 7L * 86400000L, halfLifeMs: Long = 86400000L): DataFrame = {
     val ev = attrEventsOf(spark, d)
-    attrReadout(
-      withDecay(touchWindowJoin(attrPurchasesOf(ev), attrTouchesOf(ev), windowMs),
-        halfLifeMs),
-      decayCreditPpm)
+    decayReadout(halfLifeMs)(
+      touchWindowJoin(attrPurchasesOf(ev), attrTouchesOf(ev), windowMs))
       .orderBy("touch_type")
   }
 
@@ -1072,12 +1081,12 @@ object Temporal {
   /** Touch rows carry the source event_id (`t_id`): the U-shaped rung's
     * position tie-break; the linear fold ignores it.
     */
-  private def attrTouchesOf(e: DataFrame): DataFrame =
+  private[graft] def attrTouchesOf(e: DataFrame): DataFrame =
     e.filter(col("event_type").isin("signup", "view", "click"))
       .select(col("user_id"), col("event_type").as("touch_type"),
         col("ms").as("t_t"), col("event_id").as("t_id"))
 
-  private def attrPurchasesOf(e: DataFrame): DataFrame =
+  private[graft] def attrPurchasesOf(e: DataFrame): DataFrame =
     e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"), col("ms").as("t_p"))
 
@@ -1087,7 +1096,7 @@ object Temporal {
     * count window partitions by purchase, bounded by touches-per-window —
     * never a whole-type sort.
     */
-  private def touchWindowJoin(purchases: DataFrame, touches: DataFrame,
+  private[graft] def touchWindowJoin(purchases: DataFrame, touches: DataFrame,
       windowMs: Long): DataFrame =
     purchases.join(touches, Seq("user_id"))
       .filter(col("t_t") >= col("t_p") - lit(windowMs) && col("t_t") < col("t_p"))
@@ -1141,7 +1150,7 @@ object Temporal {
   def incrementalAttribution(spark: SparkSession, d: String,
       windowMs: Long = 7L * 86400000L, tenthsOld: Int = 9): DataFrame =
     incrementalAttrScheme(spark, d, windowMs, tenthsOld,
-      AttrAggKind, "ev_attr_agg", joined => attrReadout(joined, expr("1000000 div k")))
+      AttrAggKind, "ev_attr_agg", linearReadout)
 
   /** U-shaped attribution under SUFFIX arrival — the window-tail ladder's
     * second consumer, sharing the [[AttrTailKind]] tail store VERBATIM
@@ -1158,8 +1167,7 @@ object Temporal {
   def incrementalPositionAttribution(spark: SparkSession, d: String,
       windowMs: Long = 7L * 86400000L, tenthsOld: Int = 9): DataFrame =
     incrementalAttrScheme(spark, d, windowMs, tenthsOld,
-      AttrPosAggKind, "ev_attr_posagg",
-      joined => attrReadout(withPosition(joined), positionCreditPpm))
+      AttrPosAggKind, "ev_attr_posagg", positionReadout)
 
   /** Time-decay attribution under SUFFIX arrival — the window-tail
     * ladder's THIRD consumer on the same shared tail store (the tail
@@ -1172,8 +1180,7 @@ object Temporal {
       windowMs: Long = 7L * 86400000L, halfLifeMs: Long = 86400000L,
       tenthsOld: Int = 9): DataFrame =
     incrementalAttrScheme(spark, d, windowMs, tenthsOld,
-      AttrDecayAggKind, "ev_attr_decayagg",
-      joined => attrReadout(withDecay(joined, halfLifeMs), decayCreditPpm))
+      AttrDecayAggKind, "ev_attr_decayagg", decayReadout(halfLifeMs))
 
   /** The shared incremental-attribution skeleton: history = persisted
     * finished aggregate (per scheme) ⊕ suffix purchases attributed against
