@@ -121,6 +121,12 @@ object Bench {
     // just the queries under test. The driver sets neither.
     val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     val noStream = sys.env.contains("SPARK_GRAFT_BENCH_NOSTREAM")
+    // GC=1 forces a full collection before every rep — the controlled
+    // experiment arm for the ±10% quiet-run band (docs/TUNING.md r20): one
+    // 210-query run shares a JVM, so query N's wall inherits whatever heap
+    // debt queries 1..N-1 left; collecting between reps decorrelates that.
+    // Diagnosis hook only — the driver's artifact never sets it.
+    val forceGc = sys.env.contains("SPARK_GRAFT_BENCH_GC")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
       .map { case (name, fn) =>
@@ -129,6 +135,7 @@ object Bench {
       // query's seconds (a timed-out drain undercounts that query's MB
       // instead; events landing after listener removal are lost, not bled)
       val runs = (1 to reps).map { _ =>
+        if (forceGc) System.gc()
         var sec = 0.0
         val (_, snap) = graft.obs.ScopedMetrics.measure(spark) {
           val t0 = System.nanoTime()
@@ -219,7 +226,8 @@ object Bench {
         streamSection("streaming_ingest")(graft.obs.StreamingBench.ingestE2e(spark, sfDir)) +
         streamSection("streaming_scd2")(graft.obs.StreamingBench.scd2E2e(spark, sfDir)) +
         streamSection("streaming_sessions")(graft.obs.StreamingBench.sessionsE2e(spark, sfDir)) +
-        streamSection("streaming_transitions")(graft.obs.StreamingBench.transitionsE2e(spark, sfDir))
+        streamSection("streaming_transitions")(graft.obs.StreamingBench.transitionsE2e(spark, sfDir)) +
+        streamSection("streaming_attribution")(graft.obs.StreamingBench.attributionE2e(spark, sfDir))
     // Contention self-flag (r14 VERDICT item 6): the artifact announces its
     // own invalidity instead of waiting for a postmortem. Two one-sided
     // signals, either trips it:

@@ -105,9 +105,12 @@ object AnnAudit {
         noop(s)
         s
       }
-      candRows += measure("candidate_join") {
-        Similarity.probeCandidates(side, idxHome, broadcastIdx).count()
-      }
+      // noop, not count(): a bare count would let column pruning drop the
+      // sim expression entirely and charge every dot product to the top-k
+      // stage instead (the first cut of this audit did exactly that)
+      val cands = Similarity.probeCandidates(side, idxHome, broadcastIdx)
+      measure("candidate_join") { noop(cands) }
+      candRows += cands.count()
       batch.unpersist()
       ()
     }

@@ -140,6 +140,19 @@ object StreamingAnn {
     * replay and fresh-session-continuation specs can drive batches exactly
     * as a (restarted) stream would, batchIds included.
     */
+  /** Accumulated-store budget for the probe-join broadcast: the caller's
+    * `broadcastIdx` gate prices only the STATIC corpus side, so a growing
+    * admitted store silently inflates the broadcast relation trigger after
+    * trigger (ANN_AUDIT r20 measured the failure: at ~819k accumulated
+    * home rows ≈ 246 MB, per-trigger cost had grown 7 → 123 s). Half the
+    * static gate's 50 MB budget is reserved for the store side; past it
+    * the probe join demotes to a shuffle on the (table, bucket) cell key —
+    * the store-side scan still grows with history (the honest remaining
+    * growth term; see docs/TUNING.md's re-bucketing budget), but the
+    * driver stops rebuilding an ever-fatter broadcast every trigger.
+    */
+  private val StoreBroadcastMaxRows: Long = 25L * 1024 * 1024 / 300L
+
   private[graft] def externalBatch(batch: Dataset[Vec], batchId: Long,
       initialIdxHome: DataFrame, storeDir: String, sink: (DataFrame, Long) => Unit,
       nTables: Int, bits: Int, probes: Int, k: Int, broadcastIdx: Boolean): Unit = {
@@ -152,8 +165,12 @@ object StreamingAnn {
       // must stop appearing among anyone's neighbors
       val stored = liveIndexStore(spark, storeDir, excludeBatchId = batchId)
         .drop("batch_id")
+      // raw store rows (pre-tombstone — a conservative upper bound on the
+      // live view) re-gate the broadcast per trigger; a zero-column count
+      // over the parquet subtree, cheap at any history
+      val storeFits = readIndexStore(spark, storeDir).count() <= StoreBroadcastMaxRows
       sink(probeBatch(cached, initialIdxHome.unionAll(stored),
-        nTables, bits, probes, k, broadcastIdx), batchId)
+        nTables, bits, probes, k, broadcastIdx && storeFits), batchId)
       // no admit/reject gate (unlike dedup): every arriving vector joins
       // the index, exactly as every admitted document's embedding would.
       // Dynamic partition overwrite: ONLY batch_id=<this batch> is

@@ -389,6 +389,19 @@ class StreamingSpec extends SparkSuite {
       s"steady-state stats not populated: $st")
   }
 
+  test("StreamingBench attribution stats populate (the streaming_attribution section)") {
+    val st = graft.obs.StreamingBench.attributionE2e(spark, sf, nFiles = 4,
+      maxFilesPerTrigger = 1)
+    assert(st.inputRows > 0, "no events written")
+    // the final live readout is at most |touch types| rows — tiny, but it
+    // must be nonzero for the section to mean anything; equality to the
+    // batch scheme is StreamingAttributionSpec's job
+    assert(st.busRows > 0 && st.busRows <= 3, st.toString)
+    assert(st.batches >= 4, s"bounded admission not honored: $st")
+    assert(st.steadyAvgBatchMs > 0 && st.steadyRowsPerSec > 0,
+      s"steady-state stats not populated: $st")
+  }
+
   test("StreamingDedup: per-micro-batch probe equals the batch operator across 2 triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
