@@ -216,6 +216,44 @@ object StreamingAnn {
     IndexTombstones.compact(spark, readIndexStore(spark, storeDir), storeDir,
       outDir, "cid", upToBatchId, targetPartitions)
 
+  /** RE-BUCKET the admitted store under a new (nTables, bits) recipe — the
+    * LSH analogue of LSM compaction, and the designed answer to the one
+    * growth term the r20 audit left open (docs/TUNING.md): at FIXED bits,
+    * bucket occupancy grows with the accumulated store, so candidate
+    * volume per probe grows ~linearly with history. `adaptiveBits` sizes
+    * buckets for a corpus at INDEX-BUILD time; a continuously admitting
+    * stream outgrows that sizing, and the fix is a generation bump at
+    * compaction cadence: recover each live vector once (its embedding
+    * rides every home row), re-derive home rows under the new recipe's
+    * hyperplanes — bit-identical to what [[externalBatch]] would have
+    * written had the stream always run at the new recipe, so probes after
+    * the repoint are exactly fresh-store probes (spec-pinned) — and fold
+    * into ONE partition at `foldBatchId` in a NEW directory (the
+    * compact → repoint → retire convention; [[storeDirFor]] already moves
+    * the path with the recipe, so old-recipe state is never probed by
+    * new-recipe queries). Tombstones are applied PHYSICALLY (retired
+    * vectors do not survive into the new generation; none are carried).
+    * CALLER CONTRACT (same as [[compactIndexStore]]): call only at a
+    * quiesced horizon — every batch in the store committed, `foldBatchId`
+    * at or below the checkpoint's horizon — and repoint the probe's
+    * static index to one built at the SAME new recipe. Returns rows
+    * written (= live vectors × nTables).
+    */
+  def rebucketStore(spark: SparkSession, storeDir: String, outDir: String,
+      nTables: Int, newBits: Int, foldBatchId: Long): Long = {
+    val vecs = liveIndexStore(spark, storeDir)
+      .filter(col("table") === 0)
+      .select(col("cid").as("vec_id"), col("ce").as("embedding"))
+    val rows = Similarity.homeRowsOf(vecs, nTables, newBits)
+      .withColumn("batch_id", lit(foldBatchId))
+      .persist()
+    try {
+      val n = rows.count()
+      rows.write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+      n
+    } finally { rows.unpersist(); () }
+  }
+
   /** Propagate CDC REMOVE events into the admitted home-row store: every
     * `cid` in `vecIds` is tombstoned at `retireBatchId`
     * ([[IndexTombstones.retire]] — replay-idempotent via dynamic partition

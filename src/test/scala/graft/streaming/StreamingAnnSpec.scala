@@ -281,4 +281,54 @@ class StreamingAnnSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(probeLive == probeCompact && probeLive.nonEmpty)
   }
+
+  test("rebucketStore: generation bump == a store that always ran the new recipe; tombstones spent") {
+    import spark.implicits._
+    val store = graft.ops.Scratch.dir("ann_store_rb").toString + "/idx"
+    def unit(i: Int): Array[Float] = Array.tabulate(64)(j => if (j == i) 1f else 0f)
+    val corpus = (1L to 4L).map(i => StreamingAnn.Vec(i, unit(i.toInt)))
+    val idx0b3 = Similarity.homeRowsOf(
+      corpus.toDF("vec_id", "embedding"), nTables = 8, bits = 3).cache()
+    def run(batchId: Long, vs: StreamingAnn.Vec*): Unit =
+      StreamingAnn.externalBatch(vs.toDS(), batchId, idx0b3, store, (_, _) => (),
+        nTables = 8, bits = 3, probes = 2, k = 3, broadcastIdx = true)
+    // grow at bits=3, then retire A — the bump must not resurrect it
+    run(0L, StreamingAnn.Vec(100L, unit(10)))
+    run(1L, StreamingAnn.Vec(200L, unit(10)), StreamingAnn.Vec(300L, unit(20)))
+    StreamingAnn.retireFromStore(spark, store, Seq(100L).toDF("cid"), 2L)
+
+    val out = graft.ops.Scratch.dir("ann_store_rb_out").toString + "/idx"
+    val n = StreamingAnn.rebucketStore(spark, store, out,
+      nTables = 8, newBits = 5, foldBatchId = 2L)
+    assert(n == 2L * 8L, s"2 live vectors x 8 tables expected, got $n")
+
+    // bit-identical to what externalBatch would have written had the
+    // stream always run at bits=5: the exact home-row set of the LIVE
+    // vectors under the new recipe (the fresh-store twin, modulo batch_id)
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("table", "bucket", "cid").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val want = rowSet(Similarity.homeRowsOf(
+      Seq((200L, unit(10)), (300L, unit(20))).toDF("vec_id", "embedding"),
+      nTables = 8, bits = 5))
+    assert(rowSet(StreamingAnn.readIndexStore(spark, out)) == want,
+      "rebucketed rows must equal the fresh new-recipe store's")
+    assert(StreamingAnn.readIndexStore(spark, out).select("batch_id")
+      .distinct().collect().map(_.getLong(0)).toSet == Set(2L))
+    assert(IndexTombstones.read(spark, out, "cid").count() == 0L,
+      "rebucketing must spend tombstones physically, not carry them")
+
+    // probes after the repoint run at the NEW recipe end to end: the
+    // surviving copy is found at sim 1.0, the retired one never
+    val idx0b5 = Similarity.homeRowsOf(
+      corpus.toDF("vec_id", "embedding"), nTables = 8, bits = 5)
+    val got = StreamingAnn.probeBatch(
+      Seq(StreamingAnn.Vec(500L, unit(10))).toDS(),
+      idx0b5.unionAll(StreamingAnn.liveIndexStore(spark, out).drop("batch_id")),
+      nTables = 8, bits = 5, k = 3).collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(got.exists(v => v._1 == 200L && math.abs(v._2 - 1.0) < 1e-9),
+      s"surviving copy must be found under the new recipe: ${got.toSeq}")
+    assert(!got.exists(_._1 == 100L), s"retired vector resurrected: ${got.toSeq}")
+  }
 }
