@@ -64,15 +64,20 @@ object IngestAudit {
 
     val stages = scala.collection.mutable.LinkedHashMap
       .empty[String, (Double, Double)] // wall_s, cpu_s
-    def measure[A](name: String)(body: => A): A = {
+    def timed[A](body: => A): (A, Double, Double) = {
       var out: Option[A] = None
       val t0 = System.nanoTime()
       val (_, snap) = ScopedMetrics.measure(spark) { out = Some(body) }
-      val wall = (System.nanoTime() - t0) / 1e9
-      val (w0, c0) = stages.getOrElse(name, (0.0, 0.0))
-      stages(name) = (w0 + wall, c0 + snap.executorCpuNs / 1e9)
-      out.get
+      (out.get, (System.nanoTime() - t0) / 1e9, snap.executorCpuNs / 1e9)
     }
+    def measure[A](name: String)(body: => A): A = {
+      val (out, wall, cpu) = timed(body)
+      val (w0, c0) = stages.getOrElse(name, (0.0, 0.0))
+      stages(name) = (w0 + wall, c0 + cpu)
+      out
+    }
+    val pathSlices = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    val bucketedSlices = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
     def noop(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
@@ -84,9 +89,14 @@ object IngestAudit {
         .as[CorpusIngest.DocEvent].persist()
       batch.count()
       // the real trigger — evolves the store exactly as the bench's does
-      measure("full_trigger") {
-        CorpusIngest.ingestBatch(batch, i.toLong, indexSh, store,
-          (df, _) => { df.count(); () }, thresholdE6 = 500000L, maxDf = 256)
+      locally {
+        val (_, wall, cpu) = timed {
+          CorpusIngest.ingestBatch(batch, i.toLong, indexSh, store,
+            (df, _) => { df.count(); () }, thresholdE6 = 500000L, maxDf = 256)
+        }
+        pathSlices += ((i, wall, cpu))
+        val (w0, c0) = stages.getOrElse("full_trigger", (0.0, 0.0))
+        stages("full_trigger") = (w0 + wall, c0 + cpu)
       }
       // stage replay against the same batchId: own partitions excluded, so
       // every stage sees the state the real trigger saw
@@ -182,14 +192,50 @@ object IngestAudit {
       upserts.unpersist(); last.unpersist(); batch.unpersist()
       ()
     }
+    // ---- BUCKETED regime (lever b, r20): the same slice sequence through
+    // BucketedCorpusIngest — per-slice wall/cpu recorded separately, so the
+    // local no-regression claim (and any co-location cpu effect: the
+    // bucketed+sorted scan feeds the candidate SMJ with neither exchange
+    // nor sort on the store side) is read off the artifact. The NETWORK
+    // claim stays plan-shape evidence (docs/TUNING.md) — one box has no
+    // network to save.
+    locally {
+      import graft.streaming.BucketedCorpusIngest
+      val table = "graft_ingestaudit_bucketed"
+      val aux = graft.ops.Scratch.dir("graft_ingestaudit_baux") + "/store/idx"
+      BucketedCorpusIngest.bootstrap(spark, table, aux, indexSh,
+        nBuckets = cpus.toInt)
+      (0 until nSlices).foreach { i =>
+        val lo = i.toLong * arrivalCopies / nSlices
+        val hi = (i + 1).toLong * arrivalCopies / nSlices
+        val batch = events.filter(col("seq") >= lo && col("seq") < hi)
+          .as[CorpusIngest.DocEvent].persist()
+        batch.count()
+        val (_, wall, cpu) = timed {
+          BucketedCorpusIngest.ingestBatch(batch, i.toLong, table, aux,
+            (df, _) => { df.count(); () }, thresholdE6 = 500000L, maxDf = 256)
+        }
+        bucketedSlices += ((i, wall, cpu))
+        batch.unpersist()
+        ()
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      ()
+    }
     events.unpersist()
 
     def r2(v: Double) = math.rint(v * 100) / 100.0
     val body = stages.map { case (k, (wall, cpu)) =>
       s""""$k":{"wall_s":${r2(wall)},"cpu_s":${r2(cpu)}}"""
     }.mkString(",")
+    def sliceJson(s: Seq[(Int, Double, Double)]) = s.map { case (i, w, c) =>
+      s"""{"batch":$i,"wall_s":${r2(w)},"cpu_s":${r2(c)}}"""
+    }.mkString("[", ",", "]")
     val json = s"""{"metric":"ingest_audit","input_rows":$total,""" +
-      s""""slices":$nSlices,$body,"sf":"$sfDir"}"""
+      s""""slices":$nSlices,$body,""" +
+      s""""path_triggers":${sliceJson(pathSlices.toSeq)},""" +
+      s""""bucketed_triggers":${sliceJson(bucketedSlices.toSeq)},""" +
+      s""""sf":"$sfDir"}"""
     val outPath = if (args.nonEmpty) args(0) else "INGEST_AUDIT.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

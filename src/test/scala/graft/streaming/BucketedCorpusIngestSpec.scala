@@ -134,6 +134,54 @@ class BucketedCorpusIngestSpec extends SparkSuite {
     }
   }
 
+  test("real stream: ingestStream drives the bucketed lifecycle through foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val init = graft.ops.Dedup.shingles(
+      Seq((900L, staticText)).toDF("doc_id", "text")).cache()
+    val table = "graft_bci_stream"
+    val aux = graft.ops.Scratch.dir("bci_stream_aux").toString + "/idx"
+    BucketedCorpusIngest.bootstrap(spark, table, aux, init, nBuckets = 4)
+    try {
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[CorpusIngest.DocEvent]
+      val got = scala.collection.mutable.Map.empty[Long, Seq[(Long, Long, Long, Long)]]
+      val q = BucketedCorpusIngest.ingestStream(stream.toDS(), table, aux,
+        (df, id) => { got(id) = collectVerdicts(df); () },
+        thresholdE6 = 500000L, maxDf = 256).start()
+      // trigger 0: two inserts; trigger 1: a near-copy of A (must reject
+      // against trigger 0's STORED admission) + a MODIFY of the static doc
+      // (retire + readmit); trigger 2: REMOVE doc 1
+      stream.addData(ev(0, 1, "INSERT", tA), ev(1, 2, "INSERT", tB))
+      q.processAllAvailable()
+      stream.addData(ev(0, 3, "INSERT", tA + " near copy"),
+        ev(1, 900, "MODIFY", tF))
+      q.processAllAvailable()
+      stream.addData(ev(0, 1, "REMOVE", ""))
+      q.processAllAvailable()
+      q.stop()
+      // verdict semantics across the stream boundary: batch 0 admitted
+      // both; batch 1 rejected the near-copy against batch 0's admission
+      // and admitted the static replacement
+      val m0 = got(0L).map(r => r._1 -> r._4).toMap
+      assert(m0 == Map(1L -> 0L, 2L -> 0L), got(0L).toString)
+      val m1 = got(1L).map(r => r._1 -> ((r._2, r._4))).toMap
+      assert(m1(3L) == ((1L, 1L)) && m1(900L) == ((-1L, 0L)), got(1L).toString)
+      // live view after the three triggers: doc 1 removed, the static
+      // content retired-and-replaced by stream doc 900, doc 3 rejected
+      // (rejected lane, never the index)
+      val liveIds = BucketedCorpusIngest.liveIndex(spark, table, aux)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(liveIds == Set(2L, 900L), s"live ids: $liveIds")
+      val books = IngestAggregates.audit(spark, aux,
+        Seq.empty[(Long, Long)].toDF("doc_id", "shingle"),
+        BucketedCorpusIngest.tableScan(spark, table))
+      assert(books == ((0L, 0L)), books.toString)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table"); ()
+    }
+  }
+
   test("compactTable folds live state and spends static tombstones physically") {
     import spark.implicits._
     val init = graft.ops.Dedup.shingles(
