@@ -81,12 +81,22 @@ object IngestAudit {
     def noop(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
+    // RANDOM=1 assigns events to slices by hash instead of seq ranges —
+    // the bench's `repartition(nFiles)` arrival shape, where a doc's
+    // admission / MODIFY / REMOVE scatter across triggers and the
+    // negative-delta partition prune stops pruning (the r20 in-context
+    // regression's reproduction shape)
+    val randomSplit = sys.env.contains("SPARK_GRAFT_INGEST_AUDIT_RANDOM")
+    def sliceOf(i: Int) =
+      if (randomSplit)
+        events.filter(pmod(hash(col("doc_id"), col("seq")), lit(nSlices)) === i)
+      else {
+        val lo = i.toLong * arrivalCopies / nSlices
+        val hi = (i + 1).toLong * arrivalCopies / nSlices
+        events.filter(col("seq") >= lo && col("seq") < hi)
+      }
     (0 until nSlices).foreach { i =>
-      // seq-contiguous slices: rep ranges, mirroring ordered CDC arrival
-      val lo = i.toLong * arrivalCopies / nSlices
-      val hi = (i + 1).toLong * arrivalCopies / nSlices
-      val batch = events.filter(col("seq") >= lo && col("seq") < hi)
-        .as[CorpusIngest.DocEvent].persist()
+      val batch = sliceOf(i).as[CorpusIngest.DocEvent].persist()
       batch.count()
       // the real trigger — evolves the store exactly as the bench's does
       locally {
@@ -136,13 +146,14 @@ object IngestAudit {
               retired, StreamingDedup.readIndexStore(spark, store))
               .localCheckpoint(true)
           else Seq.empty[(Long, Long)].toDF("shingle", "delta")
-        val newSh = StreamingDedup.shingleBatch(upserts)
-        graft.ops.Incremental.probeWithAggregates(
+        val newSh = StreamingDedup.shingleBatch(upserts).persist()
+        try graft.ops.Incremental.probeWithAggregates(
             upserts.select("doc_id"), newSh, preState,
             IngestAggregates.preBatchDf(spark, store, i.toLong, newSh, negDelta),
             IngestAggregates.preBatchSizes(spark, store, i.toLong, retired),
             500000L, 256)
           .localCheckpoint(true)
+        finally { newSh.unpersist(); () }
       }
       // the write tail, replayed idempotently (dynamic-partition overwrite
       // of the SAME batch partitions with identical content — exactly the
@@ -206,10 +217,7 @@ object IngestAudit {
       BucketedCorpusIngest.bootstrap(spark, table, aux, indexSh,
         nBuckets = cpus.toInt)
       (0 until nSlices).foreach { i =>
-        val lo = i.toLong * arrivalCopies / nSlices
-        val hi = (i + 1).toLong * arrivalCopies / nSlices
-        val batch = events.filter(col("seq") >= lo && col("seq") < hi)
-          .as[CorpusIngest.DocEvent].persist()
+        val batch = sliceOf(i).as[CorpusIngest.DocEvent].persist()
         batch.count()
         val (_, wall, cpu) = timed {
           BucketedCorpusIngest.ingestBatch(batch, i.toLong, table, aux,

@@ -232,10 +232,17 @@ object StreamingBench {
     val base = graft.ops.Scratch.dir("graft_ingestbench")
     val in = s"$base/in"
     val docs = graft.ops.Tables.documents(spark, d).select(col("doc_id"), col("text"))
-    synthIngestEvents(spark, d, arrivalCopies)
-      .repartition(nFiles)
-      .write.mode("overwrite").json(in)
-    val inputRows = spark.read.json(in).count()
+    // seq-ordered slices (r20): production CDC delivers a shard's events in
+    // order, and every other monitor section already streams ordered slices
+    // for its contract. The old `repartition(nFiles)` random split measured
+    // an adversarial shape instead — where the maintained-aggregate probe's
+    // admission-batch partition prune stops pruning (a doc's admission and
+    // retirement scatter across triggers). The adversarial shape stays
+    // measured: IngestAudit's SPARK_GRAFT_INGEST_AUDIT_RANDOM=1 regime
+    // (numbers in docs/TUNING.md) — the bench section now reports the
+    // shape the composition is specified for.
+    val inputRows = writeOrderedSlices(
+      synthIngestEvents(spark, d, arrivalCopies), in, nFiles, orderCol = "seq")
     val indexSh = graft.ops.Dedup.shingles(docs.filter(col("doc_id") % 10 =!= 0)).persist()
     indexSh.count() // pre-materialized static state, not per-trigger cost
     val store = s"$base/store/idx"
@@ -270,10 +277,10 @@ object StreamingBench {
     * the slice-set row count (the section's `input_rows`).
     */
   private def writeOrderedSlices(ev: org.apache.spark.sql.DataFrame,
-      dir: String, nFiles: Int): Long = {
+      dir: String, nFiles: Int, orderCol: String = "event_id"): Long = {
     val spark = ev.sparkSession
     val (loId, hiId) = {
-      val r = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+      val r = ev.agg(min(col(orderCol)), max(col(orderCol))).head()
       (r.getLong(0), r.getLong(1))
     }
     val span = hiId - loId + 1
@@ -284,7 +291,7 @@ object StreamingBench {
     (0 until nFiles).foreach { i =>
       val from = loId + i * span / nFiles
       val to = loId + (i + 1) * span / nFiles
-      ev.filter(col("event_id") >= from && col("event_id") < to)
+      ev.filter(col(orderCol) >= from && col(orderCol) < to)
         .coalesce(1)
         .write.mode(if (i == 0) "overwrite" else "append").json(dir)
       val parts = fs.listStatus(path).map(_.getPath)

@@ -138,19 +138,24 @@ object BucketedCorpusIngest {
           .select(col("doc_id"))
         IngestAggregates.ensure(spark, auxDir, emptyInit(spark),
           tableScan(spark, table))
+        // persist, not localCheckpoint — fuses into the verdicts job; safe
+        // by the write order alone (see [[CorpusIngest]]'s rationale)
         val negDelta =
           if (retired.limit(1).count() > 0)
             IngestAggregates.negativeDelta(spark, auxDir, emptyInit(spark),
-              batchId, retired, tableScan(spark, table)).localCheckpoint(true)
+              batchId, retired, tableScan(spark, table)).persist()
           else Seq.empty[(Long, Long)].toDF("shingle", "delta")
-        val newSh = StreamingDedup.shingleBatch(upserts)
-        val verdicts = graft.ops.Incremental.probeWithAggregates(
-            upserts.select("doc_id"), newSh,
-            preBatchState(spark, table, auxDir, batchId, retired),
-            IngestAggregates.preBatchDf(spark, auxDir, batchId, newSh, negDelta),
-            IngestAggregates.preBatchSizes(spark, auxDir, batchId, retired),
-            thresholdE6, maxDf)
-          .localCheckpoint(true)
+        // persisted: three probe-side consumers (see [[CorpusIngest]])
+        val newSh = StreamingDedup.shingleBatch(upserts).persist()
+        val verdicts =
+          try graft.ops.Incremental.probeWithAggregates(
+              upserts.select("doc_id"), newSh,
+              preBatchState(spark, table, auxDir, batchId, retired),
+              IngestAggregates.preBatchDf(spark, auxDir, batchId, newSh, negDelta),
+              IngestAggregates.preBatchSizes(spark, auxDir, batchId, retired),
+              thresholdE6, maxDf)
+            .localCheckpoint(true)
+          finally { newSh.unpersist(); () }
         sink(verdicts, batchId)
         val docEnc = org.apache.spark.sql.Encoders.product[StreamingDedup.Doc]
         val rejected = upserts.join(
@@ -181,7 +186,7 @@ object BucketedCorpusIngest {
             case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
           }
           IndexTombstones.retire(spark, auxDir, retired, "doc_id", batchId)
-        } finally { admittedSh.unpersist(); () }
+        } finally { admittedSh.unpersist(); negDelta.unpersist(); () }
       } finally { upserts.unpersist(); () }
     } finally { last.unpersist(); () }
   }

@@ -165,21 +165,28 @@ object CorpusIngest {
         // check on every later trigger
         IngestAggregates.ensure(spark, storeDir, initialIndex,
           StreamingDedup.readIndexStore(spark, storeDir))
-        // localCheckpoint, not persist: the write tail refreshes store
-        // paths this frame's LINEAGE reads, and a path refresh UNCACHES
-        // any persisted plan referencing it (the r19 audit's found bug —
-        // one silent cache drop cost an entire recomputation per trigger).
-        // Truncating the lineage makes the tail invalidation-proof by
-        // construction. (Executor-local blocks: an executor loss fails the
-        // task, the trigger retries, and the store contract absorbs the
-        // replay — same guarantee path as any at-least-once window here.)
+        // persist, not localCheckpoint (r20 in-context wall fix): a
+        // separate eager checkpoint job put the negative-delta store scan
+        // on the trigger's CRITICAL PATH; persisted-lazy, it materializes
+        // INSIDE the verdicts checkpoint job (its scan runs in parallel
+        // stages with the pre-state scan) and is reused by the aggregate
+        // write. Invalidation-proof by the write order alone: its lineage
+        // reads the index store + tombstones, and every consumer runs
+        // BEFORE the first write to either path (rejected/sizes/df are
+        // non-overlapping sibling dirs) — so even a dropped cache would
+        // recompute from unchanged inputs.
         val negDelta =
           if (retired.limit(1).count() > 0)
             IngestAggregates.negativeDelta(spark, storeDir, initialIndex,
               batchId, retired,
-              StreamingDedup.readIndexStore(spark, storeDir)).localCheckpoint(true)
+              StreamingDedup.readIndexStore(spark, storeDir)).persist()
           else Seq.empty[(Long, Long)].toDF("shingle", "delta")
-        val newSh = StreamingDedup.shingleBatch(upserts)
+        // persisted: the maintained probe consumes the batch's shingles
+        // THREE times (the df-lookup broadcast build, the candidate join,
+        // the per-doc size agg) — unpersisted lineage re-ran the shingling
+        // mapPartitions per consumer (r20 in-context bench regression,
+        // measured via the sections-only A/B against the recompute probe)
+        val newSh = StreamingDedup.shingleBatch(upserts).persist()
         // post-retire pre-admit state over the WHOLE index — initial rows
         // included, sequenced at batch -inf so past tombstones kill them
         // too (a MODIFY of a base-corpus doc must not self-match its own
@@ -188,12 +195,14 @@ object CorpusIngest {
         val preState = IndexTombstones.preBatchState(spark, storeDir,
           initialIndex, "doc_id", batchId, retired,
           StreamingDedup.readIndexStore(spark, storeDir))
-        val verdicts = graft.ops.Incremental.probeWithAggregates(
-            upserts.select("doc_id"), newSh, preState,
-            IngestAggregates.preBatchDf(spark, storeDir, batchId, newSh, negDelta),
-            IngestAggregates.preBatchSizes(spark, storeDir, batchId, retired),
-            thresholdE6, maxDf)
-          .localCheckpoint(true)
+        val verdicts =
+          try graft.ops.Incremental.probeWithAggregates(
+              upserts.select("doc_id"), newSh, preState,
+              IngestAggregates.preBatchDf(spark, storeDir, batchId, newSh, negDelta),
+              IngestAggregates.preBatchSizes(spark, storeDir, batchId, retired),
+              thresholdE6, maxDf)
+            .localCheckpoint(true)
+          finally { newSh.unpersist(); () } // lc is eager — consumers are done
         sink(verdicts, batchId)
         // WRITE ORDER (r19 rule, r20 shape): `verdicts` and `negDelta` are
         // lineage-truncated, so the probe can no longer be silently
@@ -232,7 +241,7 @@ object CorpusIngest {
             .partitionBy("batch_id")
             .parquet(storeDir)
           IndexTombstones.retire(spark, storeDir, retired, "doc_id", batchId)
-        } finally { admittedSh.unpersist(); () }
+        } finally { admittedSh.unpersist(); negDelta.unpersist(); () }
       } finally { upserts.unpersist(); () }
     } finally { last.unpersist(); () }
   }

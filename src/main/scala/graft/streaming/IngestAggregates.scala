@@ -231,8 +231,16 @@ object IngestAggregates {
       else Seq.empty[(Long, Long, Long)].toDF("doc_id", "shingle", "batch_id")
     val tombs = IndexTombstones.read(spark, storeDir, "doc_id")
       .filter(col("batch_id") =!= batchId)
-    IndexTombstones.applyTo(initSide.unionAll(storeSide), tombs, "doc_id")
-      .join(broadcast(retiredKeys), Seq("doc_id"), "left_semi")
+    // retired-keys semi-join FIRST: it commutes with the tombstone apply
+    // (both key on doc_id), and it shrinks the tombstone left-join's input
+    // from every touched-partition row to just the retire set's rows —
+    // under out-of-order arrival `touched` can be most of the store (the
+    // r20 in-context A/B: the ordered-arrival partition prune stops
+    // pruning when admissions scatter across partitions)
+    IndexTombstones.applyTo(
+      initSide.unionAll(storeSide)
+        .join(broadcast(retiredKeys), Seq("doc_id"), "left_semi"),
+      tombs, "doc_id")
       .groupBy(col("shingle")).agg((-count(lit(1))).as("delta"))
   }
 
