@@ -249,6 +249,7 @@ object SparkEntry {
     // time-decay (power-of-two half-life) credit + its incremental rung —
     // the window-tail store's THIRD consumer
     "decay_attribution" -> ((s, d) => Temporal.decayAttribution(s, d)),
+    "conversion_lag_bands" -> ((s, d) => Temporal.conversionLagBands(s, d)),
     "incremental_decay_attribution" ->
       ((s, d) => Temporal.incrementalDecayAttribution(s, d)),
     "event_type_stats" -> ((s, d) => Sessions.eventTypeStats(s, d)),
@@ -1922,6 +1923,28 @@ object SparkEntry {
     "incremental_position_attribution" -> positionAttributionSql,
     "decay_attribution" -> decayAttributionSql,
     "incremental_decay_attribution" -> decayAttributionSql,
+    "conversion_lag_bands" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
+        |), p AS (
+        |  SELECT user_id, ms AS t_p FROM e WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id, event_type AS touch_type, ms AS t_t FROM e
+        |  WHERE event_type IN ('signup', 'view', 'click')
+        |), j AS (
+        |  SELECT t.touch_type, p.t_p - t.t_t AS lag_ms
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.t_t >= p.t_p - 604800000 AND t.t_t < p.t_p
+        |), r AS (
+        |  SELECT touch_type, lag_ms,
+        |    row_number() OVER (PARTITION BY touch_type ORDER BY lag_ms) AS rn,
+        |    count(*) OVER (PARTITION BY touch_type) AS n
+        |  FROM j
+        |)
+        |SELECT touch_type, count(*) AS n_pairs,
+        |  CAST(max(CASE WHEN rn <= (n + 1) // 2 THEN lag_ms END) AS BIGINT) AS p50_lag_ms,
+        |  CAST(max(CASE WHEN rn <= (19 * n + 19) // 20 THEN lag_ms END) AS BIGINT) AS p95_lag_ms
+        |FROM r GROUP BY touch_type ORDER BY touch_type""".stripMargin,
     "timeseries_gapfill" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_idx, count(*) AS n,

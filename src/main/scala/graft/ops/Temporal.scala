@@ -1062,6 +1062,32 @@ object Temporal {
       .orderBy("touch_type")
   }
 
+  /** Exact touch→purchase lag bands per touch type — the "how stale is
+    * credited marketing" readout over the attribution family's shared
+    * window join: p50/p95 of `t_p − t_t` (ms) across every credited
+    * (purchase, touch) pair, per touch type. Unlike the day-grain bands
+    * (small cells by construction), type-grain cells are LARGE — a plain
+    * per-type rank window would sort a third of all credited pairs in one
+    * partition — so the selection rides the bounded histogram-split core
+    * ([[DistributedSelect.exactGroupPercentiles]]: one min/max head, one
+    * |types|×buckets histogram collect, rank only inside candidate
+    * buckets). Lags are exact integer ms differences of floored ms, so
+    * nothing but integers crosses the oracle.
+    */
+  def conversionLagBands(spark: SparkSession, d: String,
+      windowMs: Long = 7L * 86400000L): DataFrame = {
+    val lags = Memo(spark, s"ev_attrlag|$d|$windowMs") {
+      val ev = attrEventsOf(spark, d)
+      touchWindowJoin(attrPurchasesOf(ev), attrTouchesOf(ev), windowMs)
+        .select(col("touch_type"), (col("t_p") - col("t_t")).as("lag_ms"))
+        .persist()
+    }
+    DistributedSelect.exactGroupPercentiles(lags, "touch_type", "lag_ms",
+      Seq(("p50_lag_ms", 1L, 2L), ("p95_lag_ms", 19L, 20L)))
+      .withColumnRenamed("n_rows", "n_pairs")
+      .orderBy("touch_type")
+  }
+
   /** Integral half-life weight per credited touch and the per-purchase
     * weight mass (same purchase-bounded partitions as `k`).
     */

@@ -565,6 +565,30 @@ class TemporalSpec extends SparkSuite {
     assert(out.values.map(_._3).sum <= 1000000L * nCredited)
   }
 
+  test("conversionLagBands: exact discrete p50/p95 lag per type vs driver recompute") {
+    val W = 7L * 86400000L
+    val out = Temporal.conversionLagBands(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        Sessions.msFloor(spark, sf).as("ms"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val touchTypes = Set("signup", "view", "click")
+    val lags = ev.filter(_._2 == "purchase").flatMap { case (u, _, tp) =>
+      byUser(u).filter(x => touchTypes(x._2) && x._3 >= tp - W && x._3 < tp)
+        .map(x => (x._2, tp - x._3))
+    }
+    val want = lags.groupBy(_._1).map { case (tpe, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val n = sorted.length.toLong
+      def at(num: Long, den: Long) = sorted(((num * n + den - 1) / den - 1).toInt)
+      (tpe, (n, at(1, 2), at(19, 20)))
+    }
+    assert(out == want)
+  }
+
   test("incrementalAttribution: window-tail merge reproduces the full log; boundary credit exercised") {
     val full = Temporal.touchAttribution(spark, sf).collect().toSeq
     assert(Temporal.incrementalAttribution(spark, sf).collect().toSeq == full)
