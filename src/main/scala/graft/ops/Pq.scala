@@ -179,6 +179,21 @@ object Pq {
     }
   }
 
+  /** The shared ADC-prune tail: keep each qid's top `rerankK` candidates by
+    * (asim DESC, cid ASC) via the bounded top-k hash aggregate
+    * ([[graft.functions.TopKRank]]) — row-identical to the
+    * `row_number() <= rerankK` window it replaces (every (qid, cid) pair
+    * appears at most once in the ADC scan output on all three call sites),
+    * with no sort and a |qids| x rerankK-bounded exchange.
+    */
+  private def pruneTopAsim(cand: DataFrame, rerankK: Int): DataFrame = {
+    val spark = cand.sparkSession
+    cand.groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topkRank(spark, col("asim"), col("cid"), rerankK).as("tk"))
+      .select(col("qid"), explode(col("tk")).as("t"))
+      .select(col("qid"), col("t.cid").as("cid"), col("t.sim").as("asim"))
+  }
+
   /** Exact rerank of an ADC candidate frame (qid, cid, asim): broadcast the
     * tiny candidate set against the float corpus on cid, compute the exact
     * cosine, keep top-k per query. Shared by [[pqTopK]] and [[ivfpqTopK]] —
@@ -247,11 +262,10 @@ object Pq {
           }
         }
         .toDF("qid", "cid", "asim")
-      val aw = Window.partitionBy(col("qid")).orderBy(desc("asim"), asc("cid"))
-      val cand = approx
-        .withColumn("arank", row_number().over(aw))
-        .filter(col("arank") <= rerankK)
-        .select(col("qid"), col("cid"), col("asim"))
+      // r21: bounded top-k hash aggregate replaces the ADC rank window —
+      // each (qid, cid) appears at most once in the scan output, so the
+      // aggregate's distinct-pair ranks equal row_number (see TopKRank).
+      val cand = pruneTopAsim(approx, rerankK)
       exactRerank(spark, d, cand, nQueries, k).persist()
     }
     if (recallQueries <= 0) topk.orderBy("qid", "rank")
@@ -355,11 +369,8 @@ object Pq {
           (qid, cid, acc / (qn * cn))
         }
         .toDF("qid", "cid", "asim")
-      val aw = Window.partitionBy(col("qid")).orderBy(desc("asim"), asc("cid"))
-      val pruned = cand
-        .withColumn("arank", row_number().over(aw))
-        .filter(col("arank") <= rerankK)
-        .select(col("qid"), col("cid"), col("asim"))
+      // r21: same bounded top-k aggregate prune as pqTopK (unique pairs)
+      val pruned = pruneTopAsim(cand, rerankK)
       exactRerank(spark, d, pruned, nQueries, k).persist()
     }
     if (recallQueries <= 0) topk.orderBy("qid", "rank")
@@ -439,11 +450,9 @@ object Pq {
         }
       }
       .toDF("qid", "cid", "asim")
-    val aw = Window.partitionBy(col("qid")).orderBy(desc("asim"), asc("cid"))
-    val pruned = cand
-      .withColumn("arank", row_number().over(aw))
-      .filter(col("arank") <= rerankK)
-      .select(col("qid"), col("cid"), col("asim"))
+    // r21: bounded top-k hash aggregate replaces the ADC rank window (a cid
+    // lives in one cell, so pairs are unique and ranks equal row_number)
+    val pruned = pruneTopAsim(cand, rerankK)
     // exact rerank: survivors (qids x rerankK) join the float corpus on
     // cid; the query embedding comes back from the batch. NO broadcast
     // hint — the survivor count is proportional to the PROBE side

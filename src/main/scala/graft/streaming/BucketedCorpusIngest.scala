@@ -137,7 +137,7 @@ object BucketedCorpusIngest {
           .filter(col("event") === "REMOVE" || col("event") === "MODIFY")
           .select(col("doc_id"))
         IngestAggregates.ensure(spark, auxDir, emptyInit(spark),
-          tableScan(spark, table))
+          tableScan(spark, table), inFlightBatchId = batchId)
         // persist, not localCheckpoint — fuses into the verdicts job; safe
         // by the write order alone (see [[CorpusIngest]]'s rationale)
         val negDelta =
@@ -222,7 +222,11 @@ object BucketedCorpusIngest {
     folded.write.partitionBy("batch_id")
       .bucketBy(nBuckets, "shingle").sortBy("shingle")
       .format("parquet").saveAsTable(outTable)
-    IngestAggregates.compact(spark, auxDir, outAuxDir, upToBatchId)
+    // keepBootstrapSizes = false: this fold moved the table's bootstrap
+    // rows into the fold partition, so the sizes mirror must follow them
+    // (see IngestAggregates.compact's contract)
+    IngestAggregates.compact(spark, auxDir, outAuxDir, upToBatchId,
+      keepBootstrapSizes = false)
     n
   }
 }

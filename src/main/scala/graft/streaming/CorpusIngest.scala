@@ -164,7 +164,8 @@ object CorpusIngest {
         // self-healing after a torn compaction) — a filesystem existence
         // check on every later trigger
         IngestAggregates.ensure(spark, storeDir, initialIndex,
-          StreamingDedup.readIndexStore(spark, storeDir))
+          StreamingDedup.readIndexStore(spark, storeDir),
+          inFlightBatchId = batchId)
         // persist, not localCheckpoint (r20 in-context wall fix): a
         // separate eager checkpoint job put the negative-delta store scan
         // on the trigger's CRITICAL PATH; persisted-lazy, it materializes
@@ -285,7 +286,11 @@ object CorpusIngest {
       initTombs.write.mode("append").partitionBy("batch_id")
         .parquet(IndexTombstones.dir(outDir))
     if (IngestAggregates.ready(spark, storeDir))
-      IngestAggregates.compact(spark, storeDir, outDir, upToBatchId)
+      // keepBootstrapSizes = true: the path store's initial index never
+      // folds, so its sizes mirror must stay at BootstrapBatch — the
+      // retire-after-compact negative-delta gate depends on it (r20 ADVICE)
+      IngestAggregates.compact(spark, storeDir, outDir, upToBatchId,
+        keepBootstrapSizes = true)
     n
   }
 }

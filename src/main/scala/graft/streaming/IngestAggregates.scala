@@ -118,9 +118,17 @@ object IngestAggregates {
     * (which passes an EMPTY `initialIndex`: its bootstrap partition is just
     * store rows at [[BootstrapBatch]]).
     */
+  /** `inFlightBatchId` (r20 ADVICE): the trigger currently being processed.
+    * A self-healing rebuild during attempt 2 of a replayed batch must not
+    * flatten attempt 1's own partition into the bootstrap df — the probe's
+    * own-batch exclusion cannot subtract a flattened partition, so the
+    * replay would see its own prior admissions in the df cap. Excluded in
+    * both subtrees (store and tombstones); `Long.MaxValue` = none.
+    */
   def ensure(spark: SparkSession, storeDir: String, initialIndex: DataFrame,
-      readStore: DataFrame): Unit =
-    if (!ready(spark, storeDir)) rebuild(spark, storeDir, initialIndex, readStore)
+      readStore: DataFrame, inFlightBatchId: Long = Long.MaxValue): Unit =
+    if (!ready(spark, storeDir))
+      rebuild(spark, storeDir, initialIndex, readStore, inFlightBatchId)
 
   /** Rebuild both aggregate stores from authoritative state: the initial
     * index at the bootstrap partition plus one aggregation pass over the
@@ -132,7 +140,7 @@ object IngestAggregates {
     * write their own negatives, so a flattened starting sum stays exact).
     */
   def rebuild(spark: SparkSession, storeDir: String, initialIndex: DataFrame,
-      readStore: DataFrame): Unit = {
+      readStore: DataFrame, inFlightBatchId: Long = Long.MaxValue): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val sizesP = new org.apache.hadoop.fs.Path(sizesDir(storeDir))
     val dfP = new org.apache.hadoop.fs.Path(dfDir(storeDir))
@@ -141,14 +149,21 @@ object IngestAggregates {
     if (fs.exists(dfP)) { fs.delete(dfP, true); () }
     val init = initialIndex.select(col("doc_id"), col("shingle"))
       .withColumn("batch_id", lit(BootstrapBatch))
+    // the in-flight batch's own partition is excluded in BOTH subtrees
+    // (r20 ADVICE): a marker-loss + replay combination must rebuild the
+    // PRE-attempt state, or attempt 2's df cap would see attempt 1's own
+    // admissions (they'd hide inside the flattened bootstrap sum, immune
+    // to the probe's own-batch exclusion)
     val all = init.unionAll(
-      readStore.select(col("doc_id"), col("shingle"), col("batch_id")))
+      readStore.select(col("doc_id"), col("shingle"), col("batch_id"))
+        .filter(col("batch_id") =!= inFlightBatchId))
     // sizes: raw per-(doc, batch) counts — the exact mirror of store rows
     all.groupBy(col("doc_id"), col("batch_id"))
       .agg(count(lit(1)).as("n_sh"))
       .write.mode("overwrite").partitionBy("batch_id").parquet(sizesDir(storeDir))
     // df: the LIVE state's counts, flattened into the bootstrap partition
     val tombs = IndexTombstones.read(spark, storeDir, "doc_id")
+      .filter(col("batch_id") =!= inFlightBatchId)
     IndexTombstones.applyTo(all, tombs, "doc_id")
       .groupBy(col("shingle")).agg(count(lit(1)).as("delta"))
       .withColumn("batch_id", lit(BootstrapBatch))
@@ -278,8 +293,21 @@ object IngestAggregates {
     * Caller contract matches the main fold's: only compact at or below the
     * stream's committed horizon, repoint after.
     */
+  /** `keepBootstrapSizes` (r20 ADVICE, high): whether the sizes store's
+    * BOOTSTRAP partition survives the fold at `BootstrapBatch` instead of
+    * collapsing into the fold partition. It must MIRROR what the main store
+    * does with bootstrap CONTENT: the path store's initial index is
+    * re-supplied per trigger and never folds (pass TRUE — folding the
+    * bootstrap sizes rows made [[negativeDelta]]'s `touched` set lose
+    * `BootstrapBatch`, so retiring a live initial doc AFTER compaction
+    * silently skipped the initial-index pass and the maintained df
+    * permanently overcounted); the bucketed table's bootstrap rows are
+    * ordinary store rows that DO fold (pass FALSE — keeping the sizes rows
+    * at `BootstrapBatch` there would point `touched` at a partition the
+    * folded table no longer has, recreating the same miss in mirror form).
+    */
   def compact(spark: SparkSession, storeDir: String, outDir: String,
-      upToBatchId: Long): Unit = {
+      upToBatchId: Long, keepBootstrapSizes: Boolean): Unit = {
     import org.apache.spark.sql.functions.when
     val conf = spark.sessionState.newHadoopConf()
     val outSizes = new org.apache.hadoop.fs.Path(sizesDir(outDir))
@@ -290,9 +318,15 @@ object IngestAggregates {
     val tombs = IndexTombstones.read(spark, storeDir, "doc_id")
     val sizesKept = IndexTombstones.applyTo(readSizes(spark, storeDir),
       tombs.filter(col("batch_id") <= upToBatchId), "doc_id")
-    sizesKept.withColumn("batch_id",
+    val foldKey =
+      if (keepBootstrapSizes)
+        when(col("batch_id") === lit(BootstrapBatch), lit(BootstrapBatch))
+          .when(col("batch_id") <= upToBatchId, lit(upToBatchId))
+          .otherwise(col("batch_id"))
+      else
         when(col("batch_id") <= upToBatchId, lit(upToBatchId))
-          .otherwise(col("batch_id")))
+          .otherwise(col("batch_id"))
+    sizesKept.withColumn("batch_id", foldKey)
       .write.mode("overwrite").partitionBy("batch_id").parquet(sizesDir(outDir))
     val df = readDf(spark, storeDir)
     val folded = df.filter(col("batch_id") <= upToBatchId)

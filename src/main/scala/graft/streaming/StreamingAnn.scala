@@ -167,10 +167,14 @@ object StreamingAnn {
         .drop("batch_id")
       // raw store rows (pre-tombstone — a conservative upper bound on the
       // live view) re-gate the broadcast per trigger; a zero-column count
-      // over the parquet subtree, cheap at any history
-      val storeFits = readIndexStore(spark, storeDir).count() <= StoreBroadcastMaxRows
+      // over the parquet subtree, cheap at any history. Short-circuited on
+      // the static gate (r20 ADVICE): when the caller already demoted to
+      // the cell-key shuffle, the count's answer is irrelevant — don't pay
+      // a per-trigger store-scan action for it.
+      val broadcastProbe = broadcastIdx &&
+        readIndexStore(spark, storeDir).count() <= StoreBroadcastMaxRows
       sink(probeBatch(cached, initialIdxHome.unionAll(stored),
-        nTables, bits, probes, k, broadcastIdx && storeFits), batchId)
+        nTables, bits, probes, k, broadcastProbe), batchId)
       // no admit/reject gate (unlike dedup): every arriving vector joins
       // the index, exactly as every admitted document's embedding would.
       // Dynamic partition overwrite: ONLY batch_id=<this batch> is

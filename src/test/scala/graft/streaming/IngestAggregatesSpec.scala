@@ -192,4 +192,38 @@ class IngestAggregatesSpec extends SparkSuite {
         s"(got $badProbe) — if this now passes, the carry in compactStores " +
         "may be redundant; re-verify before removing it")
   }
+
+  test("retiring a live STATIC doc AFTER compaction writes its negative df deltas") {
+    // r20 ADVICE (high): the old sizes fold collapsed the bootstrap
+    // partition into the fold partition, so negativeDelta's `touched` set
+    // lost BootstrapBatch and the initial-index pass was skipped — the
+    // maintained df permanently overcounted and audit() mismatched. The
+    // fold now keeps bootstrap sizes rows at BootstrapBatch (mirroring the
+    // never-folding initial index itself).
+    import spark.implicits._
+    val store = graft.ops.Scratch.dir("agg_postcompact").toString + "/idx"
+    val init = graft.ops.Dedup.shingles(
+      Seq((900L, staticText)).toDF("doc_id", "text")).cache()
+    trigger(store, init, 0L, 256, Seq(ev(0, 1, "INSERT", tA)))
+    trigger(store, init, 1L, 256, Seq(ev(0, 2, "INSERT", tB)))
+    val out = graft.ops.Scratch.dir("agg_postcompact_out").toString + "/idx"
+    CorpusIngest.compactStores(spark, store, out, init, upToBatchId = 1L)
+    assert(IngestAggregates.audit(spark, out, init,
+      StreamingDedup.readIndexStore(spark, out)) == ((0L, 0L)))
+    // batch 2 retires the STATIC doc on the COMPACTED store
+    val b2 = Seq(ev(0, 900, "REMOVE", ""))
+    assert(trigger(out, init, 2L, 256, b2) == recompute(out, init, 2L, 256, b2))
+    assert(IngestAggregates.audit(spark, out, init,
+        StreamingDedup.readIndexStore(spark, out)) == ((0L, 0L)),
+      "maintained df drifted after a post-compaction static retirement")
+    // a near-copy of the retired static content must now ADMIT, with the
+    // maintained probe still bit-identical to the recompute probe
+    val b3 = Seq(ev(0, 30, "INSERT", staticText + " with a tail"))
+    val got3 = trigger(out, init, 3L, 256, b3)
+    assert(got3 == recompute(out, init, 3L, 256, b3))
+    assert(got3.map(r => r._1 -> r._4).toMap.apply(30L) == 0L,
+      s"near-copy of retired static content should admit: $got3")
+    assert(IngestAggregates.audit(spark, out, init,
+      StreamingDedup.readIndexStore(spark, out)) == ((0L, 0L)))
+  }
 }
