@@ -163,6 +163,7 @@ object BucketedCorpusIngest {
           Seq("doc_id"), "left_semi")
         StreamingDedup.shingleBatch(rejected.as[StreamingDedup.Doc](docEnc))
           .withColumn("batch_id", lit(batchId))
+          .coalesce(1) // batch-bounded forensic lane — guide-§6 file sizing
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")

@@ -96,6 +96,20 @@ object CorpusIngest {
   def rejectedDir(storeDir: String): String =
     storeDir.stripSuffix("/") + "_rejected"
 
+  /** Two-thread pool for the concurrent middle of the write tail (the
+    * aggregate deltas ∥ the admitted partition — see [[ingestBatch]]).
+    * Spark action submission is thread-safe; two is exactly the
+    * concurrency the tail has.
+    */
+  private lazy val tailEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(2,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-ingest-tail")
+          t.setDaemon(true)
+          t
+        }))
+
   /** Read the rejected lane: shingle rows + `batch_id` for every upsert the
     * probe refused — the forensic/takedown lineage of content the index
     * does NOT represent. Empty (with the store's shingle schema) before any
@@ -119,11 +133,21 @@ object CorpusIngest {
     }
   }
 
+  /** `writeFilesPerBatch`: output files per batch-partition write (admitted
+    * shingles, rejected lane) — guide-§6 file sizing. A micro-batch's
+    * shingle rows are batch-bounded by construction, and the pre-r21 shape
+    * (shuffle-partition-many ~100 KB files per trigger) made every later
+    * trigger's store scan pay the accumulated open cost; 1 is right for
+    * micro-batches up to ~hundreds of MB, a fat-trigger deployment sizes
+    * it to trigger volume / target file size.
+    */
   def ingestStream(events: Dataset[DocEvent], initialIndex: DataFrame,
       storeDir: String, sink: (DataFrame, Long) => Unit,
-      thresholdE6: Long = 500000L, maxDf: Int = 256): DataStreamWriter[DocEvent] =
+      thresholdE6: Long = 500000L, maxDf: Int = 256,
+      writeFilesPerBatch: Int = 1): DataStreamWriter[DocEvent] =
     events.writeStream.foreachBatch { (batch: Dataset[DocEvent], batchId: Long) =>
-      ingestBatch(batch, batchId, initialIndex, storeDir, sink, thresholdE6, maxDf)
+      ingestBatch(batch, batchId, initialIndex, storeDir, sink, thresholdE6,
+        maxDf, writeFilesPerBatch)
     }
 
   /** One trigger's work — exposed so specs can drive batches exactly as a
@@ -142,7 +166,7 @@ object CorpusIngest {
     */
   private[graft] def ingestBatch(batch: Dataset[DocEvent], batchId: Long,
       initialIndex: DataFrame, storeDir: String, sink: (DataFrame, Long) => Unit,
-      thresholdE6: Long, maxDf: Int): Unit = {
+      thresholdE6: Long, maxDf: Int, writeFilesPerBatch: Int = 1): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val w = Window.partitionBy(col("doc_id")).orderBy(desc("seq"))
@@ -221,6 +245,7 @@ object CorpusIngest {
           Seq("doc_id"), "left_semi")
         StreamingDedup.shingleBatch(rejected.as[StreamingDedup.Doc](docEnc))
           .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .coalesce(writeFilesPerBatch)
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
@@ -234,13 +259,33 @@ object CorpusIngest {
         val admittedSh = StreamingDedup
           .shingleBatch(admitted.as[StreamingDedup.Doc](docEnc)).persist()
         try {
-          IngestAggregates.writeDeltas(spark, storeDir, batchId, admittedSh, negDelta)
-          admittedSh
-            .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(storeDir)
+          // the aggregate-store deltas and the admitted partition are
+          // mutually independent (disjoint sibling dirs, both reading only
+          // the cached admittedSh / persisted negDelta) and the write-order
+          // contract constrains them only relative to the rejected lane
+          // (before) and the tombstones (after) — so they run as
+          // CONCURRENT jobs (guide §2.6: overlap independent jobs; the
+          // serial tail paid one scheduler round-trip per write on
+          // batch-sized data). Both must COMMIT before the tombstone
+          // write, which Await guarantees. A cold admittedSh cache is
+          // block-locked per partition, so the racing jobs materialize it
+          // once between them.
+          val fAgg = scala.concurrent.Future {
+            IngestAggregates.writeDeltas(spark, storeDir, batchId, admittedSh, negDelta)
+          }(tailEc)
+          val fStore = scala.concurrent.Future {
+            admittedSh
+              .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+              .coalesce(writeFilesPerBatch)
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(storeDir)
+          }(tailEc)
+          scala.concurrent.Await.result(fAgg,
+            scala.concurrent.duration.Duration.Inf)
+          scala.concurrent.Await.result(fStore,
+            scala.concurrent.duration.Duration.Inf)
           IndexTombstones.retire(spark, storeDir, retired, "doc_id", batchId)
         } finally { admittedSh.unpersist(); negDelta.unpersist(); () }
       } finally { upserts.unpersist(); () }

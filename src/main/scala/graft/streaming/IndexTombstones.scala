@@ -58,13 +58,27 @@ object IndexTombstones {
       .persist()
     try {
       val n = t.count()
-      t.write.mode("overwrite")
+      // file sizing from the measured row count (guide §6): the distinct
+      // used to leave shuffle-partition-many files per batch partition —
+      // 32 ~KB files per trigger whose open cost every later trigger's
+      // tombstone read repaid, compounding with history (r21 measured
+      // +32 files/trigger on the ingest bench store). One ~16 B row is a
+      // tombstone; ~4M rows per file keeps files in the tens-of-MB band
+      // at any trigger size.
+      t.coalesce(filesForRows(n)).write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(dir(storeDir))
       n
     } finally { t.unpersist(); () }
   }
+
+  /** Output files for an `n`-row batch-partition write: bounded below by 1,
+    * growing with the row count so a genuinely fat trigger still writes
+    * parallel, well-sized files (~4M narrow rows ≈ tens of MB each).
+    */
+  private[streaming] def filesForRows(n: Long): Int =
+    math.max(1L, (n + 3999999L) / 4000000L).toInt
 
   /** Read the tombstone set: `(idCol, batch_id)`; empty before the first
     * retirement commits (same existence probe as the stores' readers).

@@ -181,6 +181,7 @@ object StreamingAnn {
       // replaced; every other batch's partition is untouched
       Similarity.homeRowsOf(cached.toDF(), nTables, bits)
         .withColumn("batch_id", lit(batchId))
+        .coalesce(1) // batch-bounded partition write — guide-§6 file sizing
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")

@@ -139,6 +139,7 @@ object StreamingDedup {
         // replaced; every other batch's partition is untouched
         shingleBatch(admitted.as[Doc](org.apache.spark.sql.Encoders.product[Doc]))
           .withColumn("batch_id", lit(batchId))
+          .coalesce(1) // batch-bounded partition write — guide-§6 file sizing
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
