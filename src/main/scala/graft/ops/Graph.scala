@@ -35,22 +35,33 @@ object Graph {
     */
   /** One damped iteration: contributions keyed by destination (map-side
     * partial sums), folded back onto the node list. `useBroadcast` selects
-    * the small-graph plan (ranks broadcast → ONE shuffle per round) vs the
-    * web-scale plan (ranks shuffle-joined on the node key — an
-    * unconditional broadcast of the full rank table is the scale-killer
-    * once |V| outgrows executor memory). Identical arithmetic either way;
-    * GraphSpec pins both plan shapes and their value equality.
+    * the small-graph plan (per-node contributions broadcast → ONE shuffle
+    * per round) vs the web-scale plan (rank side shuffle-joined on the
+    * node key — an unconditional broadcast of the full rank table is the
+    * scale-killer once |V| outgrows executor memory). Identical arithmetic
+    * either way; GraphSpec pins both plan shapes and their value equality.
+    *
+    * r21 shape: `rank div deg` is computed ONCE PER NODE (`deg` joins the
+    * |V|-row rank table, not the |E|-row edge list), so the big side —
+    * cached locally, shuffled in the web-scale plan — carries only
+    * (src, dst) and never the degree column: one long per edge fewer in
+    * cache and in the web-scale exchange. Per-edge floors are unchanged
+    * (every edge of `src` contributed the identical `rank div deg` before),
+    * so rank values are bit-identical to the pre-r21 plan.
     */
-  private[graft] def iterate(edgeDeg: DataFrame, nodes: DataFrame,
+  private[graft] def iterate(edges: DataFrame, deg: DataFrame, nodes: DataFrame,
       ranks: DataFrame, basePart: Long, useBroadcast: Boolean): DataFrame = {
     def side(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
+    // per-node out-contribution: |V| divisions instead of |E|
+    val c = ranks.join(side(deg), Seq("node"))
+      .select(col("node").as("src"), expr("rank_e9 div deg").as("c"))
     // Plain long sum is exact here BY INVARIANT: per-destination
     // contributions sum to at most the total mass (1e9), nowhere near
     // 2^63 — the DECIMAL(38,0) accumulate rule is for unbounded money
     // sums, not mass-conserving fixpoints.
-    val contrib = edgeDeg
-      .join(side(ranks), col("node") === col("src"))
-      .select(col("dst").as("node"), expr("rank_e9 div deg").as("c"))
+    val contrib = edges
+      .join(side(c), Seq("src"))
+      .select(col("dst").as("node"), col("c"))
       .groupBy("node").agg(sum(col("c")).as("acc"))
     nodes
       .join(side(contrib), Seq("node"), "left")
@@ -78,13 +89,18 @@ object Graph {
     val li = Tables.lineitem(spark, d)
       .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct().persist()
+    // the |E|-row side stays (src, dst) — two longs per edge; the union is
+    // two scans of the cached pair list, never a materialized second copy
     val edges = li.unionAll(li.select(col("dst").as("src"), col("src").as("dst")))
+    // out-degrees are a |V|-row table and double as the node list: groupBy
+    // makes the keys distinct by construction, so the pre-r21 separate
+    // `nodes.distinct()` shuffle+cache and the |E|-row edges⋈deg
+    // materialization are both gone
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // (src, dst, deg) joined ONCE and cached — the loop never re-joins it
-    val edgeDeg = edges.join(deg, "src").persist()
-    val nodes = edgeDeg.select(col("src").as("node")).distinct().persist()
-    val n = nodes.count() // driver scalar: one count, bounded
+      .select(col("src").as("node"), col("deg")).persist()
+    val n = deg.count() // driver scalar: one count, bounded
     require(n > 0, "pagerankBipartite: empty graph (lineitem has no part-supplier pairs)")
+    val nodes = deg.select("node")
     val basePart = 150000000L / n // floor(0.15e9 / N), exact integer
     val useBroadcast = n <= broadcastMaxNodes
     var ranks = nodes.withColumn("rank_e9", lit(1000000000L / n))
@@ -92,7 +108,7 @@ object Graph {
     var converged = false
     while (i <= iters && !converged) {
       val prev = ranks
-      ranks = iterate(edgeDeg, nodes, ranks, basePart, useBroadcast)
+      ranks = iterate(edges, deg, nodes, ranks, basePart, useBroadcast)
       // materialize EVERY iteration (the Pregel/GraphX discipline): without
       // this each round's plan embeds all predecessors, so lineage depth —
       // and the re-execution every action (including each round's own
@@ -116,7 +132,7 @@ object Graph {
     // result and intentionally stays — the returned frame reads it, and a
     // caller wanting it freed unpersists the returned frame's source. One
     // bounded cached relation per call is the deliberate cost.
-    li.unpersist(); edgeDeg.unpersist(); nodes.unpersist()
+    li.unpersist(); deg.unpersist()
     ranks.orderBy("node")
   }
 }

@@ -1658,8 +1658,9 @@ class OpsSpec extends SparkSuite {
       .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
     val edges = li.unionAll(li.select(col("dst").as("src"), col("src").as("dst")))
-    val edgeDeg = edges.join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-    val nodes = edgeDeg.select(col("src").as("node")).distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+    val nodes = deg.select("node")
     val ranks0 = nodes.withColumn("rank_e9", lit(1000L))
     // disable the size-based auto-broadcast while checking shapes: a
     // web-scale rank table would be far over the threshold anyway, and this
@@ -1668,9 +1669,9 @@ class OpsSpec extends SparkSuite {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val bPlan = Graph.iterate(edgeDeg, nodes, ranks0, 1L, useBroadcast = true)
+      val bPlan = Graph.iterate(edges, deg, nodes, ranks0, 1L, useBroadcast = true)
         .queryExecution.executedPlan.toString
-      val sPlan = Graph.iterate(edgeDeg, nodes, ranks0, 1L, useBroadcast = false)
+      val sPlan = Graph.iterate(edges, deg, nodes, ranks0, 1L, useBroadcast = false)
         .queryExecution.executedPlan.toString
       assert(bPlan.contains("BroadcastHashJoin"), s"broadcast shape missing:\n$bPlan")
       assert(!sPlan.contains("BroadcastHashJoin"), s"shuffle shape still broadcasts:\n$sPlan")
